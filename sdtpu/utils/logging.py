@@ -1,0 +1,48 @@
+"""Leveled logging with a replaceable callback (reference src/core/util.h:78-85,
+sd_set_log_callback include/stable-diffusion.h:426)."""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable, Optional
+
+LEVELS = {"debug": 10, "info": 20, "warn": 30, "error": 40}
+_level = LEVELS["info"]
+_callback: Optional[Callable[[str, str], None]] = None
+_t0 = time.time()
+
+
+def set_log_level(level: str) -> None:
+    global _level
+    _level = LEVELS[level]
+
+
+def set_log_callback(cb: Optional[Callable[[str, str], None]]) -> None:
+    """cb(level_name, message); None restores the default stderr printer."""
+    global _callback
+    _callback = cb
+
+
+def _log(level: str, msg: str) -> None:
+    if LEVELS[level] < _level:
+        return
+    if _callback is not None:
+        _callback(level, msg)
+    else:
+        print(f"[{level.upper():5s}] {time.time() - _t0:8.2f}s | {msg}", file=sys.stderr)
+
+
+def log_debug(msg: str) -> None:
+    _log("debug", msg)
+
+
+def log_info(msg: str) -> None:
+    _log("info", msg)
+
+
+def log_warn(msg: str) -> None:
+    _log("warn", msg)
+
+
+def log_error(msg: str) -> None:
+    _log("error", msg)
