@@ -103,14 +103,9 @@ def _umul32_wide(a, b_const: int):
     return hi, lo
 
 
-def philox_randn_jax(seed, offset, n):
-    """On-device Philox gaussian stream, bit-identical to PhiloxRNG.randn.
-
-    seed: python int or (k0, k1) uint32 pair from philox_split_seed.
-    offset: int scalar (the draw index — PhiloxRNG increments once per randn
-    call; may be a traced scan counter). n: static int. Returns float32[n].
-    Uses only 32-bit integer ops, so it is correct with JAX x64 disabled.
-    """
+def philox_bits_jax(seed, offset, n):
+    """Raw Philox4x32-10 words (g0, g1) as uint32[n] — bit-identical to the
+    numpy stream on every backend (pure integer math)."""
     import jax.numpy as jnp
 
     if isinstance(seed, tuple):
@@ -131,9 +126,26 @@ def philox_randn_jax(seed, offset, n):
         if r != 9:
             k0 = k0 + jnp.uint32(0x9E3779B9)
             k1 = k1 + jnp.uint32(0xBB67AE85)
+    return c0, c1
 
-    u = c0.astype(jnp.float32) * TWO_POW32_INV + TWO_POW32_INV / np.float32(2)
-    v = c1.astype(jnp.float32) * TWO_POW32_INV_2PI + TWO_POW32_INV_2PI / np.float32(2)
+
+def philox_randn_jax(seed, offset, n):
+    """On-device Philox gaussian stream following PhiloxRNG.randn.
+
+    seed: python int or (k0, k1) uint32 pair from philox_split_seed.
+    offset: int scalar (the draw index — PhiloxRNG increments once per randn
+    call; may be a traced scan counter). n: static int. Returns float32[n].
+    Uses only 32-bit integer ops, so it is correct with JAX x64 disabled.
+
+    The integer stream is bit-identical to the webui/reference stream; the
+    Box-Muller floats match within libm ulps (backend log/sin rounding).  For
+    bit-exact latents use host PhiloxRNG noise fed in as an input array.
+    """
+    import jax.numpy as jnp
+
+    g0, g1 = philox_bits_jax(seed, offset, n)
+    u = g0.astype(jnp.float32) * TWO_POW32_INV + TWO_POW32_INV / np.float32(2)
+    v = g1.astype(jnp.float32) * TWO_POW32_INV_2PI + TWO_POW32_INV_2PI / np.float32(2)
     s = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u))
     return s * jnp.sin(v)
 

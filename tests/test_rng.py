@@ -74,19 +74,41 @@ def test_philox_prefix_property():
     np.testing.assert_array_equal(a, b[:32])
 
 
-def test_philox_jax_matches_numpy():
+def test_philox_jax_bits_exact():
+    """Integer Philox words must be bit-identical to the numpy stream."""
+    import jax
+
+    from sdtpu.rng import _philox4_32, philox_bits_jax, philox_split_seed
+
+    bits = jax.jit(philox_bits_jax, static_argnums=2)
+    for seed in [0, 42, 2**40 + 3]:
+        key = philox_split_seed(seed)
+        for offset in range(3):
+            n = 2048
+            counter = np.zeros((4, n), dtype=np.uint32)
+            counter[0, :] = offset
+            counter[2, :] = np.arange(n, dtype=np.uint32)
+            k = np.empty((2, n), dtype=np.uint32)
+            k[0, :], k[1, :] = key
+            want = _philox4_32(counter, k)
+            g0, g1 = bits(key, offset, n)
+            np.testing.assert_array_equal(np.asarray(g0), want[0])
+            np.testing.assert_array_equal(np.asarray(g1), want[1])
+
+
+def test_philox_jax_randn_close():
+    """Gaussians match within libm rounding (log/sin differ by ulps per backend)."""
     import jax
 
     from sdtpu.rng import philox_split_seed
 
     fn = jax.jit(philox_randn_jax, static_argnums=2)
-    for seed in [0, 42, 2**40 + 3]:
+    for seed in [0, 42]:
         host = PhiloxRNG(seed)
-        key = philox_split_seed(seed)  # traced-friendly: split on host
-        for offset in range(3):
-            want = host.randn(2048)
-            got = np.asarray(fn(key, offset, 2048))
-            np.testing.assert_array_equal(got, want)
+        key = philox_split_seed(seed)
+        want = host.randn(2048)
+        got = np.asarray(fn(key, 0, 2048))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_create_rng():
