@@ -150,8 +150,14 @@ def timestep_embedding(
     Matches ggml_ext_timestep_embedding / CompVis openaimodel
     timestep_embedding: freqs = exp(-ln(max_period) * arange(half)/half).
     """
+    import numpy as np
+
     half = dim // 2
-    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    # freqs are static constants — compute on host in f64 and round once, so
+    # the large-t products don't amplify exp() rounding error.
+    freqs = jnp.asarray(
+        np.exp(-math.log(max_period) * np.arange(half, dtype=np.float64) / half).astype(np.float32)
+    )
     args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
     # Cody-Waite range reduction: args can reach ~1000 rad where single-pass
     # f32 trig loses ~1e-3; reduce mod 2π with a two-term split first.
