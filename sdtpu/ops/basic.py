@@ -153,8 +153,10 @@ def timestep_embedding(
     import numpy as np
 
     half = dim // 2
-    # freqs are static constants — compute on host in f64 and round once, so
-    # the large-t products don't amplify exp() rounding error.
+    # freqs are static constants — computed on host in f64, rounded once.
+    # NOTE: implementations differing by 1 ulp in expf diverge by ~6e-5 rad at
+    # t≈1000; exact cross-libm bit-parity is impossible here, so we take the
+    # most accurate chain.
     freqs = jnp.asarray(
         np.exp(-math.log(max_period) * np.arange(half, dtype=np.float64) / half).astype(np.float32)
     )
