@@ -1,0 +1,390 @@
+"""SD UNet backbone (SD1.x / SD2.x / SDXL families) as a pure JAX function.
+
+Reference analog: UNetModelRunner (src/model/diffusion/unet.hpp:748).  This is
+a ground-up functional implementation: NHWC activations for TPU convs, params
+in a flat dict keyed by original CompVis checkpoint names
+(``input_blocks.N.M.…``, ``middle_block.…``, ``output_blocks.…``,
+``time_embed.…``, ``label_emb.…``, ``out.…``) so loaders map 1:1.
+
+Structure (CompVis openaimodel semantics):
+  time_embed: Linear→SiLU→Linear on the sinusoidal timestep embedding
+  label_emb (SDXL): same MLP on pooled+size/crop vector (adm_in_channels)
+  input blocks: conv stem, then per level {ResBlock [+SpatialTransformer]}×n,
+    strided-conv Downsample between levels
+  middle: ResBlock, SpatialTransformer, ResBlock
+  output blocks: mirrored with skip concatenation, nearest-2x Upsample
+  out: GroupNorm→SiLU→conv
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from sdtpu.ops import attention, conv2d, gelu, group_norm, linear, timestep_embedding
+from sdtpu.ops.basic import silu
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    attention_resolutions: Tuple[int, ...] = (1, 2, 4)  # ds values with attention
+    transformer_depth: Tuple[int, ...] = (1, 1, 1, 1)  # per level
+    context_dim: int = 768
+    num_heads: Optional[int] = 8
+    num_head_channels: Optional[int] = None
+    use_linear_in_transformer: bool = False
+    adm_in_channels: Optional[int] = None  # SDXL conditioning vector
+
+
+SD1_UNET_CONFIG = UNetConfig()
+SD1_INPAINT_UNET_CONFIG = dataclasses.replace(SD1_UNET_CONFIG, in_channels=9)
+SD2_UNET_CONFIG = UNetConfig(
+    context_dim=1024, num_heads=None, num_head_channels=64, use_linear_in_transformer=True
+)
+SD2_INPAINT_UNET_CONFIG = dataclasses.replace(SD2_UNET_CONFIG, in_channels=9)
+SDXL_UNET_CONFIG = UNetConfig(
+    channel_mult=(1, 2, 4),
+    attention_resolutions=(2, 4),
+    transformer_depth=(0, 2, 10),
+    context_dim=2048,
+    num_heads=None,
+    num_head_channels=64,
+    use_linear_in_transformer=True,
+    adm_in_channels=2816,
+)
+SDXL_INPAINT_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, in_channels=9)
+# SSD-1B / Vega prune transformer depth; configs detected from weights later.
+SDXL_SSD1B_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, transformer_depth=(0, 2, 4))
+SDXL_VEGA_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, transformer_depth=(0, 1, 2))
+
+
+def _heads_for(cfg: UNetConfig, ch: int) -> int:
+    if cfg.num_head_channels is not None:
+        return ch // cfg.num_head_channels
+    return cfg.num_heads or 8
+
+
+def resblock(p, pre: str, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    """CompVis ResBlock: GN→SiLU→conv, +time-emb, GN→SiLU→conv, skip."""
+    out_ch = p[f"{pre}.out_layers.3.weight"].shape[0]
+    h = group_norm(x, p[f"{pre}.in_layers.0.weight"], p[f"{pre}.in_layers.0.bias"], eps=1e-5)
+    h = silu(h)
+    h = conv2d(h, p[f"{pre}.in_layers.2.weight"], p[f"{pre}.in_layers.2.bias"])
+    emb_out = linear(silu(emb), p[f"{pre}.emb_layers.1.weight"], p[f"{pre}.emb_layers.1.bias"])
+    h = h + emb_out[:, None, None, :].astype(h.dtype)
+    h = group_norm(h, p[f"{pre}.out_layers.0.weight"], p[f"{pre}.out_layers.0.bias"], eps=1e-5)
+    h = silu(h)
+    h = conv2d(h, p[f"{pre}.out_layers.3.weight"], p[f"{pre}.out_layers.3.bias"])
+    if x.shape[-1] != out_ch:
+        x = conv2d(x, p[f"{pre}.skip_connection.weight"], p[f"{pre}.skip_connection.bias"], padding=0)
+    return x + h
+
+
+def cross_attention(
+    p, pre: str, x: jnp.ndarray, context: Optional[jnp.ndarray], num_heads: int
+) -> jnp.ndarray:
+    """attn1 (self, context=None) / attn2 (cross). to_q/k/v have no bias."""
+    b, l, c = x.shape
+    ctx = x if context is None else context
+    d = c // num_heads
+    q = linear(x, p[f"{pre}.to_q.weight"]).reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
+    k = (
+        linear(ctx, p[f"{pre}.to_k.weight"])
+        .reshape(b, ctx.shape[1], num_heads, d)
+        .transpose(0, 2, 1, 3)
+    )
+    v = (
+        linear(ctx, p[f"{pre}.to_v.weight"])
+        .reshape(b, ctx.shape[1], num_heads, d)
+        .transpose(0, 2, 1, 3)
+    )
+    o = attention(q, k, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, l, c)
+    return linear(o, p[f"{pre}.to_out.0.weight"], p[f"{pre}.to_out.0.bias"])
+
+
+def geglu_ff(p, pre: str, x: jnp.ndarray) -> jnp.ndarray:
+    h = linear(x, p[f"{pre}.net.0.proj.weight"], p[f"{pre}.net.0.proj.bias"])
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * gelu(g)
+    return linear(h, p[f"{pre}.net.2.weight"], p[f"{pre}.net.2.bias"])
+
+
+def transformer_block(
+    p, pre: str, x: jnp.ndarray, context: jnp.ndarray, num_heads: int
+) -> jnp.ndarray:
+    from sdtpu.ops import layer_norm
+
+    h = layer_norm(x, p[f"{pre}.norm1.weight"], p[f"{pre}.norm1.bias"])
+    x = x + cross_attention(p, f"{pre}.attn1", h, None, num_heads)
+    h = layer_norm(x, p[f"{pre}.norm2.weight"], p[f"{pre}.norm2.bias"])
+    x = x + cross_attention(p, f"{pre}.attn2", h, context, num_heads)
+    h = layer_norm(x, p[f"{pre}.norm3.weight"], p[f"{pre}.norm3.bias"])
+    return x + geglu_ff(p, f"{pre}.ff", h)
+
+
+def spatial_transformer(
+    p, pre: str, x: jnp.ndarray, context: jnp.ndarray, cfg: UNetConfig, depth: int
+) -> jnp.ndarray:
+    b, hh, ww, c = x.shape
+    num_heads = _heads_for(cfg, c)
+    h = group_norm(x, p[f"{pre}.norm.weight"], p[f"{pre}.norm.bias"], eps=1e-6)
+    if cfg.use_linear_in_transformer:
+        h = h.reshape(b, hh * ww, c)
+        h = linear(h, p[f"{pre}.proj_in.weight"], p[f"{pre}.proj_in.bias"])
+    else:
+        h = conv2d(h, p[f"{pre}.proj_in.weight"], p[f"{pre}.proj_in.bias"], padding=0)
+        h = h.reshape(b, hh * ww, c)
+    for k in range(depth):
+        h = transformer_block(p, f"{pre}.transformer_blocks.{k}", h, context, num_heads)
+    if cfg.use_linear_in_transformer:
+        h = linear(h, p[f"{pre}.proj_out.weight"], p[f"{pre}.proj_out.bias"])
+        h = h.reshape(b, hh, ww, c)
+    else:
+        h = h.reshape(b, hh, ww, c)
+        h = conv2d(h, p[f"{pre}.proj_out.weight"], p[f"{pre}.proj_out.bias"], padding=0)
+    return x + h
+
+
+def upsample(p, pre: str, x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return conv2d(x, p[f"{pre}.conv.weight"], p[f"{pre}.conv.bias"])
+
+
+def _block_layout(cfg: UNetConfig):
+    """Static layout of (input_blocks, middle, output_blocks): which sub-layers
+    each numbered block contains. Mirrors CompVis block numbering."""
+    inputs: List[List[str]] = [["conv"]]
+    ch = cfg.model_channels
+    in_chs = [ch]
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            blk = ["res"]
+            ch = mult * cfg.model_channels
+            if ds in cfg.attention_resolutions and cfg.transformer_depth[level] > 0:
+                blk.append(("attn", cfg.transformer_depth[level]))
+            inputs.append(blk)
+            in_chs.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            inputs.append(["down"])
+            in_chs.append(ch)
+            ds *= 2
+    outputs: List[List[str]] = []
+    for level in reversed(range(len(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            blk = ["res"]
+            if ds in cfg.attention_resolutions and cfg.transformer_depth[level] > 0:
+                blk.append(("attn", cfg.transformer_depth[level]))
+            if level != 0 and i == cfg.num_res_blocks:
+                blk.append("up")
+                ds //= 2
+            outputs.append(blk)
+    return inputs, outputs
+
+
+def unet_forward(
+    p,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context: jnp.ndarray,
+    y: Optional[jnp.ndarray] = None,
+    cfg: UNetConfig = SD1_UNET_CONFIG,
+) -> jnp.ndarray:
+    """x: [B,H,W,C] latent (NHWC), timesteps: [B], context: [B,L,ctx],
+    y: [B, adm_in_channels] (SDXL). Returns eps/v prediction [B,H,W,out]."""
+    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+    emb = linear(t_emb, p["time_embed.0.weight"], p["time_embed.0.bias"])
+    emb = linear(silu(emb), p["time_embed.2.weight"], p["time_embed.2.bias"])
+    if cfg.adm_in_channels is not None and y is not None:
+        lemb = linear(y.astype(x.dtype), p["label_emb.0.0.weight"], p["label_emb.0.0.bias"])
+        emb = emb + linear(silu(lemb), p["label_emb.0.2.weight"], p["label_emb.0.2.bias"])
+
+    inputs, outputs = _block_layout(cfg)
+    hs = []
+    h = x
+    for i, blk in enumerate(inputs):
+        for j, kind in enumerate(blk):
+            pre = f"input_blocks.{i}.{j}"
+            if kind == "conv":
+                h = conv2d(h, p[f"{pre}.weight"], p[f"{pre}.bias"])
+            elif kind == "res":
+                h = resblock(p, pre, h, emb)
+            elif kind == "down":
+                h = conv2d(h, p[f"{pre}.op.weight"], p[f"{pre}.op.bias"], stride=2)
+            elif isinstance(kind, tuple) and kind[0] == "attn":
+                h = spatial_transformer(p, pre, h, context, cfg, kind[1])
+        hs.append(h)
+
+    h = resblock(p, "middle_block.0", h, emb)
+    mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
+    h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth)
+    h = resblock(p, "middle_block.2", h, emb)
+
+    for i, blk in enumerate(outputs):
+        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        for j, kind in enumerate(blk):
+            pre = f"output_blocks.{i}.{j}"
+            if kind == "res":
+                h = resblock(p, pre, h, emb)
+            elif kind == "up":
+                h = upsample(p, pre, h)
+            elif isinstance(kind, tuple) and kind[0] == "attn":
+                h = spatial_transformer(p, pre, h, context, cfg, kind[1])
+
+    h = group_norm(h, p["out.0.weight"], p["out.0.bias"], eps=1e-5)
+    h = silu(h)
+    return conv2d(h, p["out.2.weight"], p["out.2.bias"])
+
+
+def unet_param_shapes(cfg: UNetConfig) -> dict:
+    """name → (kind, shape) for every UNet param; kind ∈ {w, b, g} (weight /
+    zero-bias / ones-gain). Single source of truth for init and loaders."""
+    p = {}
+
+    def w(name, *shape, scale=0.02):
+        p[name] = ("w", tuple(shape))
+
+    def norm(name, ch):
+        p[f"{name}.weight"] = ("g", (ch,))
+        p[f"{name}.bias"] = ("b", (ch,))
+
+    def lin(name, out_c, in_c, bias=True):
+        w(f"{name}.weight", out_c, in_c)
+        if bias:
+            p[f"{name}.bias"] = ("b", (out_c,))
+
+    def conv(name, out_c, in_c, k=3):
+        w(f"{name}.weight", out_c, in_c, k, k)
+        p[f"{name}.bias"] = ("b", (out_c,))
+
+    def res(pre, in_c, out_c, emb_dim):
+        norm(f"{pre}.in_layers.0", in_c)
+        conv(f"{pre}.in_layers.2", out_c, in_c)
+        lin(f"{pre}.emb_layers.1", out_c, emb_dim)
+        norm(f"{pre}.out_layers.0", out_c)
+        conv(f"{pre}.out_layers.3", out_c, out_c)
+        if in_c != out_c:
+            conv(f"{pre}.skip_connection", out_c, in_c, k=1)
+
+    def attn_block(pre, dim, ctx):
+        lin(f"{pre}.to_q", dim, dim, bias=False)
+        lin(f"{pre}.to_k", dim, ctx, bias=False)
+        lin(f"{pre}.to_v", dim, ctx, bias=False)
+        lin(f"{pre}.to_out.0", dim, dim)
+
+    def trans_block(pre, dim, ctx):
+        norm(f"{pre}.norm1", dim)
+        attn_block(f"{pre}.attn1", dim, dim)
+        norm(f"{pre}.norm2", dim)
+        attn_block(f"{pre}.attn2", dim, ctx)
+        norm(f"{pre}.norm3", dim)
+        lin(f"{pre}.ff.net.0.proj", dim * 8, dim)
+        lin(f"{pre}.ff.net.2", dim, dim * 4)
+
+    def spatial(pre, dim, depth):
+        norm(f"{pre}.norm", dim)
+        if cfg.use_linear_in_transformer:
+            lin(f"{pre}.proj_in", dim, dim)
+            lin(f"{pre}.proj_out", dim, dim)
+        else:
+            conv(f"{pre}.proj_in", dim, dim, k=1)
+            conv(f"{pre}.proj_out", dim, dim, k=1)
+        for k in range(depth):
+            trans_block(f"{pre}.transformer_blocks.{k}", dim, cfg.context_dim)
+
+    mc = cfg.model_channels
+    emb_dim = 4 * mc
+    lin("time_embed.0", emb_dim, mc)
+    lin("time_embed.2", emb_dim, emb_dim)
+    if cfg.adm_in_channels is not None:
+        lin("label_emb.0.0", emb_dim, cfg.adm_in_channels)
+        lin("label_emb.0.2", emb_dim, emb_dim)
+
+    # walk the same loops as _block_layout, tracking channel flow
+    in_specs = []
+    skips = [mc]
+    cur = mc
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            out_c = mult * mc
+            in_specs.append(("res", cur, out_c, level))
+            cur = out_c
+            skips.append(cur)
+        if level != len(cfg.channel_mult) - 1:
+            in_specs.append(("down", cur, cur, level))
+            skips.append(cur)
+
+    conv("input_blocks.0.0", mc, cfg.in_channels)
+    bi = 1
+    for kind, in_c, out_c, level in in_specs:
+        if kind == "res":
+            res(f"input_blocks.{bi}.0", in_c, out_c, emb_dim)
+            if (
+                _ds_at_level(cfg, level) in cfg.attention_resolutions
+                and cfg.transformer_depth[level] > 0
+            ):
+                spatial(f"input_blocks.{bi}.1", out_c, cfg.transformer_depth[level])
+        else:
+            conv(f"input_blocks.{bi}.0.op", out_c, in_c)
+        bi += 1
+
+    top = cfg.channel_mult[-1] * mc
+    res("middle_block.0", top, top, emb_dim)
+    mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
+    spatial("middle_block.1", top, mid_depth)
+    res("middle_block.2", top, top, emb_dim)
+
+    cur = top
+    bi = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        out_c = cfg.channel_mult[level] * mc
+        for i in range(cfg.num_res_blocks + 1):
+            skip = skips.pop()
+            res(f"output_blocks.{bi}.0", cur + skip, out_c, emb_dim)
+            cur = out_c
+            j = 1
+            if (
+                _ds_at_level(cfg, level) in cfg.attention_resolutions
+                and cfg.transformer_depth[level] > 0
+            ):
+                spatial(f"output_blocks.{bi}.{j}", out_c, cfg.transformer_depth[level])
+                j += 1
+            if level != 0 and i == cfg.num_res_blocks:
+                conv(f"output_blocks.{bi}.{j}.conv", out_c, out_c)
+            bi += 1
+
+    norm("out.0", mc)
+    conv("out.2", cfg.out_channels, mc)
+    return p
+
+
+def init_unet_params(cfg: UNetConfig, seed: int = 0, dtype=jnp.float32) -> dict:
+    """Random-init params keyed by checkpoint names (tests/bench without weights)."""
+    return materialize_params(unet_param_shapes(cfg), seed=seed, dtype=dtype)
+
+
+def materialize_params(shapes: dict, seed: int = 0, dtype=jnp.float32, scale: float = 0.02) -> dict:
+    import numpy as np
+
+    g = np.random.default_rng(seed)
+    out = {}
+    for name, (kind, shape) in shapes.items():
+        if kind == "w":
+            out[name] = jnp.asarray(g.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype)
+        elif kind == "g":
+            out[name] = jnp.ones(shape, dtype=dtype)
+        else:
+            out[name] = jnp.zeros(shape, dtype=dtype)
+    return out
+
+
+def _ds_at_level(cfg: UNetConfig, level: int) -> int:
+    return 2**level

@@ -2,6 +2,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from sdtpu.models.clip import CLIPTextConfig, clip_text_forward
@@ -61,7 +62,7 @@ def test_final_hidden_matches_hf(hf_and_ids):
         want = m(torch.from_numpy(ids).long()).last_hidden_state.numpy()
     p = _params_from_hf(m)
     cfg = SMALL
-    got, _ = clip_text_forward(p, jnp.asarray(ids), cfg, clip_skip=-1)
+    got, _ = jax.jit(lambda p, i: clip_text_forward(p, i, cfg, clip_skip=-1))(p, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-5)
 
 
@@ -71,7 +72,7 @@ def test_penultimate_matches_hf(hf_and_ids):
         out = m(torch.from_numpy(ids).long(), output_hidden_states=True)
     want = out.hidden_states[-2].numpy()  # penultimate, pre-final-LN
     p = _params_from_hf(m)
-    got, _ = clip_text_forward(p, jnp.asarray(ids), SMALL, clip_skip=2)
+    got, _ = jax.jit(lambda p, i: clip_text_forward(p, i, SMALL, clip_skip=2))(p, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-5)
 
 
@@ -97,5 +98,5 @@ def test_pooled_with_projection():
     with torch.no_grad():
         want = m(torch.from_numpy(ids).long()).text_embeds.numpy()
     p = _params_from_hf(m)
-    _, pooled = clip_text_forward(p, jnp.asarray(ids), cfg, return_pooled=True)
+    _, pooled = jax.jit(lambda p, i: clip_text_forward(p, i, cfg, return_pooled=True))(p, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(pooled), want, rtol=1e-4, atol=2e-5)
