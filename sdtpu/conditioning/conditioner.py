@@ -1,0 +1,165 @@
+"""Prompt → conditioning tensors (webui-compatible weighting + 77-token
+chunking), for the CLIP-based model families.
+
+Behavioral parity with FrozenCLIPEmbedderWithCustomWords
+(src/conditioning/conditioner.hpp:133-536):
+  - webui attention parsing, BREAK pads the raw stream to a 75 boundary
+  - chunks of 75 raw tokens wrapped with BOS/EOS, padded to 77
+  - per-chunk mean-preserving token weighting (conditioner.hpp:68)
+  - SD1 pads with EOS, SDXL CLIP-G zeroes tokens after the first EOS and
+    contributes the pooled projection + 256-dim size/crop embedding vector
+
+TPU-first: all chunks are embedded in ONE batched encoder call.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.conditioning.prompt_parser import parse_prompt_attention
+from sdtpu.models.clip import CLIPTextConfig, clip_text_forward
+from sdtpu.ops import timestep_embedding
+
+CHUNK_LEN = 77
+RAW_CHUNK = 75
+
+
+def tokenize_with_weights(
+    tokenizer, text: str, pad_token_id: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (tokens [n_chunks*77], weights [n_chunks*77]) int32/float32."""
+    raw_tokens: List[int] = []
+    raw_weights: List[float] = []
+    for span, weight in parse_prompt_attention(text):
+        if span == "BREAK" and weight == -1.0:
+            pad = (RAW_CHUNK - (len(raw_tokens) % RAW_CHUNK)) % RAW_CHUNK
+            raw_tokens.extend([tokenizer.eos_token_id] * pad)
+            raw_weights.extend([1.0] * pad)
+            continue
+        ids = tokenizer.encode(span)
+        raw_tokens.extend(ids)
+        raw_weights.extend([weight] * len(ids))
+
+    tokens: List[int] = []
+    weights: List[float] = []
+    offset = 0
+    while True:
+        take = min(RAW_CHUNK, len(raw_tokens) - offset)
+        chunk = [tokenizer.bos_token_id] + raw_tokens[offset : offset + take] + [tokenizer.eos_token_id]
+        cw = [1.0] + raw_weights[offset : offset + take] + [1.0]
+        pad = CHUNK_LEN - len(chunk)
+        chunk += [pad_token_id] * pad
+        cw += [1.0] * pad
+        tokens.extend(chunk)
+        weights.extend(cw)
+        offset += take
+        if offset >= len(raw_tokens):
+            break
+    return np.asarray(tokens, dtype=np.int32), np.asarray(weights, dtype=np.float32)
+
+
+def apply_token_weights(hidden: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Mean-preserving per-chunk scaling. hidden [n_chunks, 77, C],
+    weights [n_chunks, 77]."""
+    original_mean = jnp.mean(hidden, axis=(1, 2), keepdims=True)
+    weighted = hidden * weights[:, :, None].astype(hidden.dtype)
+    new_mean = jnp.mean(weighted, axis=(1, 2), keepdims=True)
+    scale = jnp.where(new_mean != 0.0, original_mean / new_mean, 1.0)
+    return weighted * scale
+
+
+@dataclasses.dataclass
+class SDCondition:
+    c_crossattn: Optional[jnp.ndarray] = None  # [B, L, C]
+    c_vector: Optional[jnp.ndarray] = None  # [B, adm]
+    c_concat: Optional[jnp.ndarray] = None  # [B, H, W, C] (inpaint)
+
+
+class SD1Conditioner:
+    """SD1.x/2.x single-CLIP conditioner."""
+
+    def __init__(self, tokenizer, clip_params, clip_cfg: CLIPTextConfig, is_sd2: bool = False):
+        self.tokenizer = tokenizer
+        self.params = clip_params
+        self.cfg = clip_cfg
+        self.is_sd2 = is_sd2
+        self.pad_token_id = 0 if is_sd2 else tokenizer.eos_token_id
+        self._jit_forward = jax.jit(
+            lambda p, ids, w, skip: apply_token_weights(
+                clip_text_forward(p, ids, self.cfg, clip_skip=skip)[0], w
+            ),
+            static_argnums=3,
+        )
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if clip_skip <= 0:
+            clip_skip = 2 if self.is_sd2 else 1
+        tokens, weights = tokenize_with_weights(self.tokenizer, text, self.pad_token_id)
+        n_chunks = len(tokens) // CHUNK_LEN
+        ids = jnp.asarray(tokens.reshape(n_chunks, CHUNK_LEN))
+        w = jnp.asarray(weights.reshape(n_chunks, CHUNK_LEN))
+        hidden = self._jit_forward(self.params, ids, w, clip_skip)
+        c = hidden.reshape(1, n_chunks * CHUNK_LEN, hidden.shape[-1])
+        return SDCondition(c_crossattn=c)
+
+
+def sdxl_size_vector(pooled: jnp.ndarray, width: int, height: int,
+                     crop_w: int = 0, crop_h: int = 0,
+                     target_width: Optional[int] = None,
+                     target_height: Optional[int] = None) -> jnp.ndarray:
+    """adm_in vector = pooled(1280) ++ emb256(h,w) ++ emb256(crop) ++ emb256(target)."""
+    target_width = target_width or width
+    target_height = target_height or height
+    vals = jnp.asarray(
+        [height, width, crop_h, crop_w, target_height, target_width], dtype=jnp.float32
+    )
+    embs = timestep_embedding(vals, 256).reshape(1, 6 * 256)
+    return jnp.concatenate([pooled.reshape(1, -1), embs], axis=-1)
+
+
+class SDXLConditioner:
+    """SDXL dual-CLIP (L + G) conditioner with pooled size/crop vector."""
+
+    def __init__(self, tokenizer, clip_l_params, clip_l_cfg, clip_g_params, clip_g_cfg):
+        self.tokenizer = tokenizer
+        self.pl, self.cl = clip_l_params, clip_l_cfg
+        self.pg, self.cg = clip_g_params, clip_g_cfg
+
+        def fwd(pl, pg, ids_l, ids_g, w, skip):
+            h_l, _ = clip_text_forward(pl, ids_l, self.cl, clip_skip=skip)
+            h_g, pooled = clip_text_forward(
+                pg, ids_g, self.cg, clip_skip=skip, return_pooled=True
+            )
+            hidden = jnp.concatenate([h_l, h_g], axis=-1)
+            return apply_token_weights(hidden, w), pooled
+
+        self._jit_forward = jax.jit(fwd, static_argnums=5)
+
+    def get_learned_condition(
+        self, text: str, clip_skip: int = -1, width: int = 1024, height: int = 1024, **kw
+    ) -> SDCondition:
+        if clip_skip <= 0:
+            clip_skip = 2
+        tokens, weights = tokenize_with_weights(self.tokenizer, text, 0)
+        n_chunks = len(tokens) // CHUNK_LEN
+        chunks = tokens.reshape(n_chunks, CHUNK_LEN)
+        # CLIP-G input zeroes everything after the first EOS per chunk
+        chunks_g = chunks.copy()
+        for row in chunks_g:
+            eos_pos = np.argmax(row == self.tokenizer.eos_token_id)
+            if row[eos_pos] == self.tokenizer.eos_token_id and eos_pos + 1 < CHUNK_LEN:
+                row[eos_pos + 1 :] = 0
+        ids_l = jnp.asarray(chunks)
+        ids_g = jnp.asarray(chunks_g)
+        w = jnp.asarray(weights.reshape(n_chunks, CHUNK_LEN))
+        hidden, pooled = self._jit_forward(self.pl, self.pg, ids_l, ids_g, w, clip_skip)
+        c = hidden.reshape(1, n_chunks * CHUNK_LEN, hidden.shape[-1])
+        vec = sdxl_size_vector(pooled[:1], width, height, **{
+            k: v for k, v in kw.items()
+            if k in ("crop_w", "crop_h", "target_width", "target_height")
+        })
+        return SDCondition(c_crossattn=c, c_vector=vec)

@@ -106,6 +106,27 @@ class CompVisDenoiser(Denoiser):
     def noise_level_to_sigma(self, noise_level: float) -> float:
         return noise_level / (1.0 - noise_level)
 
+    # --- on-device variants (traced sigmas inside the sampling scan) ---
+
+    def sigma_to_t_jnp(self, sigma):
+        import jax.numpy as jnp
+
+        log_sigmas = jnp.asarray(self.log_sigmas)
+        log_sigma = jnp.log(sigma)
+        low_idx = jnp.clip(
+            jnp.sum((log_sigma - log_sigmas >= 0).astype(jnp.int32)) - 1, 0, TIMESTEPS - 2
+        )
+        high_idx = low_idx + 1
+        low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+        w = jnp.clip((low - log_sigma) / (low - high), 0.0, 1.0)
+        return (1.0 - w) * low_idx + w * high_idx
+
+    def get_scalings_jnp(self, sigma):
+        import jax.numpy as jnp
+
+        c_in = 1.0 / jnp.sqrt(sigma**2 + self.sigma_data**2)
+        return jnp.float32(1.0), -sigma, c_in
+
 
 class CompVisVDenoiser(CompVisDenoiser):
     """v-prediction (SD2.x-v, some SDXL refiners)."""
@@ -118,6 +139,15 @@ class CompVisVDenoiser(CompVisDenoiser):
         c_skip = sd2 / (sigma**2 + sd2)
         c_out = -sigma * self.sigma_data / np.sqrt(sigma**2 + sd2)
         c_in = 1.0 / np.sqrt(sigma**2 + sd2)
+        return c_skip, c_out, c_in
+
+    def get_scalings_jnp(self, sigma):
+        import jax.numpy as jnp
+
+        sd2 = self.sigma_data**2
+        c_skip = sd2 / (sigma**2 + sd2)
+        c_out = -sigma * self.sigma_data / jnp.sqrt(sigma**2 + sd2)
+        c_in = 1.0 / jnp.sqrt(sigma**2 + sd2)
         return c_skip, c_out, c_in
 
 
@@ -183,6 +213,14 @@ class DiscreteFlowDenoiser(Denoiser):
         sigma = np.asarray(sigma, dtype=np.float32)
         return np.ones_like(sigma), -sigma, np.ones_like(sigma)
 
+    def get_scalings_jnp(self, sigma):
+        import jax.numpy as jnp
+
+        return jnp.float32(1.0), -sigma, jnp.float32(1.0)
+
+    def sigma_to_t_jnp(self, sigma):
+        return sigma * 1000.0
+
     def noise_scaling(self, sigma, noise, latent):
         return latent * (1.0 - sigma) + noise * sigma
 
@@ -201,6 +239,9 @@ class FluxFlowDenoiser(DiscreteFlowDenoiser):
 
     def sigma_to_t(self, sigma):
         return np.asarray(sigma)
+
+    def sigma_to_t_jnp(self, sigma):
+        return sigma
 
     def t_to_sigma(self, t):
         t = np.asarray(t, dtype=np.float32) + 1.0

@@ -1,0 +1,126 @@
+"""Pipeline assembly (reference: StableDiffusionGGML::init per-version
+construction, src/stable-diffusion.cpp:987-1400).
+
+Builds DiffusionPipeline instances for a given SDVersion from a params source
+(loaded checkpoints — sdtpu.io — or random init for tests/benchmarks).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax.numpy as jnp
+
+from sdtpu.config import SDVersion, sd_version_is_sd2, sd_version_is_sdxl
+from sdtpu.conditioning.conditioner import SD1Conditioner, SDXLConditioner
+from sdtpu.diffusion.denoiser import CompVisDenoiser, CompVisVDenoiser
+from sdtpu.models import clip as clip_mod
+from sdtpu.models import unet as unet_mod
+from sdtpu.models import vae as vae_mod
+from sdtpu.pipeline import DiffusionPipeline
+from sdtpu.tokenizers import CLIPTokenizer
+
+
+def unet_config_for(version: SDVersion, small: bool = False):
+    if small:
+        import dataclasses
+
+        base = unet_mod.UNetConfig(
+            model_channels=32,
+            num_res_blocks=1,
+            channel_mult=(1, 2),
+            attention_resolutions=(1, 2),
+            transformer_depth=(1, 1),
+            context_dim=64,
+            num_heads=2,
+        )
+        if sd_version_is_sdxl(version):
+            # small clip-g projection dim (48) + 6×256 size/crop embeddings
+            base = dataclasses.replace(base, context_dim=96, adm_in_channels=48 + 1536)
+        return base
+    if sd_version_is_sdxl(version):
+        return unet_mod.SDXL_UNET_CONFIG
+    if sd_version_is_sd2(version):
+        return unet_mod.SD2_UNET_CONFIG
+    return unet_mod.SD1_UNET_CONFIG
+
+
+def create_pipeline(
+    version: SDVersion = SDVersion.SD1,
+    params: Optional[dict] = None,
+    rng_type: str = "cuda",
+    dtype=jnp.float32,
+    small: bool = False,
+    seed: int = 0,
+    v_prediction: bool = False,
+) -> DiffusionPipeline:
+    """params: dict with keys 'diffusion', 'clip_l' (+'clip_g'), 'vae'; any
+    missing module is random-initialized (tests/benchmarks)."""
+    params = params or {}
+    ucfg = unet_config_for(version, small)
+
+    if small:
+        import dataclasses
+
+        clip_cfg = dataclasses.replace(
+            clip_mod.CLIP_L_CONFIG,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+        )
+        if sd_version_is_sdxl(version):
+            clip_cfg = dataclasses.replace(clip_cfg, hidden_size=48, intermediate_size=96)
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2), num_res_blocks=1)
+    else:
+        clip_cfg = clip_mod.CLIP_H_CONFIG if sd_version_is_sd2(version) else clip_mod.CLIP_L_CONFIG
+        vae_cfg = vae_mod.SDXL_VAE_CONFIG if sd_version_is_sdxl(version) else vae_mod.SD_VAE_CONFIG
+
+    unet_params = params.get("diffusion") or unet_mod.init_unet_params(ucfg, seed=seed, dtype=dtype)
+    clip_params = params.get("clip_l") or clip_mod.init_clip_params(clip_cfg, seed, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(vae_cfg, seed=seed, dtype=dtype)
+
+    tokenizer = CLIPTokenizer()
+    if sd_version_is_sdxl(version):
+        if small:
+            import dataclasses
+
+            g_cfg = dataclasses.replace(
+                clip_mod.CLIP_G_CONFIG,
+                hidden_size=48,
+                intermediate_size=96,
+                num_layers=2,
+                num_heads=4,
+                projection_dim=48,
+            )
+        else:
+            g_cfg = clip_mod.CLIP_G_CONFIG
+        clip_g_params = params.get("clip_g") or clip_mod.init_clip_params(g_cfg, seed + 1, dtype=dtype)
+        conditioner = SDXLConditioner(tokenizer, clip_params, clip_cfg, clip_g_params, g_cfg)
+    else:
+        conditioner = SD1Conditioner(
+            tokenizer, clip_params, clip_cfg, is_sd2=sd_version_is_sd2(version)
+        )
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return unet_mod.unet_forward(p, x, t, ctx, y=y, cfg=ucfg)
+
+    def vae_decode_fn(p, z):
+        return vae_mod.vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    denoiser = CompVisVDenoiser() if v_prediction else CompVisDenoiser()
+    return DiffusionPipeline(
+        version=version,
+        diffusion_params=unet_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=denoiser,
+        rng_type=rng_type,
+        compute_dtype=dtype,
+    )

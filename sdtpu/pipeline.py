@@ -1,0 +1,276 @@
+"""Generation pipeline — the orchestrator (reference: StableDiffusionGGML,
+src/stable-diffusion.cpp:202, sample :2415, generate_image :5401).
+
+TPU-first architecture: the reference runs sampler/guidance math on the host
+between device forwards; here the ENTIRE denoise loop (model forwards, CFG,
+sampler update) is one jit-compiled on-device scan.  Host code only prepares
+tokens, per-step coefficient arrays and Philox noise (for webui seed parity),
+and decodes the final latents.
+
+Jitted programs are cached per (shape, method, steps, flags) bucket to bound
+recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.config import GenerationParams, SDVersion, sd_version_is_sd2, sd_version_is_sdxl
+from sdtpu.conditioning.conditioner import SDCondition
+from sdtpu.diffusion.denoiser import (
+    CompVisDenoiser,
+    CompVisVDenoiser,
+    Denoiser,
+    DiscreteFlowDenoiser,
+    FluxFlowDenoiser,
+)
+from sdtpu.diffusion.guidance import cfg_combine
+from sdtpu.diffusion.samplers import NOISY_METHODS, sample
+from sdtpu.diffusion.schedule import get_sigmas
+from sdtpu.rng import create_rng
+from sdtpu.utils import log_debug, log_info
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    images: np.ndarray  # [B, H, W, 3] uint8
+    latents: np.ndarray  # [B, h, w, zc] float32 (pre-decode, for tests/parity)
+    seeds: list
+
+
+def _method_needs_noise(method: str, eta: float) -> bool:
+    if method in ("lcm",):
+        return True
+    if method in ("dpm++2m_sde", "dpm++2m_sde_bt", "tcd", "euler_a", "ddim_trailing",
+                  "dpm++2s_a", "euler_a_cfg_pp", "euler_ge", "res_multistep", "res_2s",
+                  "er_sde"):
+        return eta > 0.0
+    return False
+
+
+class DiffusionPipeline:
+    """Composable pipeline: conditioner + diffusion backbone + VAE.
+
+    diffusion_fn(params, x, t, context, y) → model output (same layout as x).
+    """
+
+    def __init__(
+        self,
+        version: SDVersion,
+        diffusion_params,
+        diffusion_fn,
+        conditioner,
+        vae_params,
+        vae_decode_fn,
+        vae_encode_fn=None,
+        denoiser: Optional[Denoiser] = None,
+        rng_type: str = "cuda",
+        latent_channels: int = 4,
+        scale_factor: int = 8,
+        compute_dtype=jnp.float32,
+    ):
+        self.version = version
+        self.diffusion_params = diffusion_params
+        self.diffusion_fn = diffusion_fn
+        self.conditioner = conditioner
+        self.vae_params = vae_params
+        self.vae_decode_fn = vae_decode_fn
+        self.vae_encode_fn = vae_encode_fn
+        self.denoiser = denoiser or CompVisDenoiser()
+        self.rng_type = rng_type
+        self.latent_channels = latent_channels
+        self.scale_factor = scale_factor
+        self.compute_dtype = compute_dtype
+        self._program_cache: Dict[tuple, object] = {}
+        self._decode_cache: Dict[tuple, object] = {}
+
+    # ------------------------------------------------------------- programs
+
+    def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float):
+        key = (method, steps, has_uncond, eta)
+        prog = self._program_cache.get(key)
+        if prog is not None:
+            return prog
+
+        denoiser = self.denoiser
+        diffusion_fn = self.diffusion_fn
+
+        def program(params, x, sigmas, noises, ctx_cond, ctx_uncond, y_cond, y_uncond, cfg_scale):
+            b = x.shape[0]
+
+            def model_fn(xt, sigma, i):
+                c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
+                t = denoiser.sigma_to_t_jnp(sigma)
+                x_in = (xt * c_in).astype(self.compute_dtype)
+                if has_uncond:
+                    x_both = jnp.concatenate([x_in, x_in], axis=0)
+                    ctx = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
+                    y = (
+                        jnp.concatenate([y_cond, y_uncond], axis=0)
+                        if y_cond is not None
+                        else None
+                    )
+                    tt = jnp.full((2 * b,), t, dtype=jnp.float32)
+                    out = diffusion_fn(params, x_both, tt, ctx, y).astype(jnp.float32)
+                    den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
+                    den_cond, den_uncond = den_both[:b], den_both[b:]
+                    pred = cfg_combine(den_cond, den_uncond, None, cfg_scale)
+                    return pred, den_uncond
+                tt = jnp.full((b,), t, dtype=jnp.float32)
+                out = diffusion_fn(params, x_in, tt, ctx_cond, y_cond).astype(jnp.float32)
+                den = c_skip * xt + c_out * out
+                return den, den
+
+            return sample(
+                model_fn,
+                x,
+                sigmas,
+                method=method,
+                noises=noises,
+                eta=eta,
+                is_flow=denoiser.is_flow,
+            )
+
+        # sigmas is a per-call numpy array (static coefficients inside sample);
+        # mark it static by closing over at call time instead → wrap per call.
+        self._program_cache[key] = program
+        return program
+
+    def _jit_sampler(self, method, steps, has_uncond, eta, sigmas):
+        """jit with sigmas baked (host-precomputed coefficients)."""
+        key = ("run", method, steps, has_uncond, eta, sigmas.tobytes())
+        cached = self._program_cache.get(key)
+        if cached is not None:
+            return cached
+        program = self._sample_program(method, steps, has_uncond, eta)
+
+        @jax.jit
+        def run(params, x, noises, ctx_cond, ctx_uncond, y_cond, y_uncond, cfg_scale):
+            return program(
+                params, x, sigmas, noises, ctx_cond, ctx_uncond, y_cond, y_uncond, cfg_scale
+            )
+
+        self._program_cache[key] = run
+        return run
+
+    def _decode_program(self):
+        if "decode" not in self._decode_cache:
+            self._decode_cache["decode"] = jax.jit(
+                lambda p, z: self.vae_decode_fn(p, z)
+            )
+        return self._decode_cache["decode"]
+
+    # ------------------------------------------------------------------ API
+
+    def txt2img(self, gp: GenerationParams) -> GenerationResult:
+        t0 = time.time()
+        w, h = gp.width, gp.height
+        lh, lw = h // self.scale_factor, w // self.scale_factor
+        bc = gp.batch_count
+
+        cond = self.conditioner.get_learned_condition(
+            gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
+        )
+        has_uncond = gp.cfg_scale != 1.0
+        uncond = (
+            self.conditioner.get_learned_condition(
+                gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h
+            )
+            if has_uncond
+            else None
+        )
+        ctx_c, ctx_u = _match_context(cond, uncond, bc)
+        y_c = _tile(cond.c_vector, bc) if cond.c_vector is not None else None
+        y_u = (
+            _tile(uncond.c_vector, bc)
+            if (uncond is not None and uncond.c_vector is not None)
+            else (jnp.zeros_like(y_c) if (y_c is not None and has_uncond) else None)
+        )
+
+        sigmas = get_sigmas(
+            self.denoiser,
+            gp.sample_steps,
+            scheduler=gp.schedule,
+            version=self.version.value,
+            image_seq_len=(lh // 2) * (lw // 2),
+        )
+        steps = len(sigmas) - 1
+
+        # per-batch Philox streams: latent noise then per-step sampler noise
+        seeds = [gp.seed + i for i in range(bc)]
+        shape = (lh, lw, self.latent_channels)
+        init_noise = np.empty((bc,) + shape, dtype=np.float32)
+        need_noise = _method_needs_noise(gp.sample_method, gp.eta)
+        step_noise = (
+            np.empty((steps, bc) + shape, dtype=np.float32) if need_noise else None
+        )
+        for bi, s in enumerate(seeds):
+            rng = create_rng(self.rng_type, s)
+            init_noise[bi] = rng.randn_shape(shape)
+            if need_noise:
+                for si in range(steps):
+                    step_noise[si, bi] = rng.randn_shape(shape)
+
+        x0 = np.zeros((bc,) + shape, dtype=np.float32)
+        x = np.asarray(
+            self.denoiser.noise_scaling(np.float32(sigmas[0]), init_noise, x0)
+        )
+
+        run = self._jit_sampler(gp.sample_method, steps, has_uncond, gp.eta, sigmas)
+        latents = run(
+            self.diffusion_params,
+            jnp.asarray(x),
+            jnp.asarray(step_noise) if step_noise is not None else None,
+            ctx_c,
+            ctx_u,
+            y_c,
+            y_u,
+            jnp.float32(gp.cfg_scale),
+        )
+        # reference applies inverse_noise_scaling at the final sigma (=0 → identity)
+        latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
+        latents = np.asarray(latents, dtype=np.float32)
+        t1 = time.time()
+        log_info(f"sampling completed in {t1 - t0:.2f}s ({steps} steps, batch {bc})")
+
+        decode = self._decode_program()
+        imgs = np.asarray(decode(self.vae_params, jnp.asarray(latents)))
+        images = np.clip((imgs + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+        log_info(f"decode completed in {time.time() - t1:.2f}s")
+        return GenerationResult(images=images, latents=latents, seeds=seeds)
+
+
+def _tile(x: Optional[jnp.ndarray], bc: int) -> Optional[jnp.ndarray]:
+    if x is None:
+        return None
+    return jnp.tile(x, (bc,) + (1,) * (x.ndim - 1))
+
+
+def _match_context(cond: SDCondition, uncond: Optional[SDCondition], bc: int):
+    """Pad cond/uncond to the same token length (chunk counts may differ),
+    mirroring the reference's max-chunk alignment, then tile to batch."""
+    c = cond.c_crossattn
+    if uncond is None:
+        return _tile(c, bc), None
+    u = uncond.c_crossattn
+    lc, lu = c.shape[1], u.shape[1]
+    if lc != lu:
+        target = max(lc, lu)
+        c = _pad_tokens_by_repeat(c, target)
+        u = _pad_tokens_by_repeat(u, target)
+    return _tile(c, bc), _tile(u, bc)
+
+
+def _pad_tokens_by_repeat(x: jnp.ndarray, target: int) -> jnp.ndarray:
+    """Repeat the last 77-token chunk until reaching target length."""
+    if x.shape[1] == target:
+        return x
+    last = x[:, -77:, :]
+    reps = (target - x.shape[1]) // 77
+    return jnp.concatenate([x] + [last] * reps, axis=1)

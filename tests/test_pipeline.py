@@ -1,0 +1,86 @@
+"""End-to-end txt2img slice on tiny random-weight models."""
+import numpy as np
+import pytest
+
+from sdtpu.config import GenerationParams, SDVersion
+from sdtpu.factory import create_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return create_pipeline(SDVersion.SD1, small=True)
+
+
+def _gp(**kw):
+    base = dict(
+        prompt="a photo of a cat",
+        negative_prompt="blurry",
+        width=64,
+        height=64,
+        sample_steps=4,
+        cfg_scale=7.0,
+        seed=42,
+        sample_method="euler_a",
+        schedule="discrete",
+    )
+    base.update(kw)
+    return GenerationParams(**base)
+
+
+def test_txt2img_shapes(pipe):
+    res = pipe.txt2img(_gp())
+    assert res.images.shape == (1, 64, 64, 3)
+    assert res.images.dtype == np.uint8
+    assert res.latents.shape == (1, 8, 8, 4)
+    assert np.isfinite(res.latents).all()
+
+
+def test_txt2img_deterministic(pipe):
+    a = pipe.txt2img(_gp())
+    b = pipe.txt2img(_gp())
+    np.testing.assert_array_equal(a.images, b.images)
+
+
+def test_txt2img_seed_changes_output(pipe):
+    a = pipe.txt2img(_gp(seed=1))
+    b = pipe.txt2img(_gp(seed=2))
+    assert not np.array_equal(a.latents, b.latents)
+
+
+def test_txt2img_batch(pipe):
+    res = pipe.txt2img(_gp(batch_count=2))
+    assert res.images.shape == (2, 64, 64, 3)
+    assert res.seeds == [42, 43]
+    # batch item 0 must be identical to a single run with the same seed
+    single = pipe.txt2img(_gp())
+    np.testing.assert_allclose(res.latents[0], single.latents[0], rtol=1e-5, atol=1e-5)
+
+
+def test_txt2img_cfg1_skips_uncond(pipe):
+    res = pipe.txt2img(_gp(cfg_scale=1.0))
+    assert res.images.shape == (1, 64, 64, 3)
+
+
+@pytest.mark.parametrize("method", ["euler", "dpm++2m", "lcm", "dpm++2m_sde"])
+def test_txt2img_other_samplers(pipe, method):
+    res = pipe.txt2img(_gp(sample_method=method, eta=1.0))
+    assert np.isfinite(res.latents).all()
+
+
+@pytest.mark.parametrize("schedule", ["karras", "ays", "sgm_uniform"])
+def test_txt2img_other_schedules(pipe, schedule):
+    res = pipe.txt2img(_gp(schedule=schedule))
+    assert np.isfinite(res.latents).all()
+
+
+def test_txt2img_sdxl_small():
+    pipe = create_pipeline(SDVersion.SDXL, small=True)
+    res = pipe.txt2img(_gp(width=64, height=64))
+    assert res.images.shape == (1, 64, 64, 3)
+    assert np.isfinite(res.latents).all()
+
+
+def test_long_prompt_chunking(pipe):
+    long_prompt = ", ".join(["a highly detailed painting of a castle"] * 12)
+    res = pipe.txt2img(_gp(prompt=long_prompt))
+    assert np.isfinite(res.latents).all()
