@@ -42,13 +42,21 @@ def _xla_attention(
     )
 
 
+def compute_platform() -> str:
+    """Platform computations actually run on (respects jax_default_device)."""
+    try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return dd.platform
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
+
+
 def use_flash() -> bool:
     if os.environ.get("SDTPU_DISABLE_FLASH"):
         return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return compute_platform() == "tpu"
 
 
 def attention(

@@ -27,6 +27,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _interpret_mode() -> bool:
+    from .attention import compute_platform
+
+    return bool(os.environ.get("SDTPU_INTERPRET_PALLAS")) and compute_platform() != "tpu"
+
+
 def flash_supported(q, k, v, mask) -> bool:
     """Kernel constraints: 4-D [B,H,L,D]; mask must broadcast as [Lq,Lk]."""
     if q.ndim != 4:
@@ -143,8 +149,7 @@ def flash_attention(
             (1, block_q, d_p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d_p), q.dtype),
-        interpret=bool(os.environ.get("SDTPU_INTERPRET_PALLAS"))
-        and jax.devices()[0].platform != "tpu",
+        interpret=_interpret_mode(),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq_p * lk_p * d_p,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
