@@ -1,0 +1,98 @@
+"""SDVersion detection from tensor-name/shape fingerprints.
+
+Reference analog: ModelLoader::get_sd_version (src/model_loader.cpp:450-660)
+— e.g. SDXL via the second text encoder, inpaint via input-conv channels,
+DiT families via their block names.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from sdtpu.config import SDVersion
+
+
+def detect_version(
+    names, shapes: Optional[Dict[str, Tuple[int, ...]]] = None
+) -> SDVersion:
+    names = set(names)
+    shapes = shapes or {}
+
+    def has_prefix(p):
+        return any(n.startswith(p) for n in names)
+
+    # DiT families first (unique block names)
+    if has_prefix("model.diffusion_model.joint_blocks") or has_prefix("joint_blocks"):
+        return SDVersion.SD3
+    if has_prefix("model.diffusion_model.double_blocks") or has_prefix("double_blocks"):
+        # flux family; chroma/flux2 refined by sub-keys in later rounds
+        if any("distilled_guidance_layer" in n for n in names):
+            return SDVersion.CHROMA
+        return SDVersion.FLUX
+    if any(".vace_blocks." in n for n in names):
+        return SDVersion.WAN2
+    if has_prefix("model.diffusion_model.blocks.0.cross_attn") or any(
+        "patch_embedding.weight" in n for n in names
+    ):
+        patch = next((n for n in names if "patch_embedding.weight" in n), None)
+        if patch is not None:
+            sh = shapes.get(patch)
+            if sh is not None and len(sh) == 5:
+                in_ch = sh[1]
+                if in_ch == 48:
+                    return SDVersion.WAN2_2_TI2V
+                if in_ch == 36:
+                    return SDVersion.WAN2_2_I2V
+                return SDVersion.WAN2
+            return SDVersion.WAN2
+    if any("txt_in.individual_token_refiner" in n for n in names):
+        return SDVersion.HUNYUAN_VIDEO
+
+    # UNet families
+    unet_key = None
+    for cand in ("model.diffusion_model.input_blocks.0.0.weight", "input_blocks.0.0.weight"):
+        if cand in names:
+            unet_key = cand
+            break
+    if unet_key is None:
+        return SDVersion.UNKNOWN
+
+    in_channels = shapes.get(unet_key, (0, 4, 3, 3))[1]
+    is_sdxl = (
+        has_prefix("conditioner.embedders.1")
+        or "model.diffusion_model.label_emb.0.0.weight" in names
+        or any(n.startswith("add_embedding") for n in names)
+    )
+    if is_sdxl:
+        if in_channels == 9:
+            return SDVersion.SDXL_INPAINT
+        if in_channels == 8:
+            return SDVersion.SDXL_PIX2PIX
+        # SSD-1B prunes the middle block's transformer depth
+        if "model.diffusion_model.middle_block.1.transformer_blocks.9.attn1.to_q.weight" not in names and \
+           "model.diffusion_model.middle_block.1.transformer_blocks.0.attn1.to_q.weight" not in names:
+            return SDVersion.SDXL_SSD1B
+        return SDVersion.SDXL
+
+    # SD2 vs SD1: cross-attention context dim (1024 vs 768) or open_clip tower
+    ctx_key = None
+    for cand in (
+        "model.diffusion_model.input_blocks.4.1.transformer_blocks.0.attn2.to_k.weight",
+        "model.diffusion_model.input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight",
+    ):
+        if cand in names:
+            ctx_key = cand
+            break
+    ctx_dim = shapes.get(ctx_key, (0, 768))[1] if ctx_key else None
+    is_sd2 = ctx_dim == 1024 or has_prefix("cond_stage_model.model.")
+    if is_sd2:
+        return SDVersion.SD2_INPAINT if in_channels == 9 else SDVersion.SD2
+    if in_channels == 9:
+        return SDVersion.SD1_INPAINT
+    if in_channels == 8:
+        return SDVersion.SD1_PIX2PIX
+    # tiny unet (SDXS etc.): no middle_block attention
+    if not any(n.startswith("model.diffusion_model.middle_block.1.") for n in names) and any(
+        n.startswith("model.diffusion_model.middle_block") for n in names
+    ):
+        return SDVersion.SD1_TINY_UNET
+    return SDVersion.SD1

@@ -1,0 +1,384 @@
+"""GGUF checkpoint reading + ggml quant block decoding in vectorized numpy.
+
+Reference: src/model_io/gguf_io.cpp + ggml's block formats.  Dequantization
+follows ggml's dequant_row_* semantics exactly (block layouts, nibble order,
+6-bit k-quant scale packing) so f32 results are bit-comparable.
+
+Load-time dequant targets the host; the on-device dequant-matmul Pallas path
+(keeping weights quantized in HBM) lives in sdtpu/ops/quant.py.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+GGUF_MAGIC = b"GGUF"
+
+# ggml type ids
+GGML_F32, GGML_F16 = 0, 1
+GGML_Q4_0, GGML_Q4_1 = 2, 3
+GGML_Q5_0, GGML_Q5_1 = 6, 7
+GGML_Q8_0, GGML_Q8_1 = 8, 9
+GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K, GGML_Q8_K = 10, 11, 12, 13, 14, 15
+GGML_I8, GGML_I16, GGML_I32, GGML_I64, GGML_F64 = 24, 25, 26, 27, 28
+GGML_BF16 = 30
+
+TYPE_NAMES = {
+    GGML_F32: "f32", GGML_F16: "f16", GGML_BF16: "bf16",
+    GGML_Q4_0: "q4_0", GGML_Q4_1: "q4_1", GGML_Q5_0: "q5_0", GGML_Q5_1: "q5_1",
+    GGML_Q8_0: "q8_0", GGML_Q2_K: "q2_k", GGML_Q3_K: "q3_k", GGML_Q4_K: "q4_k",
+    GGML_Q5_K: "q5_k", GGML_Q6_K: "q6_k",
+}
+
+# (block_elems, block_bytes)
+BLOCK_INFO = {
+    GGML_F32: (1, 4), GGML_F16: (1, 2), GGML_BF16: (1, 2), GGML_F64: (1, 8),
+    GGML_I8: (1, 1), GGML_I16: (1, 2), GGML_I32: (1, 4), GGML_I64: (1, 8),
+    GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20),
+    GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24),
+    GGML_Q8_0: (32, 34),
+    GGML_Q2_K: (256, 2 + 2 + 16 + 64),            # 84
+    GGML_Q3_K: (256, 32 + 64 + 12 + 2),           # 110
+    GGML_Q4_K: (256, 2 + 2 + 12 + 128),           # 144
+    GGML_Q5_K: (256, 2 + 2 + 12 + 32 + 128),      # 176
+    GGML_Q6_K: (256, 128 + 64 + 16 + 2),          # 210
+}
+
+
+def _f16(raw: np.ndarray) -> np.ndarray:
+    return raw.view(np.float16).astype(np.float32)
+
+
+def dequant_q4_0(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 18)
+    d = _f16(b[:, :2].copy().view(np.uint8)).reshape(n_blocks, 1)
+    qs = b[:, 2:]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def dequant_q4_1(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 20)
+    d = _f16(b[:, :2]).reshape(n_blocks, 1)
+    m = _f16(b[:, 2:4]).reshape(n_blocks, 1)
+    qs = b[:, 4:]
+    q = np.concatenate([(qs & 0x0F), (qs >> 4)], axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)
+
+
+def dequant_q5_0(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 22)
+    d = _f16(b[:, :2]).reshape(n_blocks, 1)
+    qh = b[:, 2:6].copy().view(np.uint32).reshape(n_blocks, 1)
+    qs = b[:, 6:]
+    i = np.arange(16, dtype=np.uint32)
+    lo_h = ((qh >> i) & 1) << 4
+    hi_h = ((qh >> (i + 16)) & 1) << 4
+    lo = ((qs & 0x0F).astype(np.int16) | lo_h.astype(np.int16)) - 16
+    hi = ((qs >> 4).astype(np.int16) | hi_h.astype(np.int16)) - 16
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def dequant_q5_1(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 24)
+    d = _f16(b[:, :2]).reshape(n_blocks, 1)
+    m = _f16(b[:, 2:4]).reshape(n_blocks, 1)
+    qh = b[:, 4:8].copy().view(np.uint32).reshape(n_blocks, 1)
+    qs = b[:, 8:]
+    i = np.arange(16, dtype=np.uint32)
+    lo_h = ((qh >> i) & 1) << 4
+    hi_h = ((qh >> (i + 16)) & 1) << 4
+    lo = (qs & 0x0F).astype(np.uint16) | lo_h.astype(np.uint16)
+    hi = (qs >> 4).astype(np.uint16) | hi_h.astype(np.uint16)
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)
+
+
+def dequant_q8_0(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 34)
+    d = _f16(b[:, :2]).reshape(n_blocks, 1)
+    q = b[:, 2:].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def dequant_q2_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 84)
+    scales = b[:, :16]
+    qs = b[:, 16:80]
+    d = _f16(b[:, 80:82]).reshape(n_blocks, 1)
+    dmin = _f16(b[:, 82:84]).reshape(n_blocks, 1)
+    y = np.empty((n_blocks, 256), dtype=np.float32)
+    is_ = 0
+    for half in range(2):  # n = 0, 128
+        q = qs[:, half * 32 : half * 32 + 32]
+        for j in range(4):
+            shift = 2 * j
+            for sub in range(2):
+                sc = scales[:, is_].reshape(n_blocks, 1)
+                is_ += 1
+                dl = d * (sc & 0xF)
+                ml = dmin * (sc >> 4)
+                ql = (q[:, sub * 16 : sub * 16 + 16] >> shift) & 3
+                y[:, half * 128 + j * 32 + sub * 16 : half * 128 + j * 32 + sub * 16 + 16] = (
+                    dl * ql - ml
+                )
+    return y.reshape(-1)
+
+
+def dequant_q3_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 110)
+    hmask = b[:, :32]
+    qs = b[:, 32:96]
+    raw_scales = b[:, 96:108]
+    d_all = _f16(b[:, 108:110]).reshape(n_blocks, 1)
+    # unpack 16 6-bit scales (ggml kmask scheme)
+    aux = raw_scales.copy().view(np.uint32)  # [n, 3]
+    tmp = aux[:, 2].copy()
+    a0 = (aux[:, 0] & 0x0F0F0F0F) | (((tmp >> 0) & 0x03030303) << 4)
+    a1 = (aux[:, 1] & 0x0F0F0F0F) | (((tmp >> 2) & 0x03030303) << 4)
+    a2 = ((aux[:, 0] >> 4) & 0x0F0F0F0F) | (((tmp >> 4) & 0x03030303) << 4)
+    a3 = ((aux[:, 1] >> 4) & 0x0F0F0F0F) | (((tmp >> 6) & 0x03030303) << 4)
+    scales = (
+        np.stack([a0, a1, a2, a3], axis=1).view(np.uint8).astype(np.int16) - 32
+    )  # [n, 16]
+    y = np.empty((n_blocks, 256), dtype=np.float32)
+    is_ = 0
+    m = np.uint8(1)
+    for half in range(2):
+        q = qs[:, half * 32 : half * 32 + 32]
+        for j in range(4):
+            shift = 2 * j
+            for sub in range(2):
+                sc = scales[:, is_].reshape(n_blocks, 1).astype(np.float32)
+                is_ += 1
+                dl = d_all * sc
+                qseg = (q[:, sub * 16 : sub * 16 + 16] >> shift) & 3
+                hseg = hmask[:, sub * 16 + (0 if half == 0 else 16) :][:, :16]
+                hm = (hseg & m) == 0
+                qv = qseg.astype(np.int16) - np.where(hm, 4, 0)
+                y[:, half * 128 + j * 32 + sub * 16 : half * 128 + j * 32 + sub * 16 + 16] = (
+                    dl * qv
+                )
+            m = np.uint8(m << 1)
+    return y.reshape(-1)
+
+
+def _unpack_k_scales(scales: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """ggml get_scale_min_k4: 12 bytes → 8×(6-bit scale, 6-bit min)."""
+    n = scales.shape[0]
+    sc = np.empty((n, 8), dtype=np.uint8)
+    mn = np.empty((n, 8), dtype=np.uint8)
+    for j in range(4):
+        sc[:, j] = scales[:, j] & 63
+        mn[:, j] = scales[:, j + 4] & 63
+    for j in range(4, 8):
+        sc[:, j] = (scales[:, j + 4] & 0xF) | ((scales[:, j - 4] >> 6) << 4)
+        mn[:, j] = (scales[:, j + 4] >> 4) | ((scales[:, j] >> 6) << 4)
+    return sc, mn
+
+
+def dequant_q4_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 144)
+    d = _f16(b[:, :2]).reshape(n_blocks, 1)
+    dmin = _f16(b[:, 2:4]).reshape(n_blocks, 1)
+    sc, mn = _unpack_k_scales(b[:, 4:16])
+    qs = b[:, 16:]
+    y = np.empty((n_blocks, 256), dtype=np.float32)
+    for j in range(4):  # 64-element chunks
+        q = qs[:, 32 * j : 32 * j + 32]
+        d1 = d * sc[:, 2 * j].reshape(n_blocks, 1)
+        m1 = dmin * mn[:, 2 * j].reshape(n_blocks, 1)
+        d2 = d * sc[:, 2 * j + 1].reshape(n_blocks, 1)
+        m2 = dmin * mn[:, 2 * j + 1].reshape(n_blocks, 1)
+        y[:, 64 * j : 64 * j + 32] = d1 * (q & 0xF) - m1
+        y[:, 64 * j + 32 : 64 * j + 64] = d2 * (q >> 4) - m2
+    return y.reshape(-1)
+
+
+def dequant_q5_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 176)
+    d = _f16(b[:, :2]).reshape(n_blocks, 1)
+    dmin = _f16(b[:, 2:4]).reshape(n_blocks, 1)
+    sc, mn = _unpack_k_scales(b[:, 4:16])
+    qh = b[:, 16:48]
+    qs = b[:, 48:]
+    y = np.empty((n_blocks, 256), dtype=np.float32)
+    for j in range(4):
+        q = qs[:, 32 * j : 32 * j + 32]
+        u1, u2 = np.uint8(1 << (2 * j)), np.uint8(2 << (2 * j))
+        d1 = d * sc[:, 2 * j].reshape(n_blocks, 1)
+        m1 = dmin * mn[:, 2 * j].reshape(n_blocks, 1)
+        d2 = d * sc[:, 2 * j + 1].reshape(n_blocks, 1)
+        m2 = dmin * mn[:, 2 * j + 1].reshape(n_blocks, 1)
+        y[:, 64 * j : 64 * j + 32] = d1 * ((q & 0xF) + np.where(qh & u1, 16, 0)) - m1
+        y[:, 64 * j + 32 : 64 * j + 64] = d2 * ((q >> 4) + np.where(qh & u2, 16, 0)) - m2
+    return y.reshape(-1)
+
+
+def dequant_q6_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
+    b = raw.reshape(n_blocks, 210)
+    ql = b[:, :128]
+    qh = b[:, 128:192]
+    scales = b[:, 192:208].copy().view(np.int8)
+    d = _f16(b[:, 208:210]).reshape(n_blocks, 1)
+    y = np.empty((n_blocks, 256), dtype=np.float32)
+    for half in range(2):
+        qlh = ql[:, half * 64 : half * 64 + 64]
+        qhh = qh[:, half * 32 : half * 32 + 32]
+        l = np.arange(32)
+        is_ = half * 8 + l // 16  # [32]
+        q1 = ((qlh[:, :32] & 0xF) | (((qhh >> 0) & 3) << 4)).astype(np.int16) - 32
+        q2 = ((qlh[:, 32:] & 0xF) | (((qhh >> 2) & 3) << 4)).astype(np.int16) - 32
+        q3 = ((qlh[:, :32] >> 4) | (((qhh >> 4) & 3) << 4)).astype(np.int16) - 32
+        q4 = ((qlh[:, 32:] >> 4) | (((qhh >> 6) & 3) << 4)).astype(np.int16) - 32
+        s = scales[np.arange(n_blocks)[:, None], is_[None, :]].astype(np.float32)
+        s2 = scales[np.arange(n_blocks)[:, None], (is_ + 2)[None, :]].astype(np.float32)
+        s4 = scales[np.arange(n_blocks)[:, None], (is_ + 4)[None, :]].astype(np.float32)
+        s6 = scales[np.arange(n_blocks)[:, None], (is_ + 6)[None, :]].astype(np.float32)
+        y[:, half * 128 : half * 128 + 32] = d * s * q1
+        y[:, half * 128 + 32 : half * 128 + 64] = d * s2 * q2
+        y[:, half * 128 + 64 : half * 128 + 96] = d * s4 * q3
+        y[:, half * 128 + 96 : half * 128 + 128] = d * s6 * q4
+    return y.reshape(-1)
+
+
+DEQUANT_FNS = {
+    GGML_Q4_0: dequant_q4_0,
+    GGML_Q4_1: dequant_q4_1,
+    GGML_Q5_0: dequant_q5_0,
+    GGML_Q5_1: dequant_q5_1,
+    GGML_Q8_0: dequant_q8_0,
+    GGML_Q2_K: dequant_q2_k,
+    GGML_Q3_K: dequant_q3_k,
+    GGML_Q4_K: dequant_q4_k,
+    GGML_Q5_K: dequant_q5_k,
+    GGML_Q6_K: dequant_q6_k,
+}
+
+
+def dequantize(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
+    """raw uint8 buffer of one tensor → float32[n_elems]."""
+    if ggml_type == GGML_F32:
+        return raw.view(np.float32)[:n_elems].copy()
+    if ggml_type == GGML_F16:
+        return raw.view(np.float16)[:n_elems].astype(np.float32)
+    if ggml_type == GGML_BF16:
+        return (raw.view(np.uint16)[:n_elems].astype(np.uint32) << 16).view(np.float32)
+    if ggml_type == GGML_F64:
+        return raw.view(np.float64)[:n_elems].astype(np.float32)
+    if ggml_type in (GGML_I8, GGML_I16, GGML_I32, GGML_I64):
+        dt = {GGML_I8: np.int8, GGML_I16: np.int16, GGML_I32: np.int32, GGML_I64: np.int64}[
+            ggml_type
+        ]
+        return raw.view(dt)[:n_elems].astype(np.float32)
+    fn = DEQUANT_FNS.get(ggml_type)
+    if fn is None:
+        raise ValueError(f"unsupported ggml type {ggml_type}")
+    block_elems, block_bytes = BLOCK_INFO[ggml_type]
+    n_blocks = n_elems // block_elems
+    return fn(raw[: n_blocks * block_bytes], n_blocks)[:n_elems]
+
+
+# ------------------------------------------------------------- GGUF container
+
+_GGUF_VALUE_FMT = {
+    0: "<B", 1: "<b", 2: "<H", 3: "<h", 4: "<I", 5: "<i", 6: "<f", 7: "<?",
+    10: "<Q", 11: "<q", 12: "<d",
+}
+
+
+class _Reader:
+    def __init__(self, data: memoryview):
+        self.data = data
+        self.pos = 0
+
+    def read_fmt(self, fmt: str):
+        size = struct.calcsize(fmt)
+        (val,) = struct.unpack_from(fmt, self.data, self.pos)
+        self.pos += size
+        return val
+
+    def read_string(self) -> str:
+        n = self.read_fmt("<Q")
+        s = bytes(self.data[self.pos : self.pos + n]).decode("utf-8", errors="replace")
+        self.pos += n
+        return s
+
+    def read_value(self, vtype: int):
+        if vtype == 8:
+            return self.read_string()
+        if vtype == 9:
+            elem_type = self.read_fmt("<I")
+            count = self.read_fmt("<Q")
+            return [self.read_value(elem_type) for _ in range(count)]
+        return self.read_fmt(_GGUF_VALUE_FMT[vtype])
+
+
+class GGUFFile:
+    def __init__(self, path: str):
+        import mmap
+
+        self.path = path
+        self._f = open(path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        mv = memoryview(self._mm)
+        if bytes(mv[:4]) != GGUF_MAGIC:
+            raise ValueError(f"{path}: not a GGUF file")
+        r = _Reader(mv)
+        r.pos = 4
+        self.version = r.read_fmt("<I")
+        n_tensors = r.read_fmt("<Q")
+        n_kv = r.read_fmt("<Q")
+        self.metadata: Dict[str, Any] = {}
+        for _ in range(n_kv):
+            key = r.read_string()
+            vtype = r.read_fmt("<I")
+            self.metadata[key] = r.read_value(vtype)
+        self.entries: Dict[str, dict] = {}
+        for _ in range(n_tensors):
+            name = r.read_string()
+            n_dims = r.read_fmt("<I")
+            dims = [r.read_fmt("<Q") for _ in range(n_dims)]
+            ttype = r.read_fmt("<I")
+            offset = r.read_fmt("<Q")
+            self.entries[name] = {"dims": dims, "type": ttype, "offset": offset}
+        align = int(self.metadata.get("general.alignment", 32))
+        self._data_start = (r.pos + align - 1) // align * align
+
+    def names(self):
+        return list(self.entries.keys())
+
+    def tensor(self, name: str) -> np.ndarray:
+        """→ float32 array in numpy/torch dim order (GGUF dims are innermost-
+        first, so the numpy shape is reversed dims)."""
+        e = self.entries[name]
+        n_elems = int(np.prod(e["dims"])) if e["dims"] else 1
+        block_elems, block_bytes = BLOCK_INFO.get(e["type"], (1, 4))
+        nbytes = (n_elems // block_elems) * block_bytes
+        start = self._data_start + e["offset"]
+        raw = np.frombuffer(self._mm, dtype=np.uint8, count=nbytes, offset=start)
+        flat = dequantize(raw, e["type"], n_elems)
+        shape = tuple(reversed(e["dims"]))
+        return flat.reshape(shape)
+
+    def tensor_type(self, name: str) -> str:
+        return TYPE_NAMES.get(self.entries[name]["type"], str(self.entries[name]["type"]))
+
+    def close(self):
+        self._mm.close()
+        self._f.close()
+
+
+def load_gguf(path: str, filter_fn=None) -> Dict[str, np.ndarray]:
+    f = GGUFFile(path)
+    out = {}
+    for name in f.names():
+        if filter_fn is not None and not filter_fn(name):
+            continue
+        out[name] = f.tensor(name)
+    return out

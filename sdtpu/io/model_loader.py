@@ -1,0 +1,180 @@
+"""Checkpoint aggregation → per-module param dicts.
+
+Reference analog: ModelLoader (src/model_loader.h:32) + ModelManager staging:
+parse N weight files, canonicalize names, fingerprint the SDVersion, split
+into module param dicts (diffusion / clip_l / clip_g / vae) keyed by the
+module-local names that sdtpu.models.* consume.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from sdtpu.config import SDVersion
+from sdtpu.io.detect import detect_version
+from sdtpu.io.gguf import GGUFFile
+from sdtpu.io.name_conversion import (
+    canonicalize_name,
+    convert_open_clip_name,
+)
+from sdtpu.io.safetensors import SafetensorsFile
+from sdtpu.utils import log_info, log_warn
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    version: SDVersion
+    diffusion: Dict[str, np.ndarray]
+    clip_l: Dict[str, np.ndarray]
+    clip_g: Dict[str, np.ndarray]
+    t5: Dict[str, np.ndarray]
+    vae: Dict[str, np.ndarray]
+    extra: Dict[str, np.ndarray]
+    tensor_types: Dict[str, str]
+
+
+def read_checkpoint_file(path: str) -> Dict[str, np.ndarray]:
+    """Read any supported format into {name: np.ndarray} (f32/typed)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".safetensors" or path.endswith(".index.json"):
+        from sdtpu.io.safetensors import load_safetensors
+
+        return load_safetensors(path)
+    if ext == ".gguf":
+        from sdtpu.io.gguf import load_gguf
+
+        return load_gguf(path)
+    if ext in (".ckpt", ".pt", ".pth", ".bin"):
+        from sdtpu.io.torch_ckpt import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    raise ValueError(f"unsupported checkpoint format: {path}")
+
+
+def _split_in_proj(params: Dict[str, np.ndarray]):
+    """open_clip fused qkv → separate q/k/v projections."""
+    for name in [n for n in params if "__inproj__" in n]:
+        arr = params.pop(name)
+        c = arr.shape[0] // 3
+        for i, which in enumerate(("q_proj", "k_proj", "v_proj")):
+            params[name.replace("__inproj__", which)] = arr[i * c : (i + 1) * c]
+
+
+def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
+    """Canonicalize + fingerprint + split into module-local param dicts."""
+    canon = {canonicalize_name(k): v for k, v in tensors.items()}
+    shapes = {k: tuple(v.shape) for k, v in canon.items()}
+    version = detect_version(canon.keys(), shapes)
+
+    diffusion: Dict[str, np.ndarray] = {}
+    clip_l: Dict[str, np.ndarray] = {}
+    clip_g: Dict[str, np.ndarray] = {}
+    t5: Dict[str, np.ndarray] = {}
+    vae: Dict[str, np.ndarray] = {}
+    extra: Dict[str, np.ndarray] = {}
+
+    for name, arr in canon.items():
+        if name.startswith("model.diffusion_model."):
+            diffusion[name[len("model.diffusion_model.") :]] = arr
+        elif name.startswith("first_stage_model."):
+            vae[name[len("first_stage_model.") :]] = arr
+        elif name.startswith("cond_stage_model.transformer."):
+            clip_l[name[len("cond_stage_model.transformer.") :]] = arr
+        elif name.startswith("cond_stage_model.model."):
+            cv = convert_open_clip_name(name[len("cond_stage_model.model.") :])
+            if cv is not None:
+                clip_l[cv] = arr
+        elif name.startswith("conditioner.embedders.0.transformer."):
+            clip_l[name[len("conditioner.embedders.0.transformer.") :]] = arr
+        elif name.startswith("conditioner.embedders.1.model."):
+            cv = convert_open_clip_name(name[len("conditioner.embedders.1.model.") :])
+            if cv is not None:
+                clip_g[cv] = arr
+        elif name.startswith("text_encoders.t5xxl.transformer."):
+            t5[name[len("text_encoders.t5xxl.transformer.") :]] = arr
+        elif name.startswith("text_encoders.clip_l.transformer."):
+            clip_l[name[len("text_encoders.clip_l.transformer.") :]] = arr
+        elif name.startswith("text_encoders.clip_g.transformer."):
+            clip_g[name[len("text_encoders.clip_g.transformer.") :]] = arr
+        else:
+            extra[name] = arr
+
+    for tower in (clip_l, clip_g):
+        _split_in_proj(tower)
+        # open_clip text_projection is [width, proj] applied as x @ W;
+        # HF linear expects [proj, width]
+        tp = tower.get("text_projection.weight")
+        if tp is not None and tp.shape[0] != tp.shape[1]:
+            pass  # square for CLIP towers; transpose handled below for SD2/XL
+    # open_clip-sourced projections need a transpose (x@W vs W@x)
+    for tower_name, tower in (("clip_g", clip_g),):
+        tp = tower.get("text_projection.weight")
+        if tp is not None:
+            tower["text_projection.weight"] = np.ascontiguousarray(tp.T)
+
+    # diffusers upsampler marker: resolve .__up__. to the correct sub-index
+    _resolve_upsample_markers(diffusion)
+
+    tensor_types = {}
+    return ModelBundle(
+        version=version,
+        diffusion=diffusion,
+        clip_l=clip_l,
+        clip_g=clip_g,
+        t5=t5,
+        vae=vae,
+        extra=extra,
+        tensor_types=tensor_types,
+    )
+
+
+def _resolve_upsample_markers(diffusion: Dict[str, np.ndarray]):
+    """diffusers upsamplers land at .__up__.; the CompVis sub-index is 1 when
+    the output block has no attention, else 2."""
+    for name in [n for n in diffusion if ".__up__." in n]:
+        arr = diffusion.pop(name)
+        blk = name.split(".__up__.")[0]  # e.g. output_blocks.2
+        has_attn = any(k.startswith(blk + ".1.transformer_blocks") for k in diffusion)
+        idx = 2 if has_attn else 1
+        diffusion[name.replace(".__up__.", f".{idx}.")] = arr
+
+
+def load_model_bundle(
+    model_path: Optional[str] = None,
+    diffusion_model_path: Optional[str] = None,
+    clip_l_path: Optional[str] = None,
+    clip_g_path: Optional[str] = None,
+    t5xxl_path: Optional[str] = None,
+    vae_path: Optional[str] = None,
+) -> ModelBundle:
+    """Aggregate N weight files with per-file logical prefixes
+    (reference stable-diffusion.cpp:714-854)."""
+    tensors: Dict[str, np.ndarray] = {}
+    if model_path:
+        tensors.update(read_checkpoint_file(model_path))
+    for path, prefix in (
+        (diffusion_model_path, "model.diffusion_model."),
+        (clip_l_path, "text_encoders.clip_l.transformer."),
+        (clip_g_path, "text_encoders.clip_g.transformer."),
+        (t5xxl_path, "text_encoders.t5xxl.transformer."),
+        (vae_path, "first_stage_model."),
+    ):
+        if not path:
+            continue
+        sub = read_checkpoint_file(path)
+        for k, v in sub.items():
+            kk = canonicalize_name(k)
+            if not kk.startswith(prefix):
+                kk = prefix + kk
+            tensors[kk] = v
+    bundle = split_modules(tensors)
+    log_info(
+        f"loaded checkpoint: version={bundle.version.value}, "
+        f"diffusion={len(bundle.diffusion)} clip_l={len(bundle.clip_l)} "
+        f"clip_g={len(bundle.clip_g)} t5={len(bundle.t5)} vae={len(bundle.vae)} "
+        f"extra={len(bundle.extra)} tensors"
+    )
+    return bundle

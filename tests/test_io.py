@@ -1,0 +1,157 @@
+"""Checkpoint IO tests: safetensors roundtrip, GGUF container + quant decode."""
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from sdtpu.io.gguf import (
+    BLOCK_INFO,
+    GGML_F16,
+    GGML_F32,
+    GGML_Q4_0,
+    GGML_Q4_K,
+    GGML_Q6_K,
+    GGML_Q8_0,
+    GGUFFile,
+    dequantize,
+)
+from sdtpu.io.safetensors import SafetensorsFile, load_safetensors, save_safetensors
+
+
+def test_safetensors_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a.weight": rng.standard_normal((4, 8)).astype(np.float32),
+        "b.bias": rng.standard_normal(16).astype(np.float16),
+        "c": np.arange(6, dtype=np.int64).reshape(2, 3),
+    }
+    p = str(tmp_path / "x.safetensors")
+    save_safetensors(p, tensors, metadata={"format": "pt"})
+    f = SafetensorsFile(p)
+    assert set(f.names()) == set(tensors)
+    np.testing.assert_array_equal(f.tensor("a.weight"), tensors["a.weight"])
+    np.testing.assert_allclose(f.tensor("b.bias"), tensors["b.bias"].astype(np.float32))
+    loaded = load_safetensors(p)
+    assert loaded["a.weight"].shape == (4, 8)
+
+
+def test_safetensors_bf16(tmp_path):
+    # craft a bf16 file manually
+    vals = np.array([1.0, -2.5, 0.015625, 3.1415], dtype=np.float32)
+    bf16 = (vals.view(np.uint32) >> 16).astype(np.uint16)
+    header = {
+        "t": {"dtype": "BF16", "shape": [4], "data_offsets": [0, 8]},
+    }
+    hjson = json.dumps(header).encode()
+    p = tmp_path / "bf.safetensors"
+    with open(p, "wb") as f:
+        f.write(len(hjson).to_bytes(8, "little"))
+        f.write(hjson)
+        f.write(bf16.tobytes())
+    out = SafetensorsFile(str(p)).tensor("t")
+    # bf16 truncation error ≤ 2^-8 relative
+    np.testing.assert_allclose(out, vals, rtol=1 / 256)
+
+
+def test_q8_0_handcrafted():
+    # one block: d = 0.5, qs = [-128..] pattern
+    d = np.float16(0.5)
+    qs = np.arange(-16, 16, dtype=np.int8)
+    raw = np.frombuffer(d.tobytes() + qs.tobytes(), dtype=np.uint8)
+    out = dequantize(raw, GGML_Q8_0, 32)
+    np.testing.assert_allclose(out, qs.astype(np.float32) * 0.5)
+
+
+def test_q4_0_handcrafted():
+    d = np.float16(2.0)
+    # low nibbles = elems 0..15, high nibbles = elems 16..31; q - 8 scaling
+    lo = np.arange(16, dtype=np.uint8)
+    hi = np.arange(16, dtype=np.uint8)[::-1]
+    qs = (lo | (hi << 4)).astype(np.uint8)
+    raw = np.frombuffer(d.tobytes() + qs.tobytes(), dtype=np.uint8)
+    out = dequantize(raw, GGML_Q4_0, 32)
+    want = np.concatenate([(lo.astype(np.int32) - 8), (hi.astype(np.int32) - 8)]) * 2.0
+    np.testing.assert_allclose(out, want)
+
+
+def _quantize_q8_0(x: np.ndarray) -> bytes:
+    """ggml-style q8_0 quantizer (amax scaling, round-to-nearest)."""
+    out = b""
+    for blk in x.reshape(-1, 32):
+        amax = np.abs(blk).max()
+        d = amax / 127.0 if amax > 0 else 0.0
+        q = np.round(blk / d).astype(np.int8) if d else np.zeros(32, np.int8)
+        out += np.float16(d).tobytes() + q.tobytes()
+    return out
+
+
+def test_q8_0_roundtrip_error():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(256).astype(np.float32)
+    raw = np.frombuffer(_quantize_q8_0(x), dtype=np.uint8)
+    out = dequantize(raw, GGML_Q8_0, 256)
+    # max error ~ d/2 per block
+    assert np.abs(out - x).max() < np.abs(x).max() / 127
+
+
+def _write_tiny_gguf(path, tensors, ttype=GGML_F32):
+    """Minimal GGUF v3 writer for tests."""
+
+    def s(txt):
+        b = txt.encode()
+        return struct.pack("<Q", len(b)) + b
+
+    blob = b"GGUF" + struct.pack("<I", 3)
+    blob += struct.pack("<Q", len(tensors))
+    meta = {"general.alignment": 32}
+    blob += struct.pack("<Q", len(meta))
+    blob += s("general.alignment") + struct.pack("<I", 4) + struct.pack("<I", 32)
+    data = b""
+    offs = []
+    for name, arr in tensors.items():
+        offs.append(len(data))
+        data += arr.astype(np.float32).tobytes()
+        pad = (32 - len(data) % 32) % 32
+        data += b"\0" * pad
+    for (name, arr), off in zip(tensors.items(), offs):
+        dims = list(reversed(arr.shape))  # gguf dims innermost-first
+        blob += s(name) + struct.pack("<I", len(dims))
+        for dM in dims:
+            blob += struct.pack("<Q", dM)
+        blob += struct.pack("<I", ttype) + struct.pack("<Q", off)
+    pad = (32 - len(blob) % 32) % 32
+    blob += b"\0" * pad
+    with open(path, "wb") as f:
+        f.write(blob + data)
+
+
+def test_gguf_container_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    tensors = {
+        "model.diffusion_model.x.weight": rng.standard_normal((3, 5)).astype(np.float32),
+        "y": rng.standard_normal(7).astype(np.float32),
+    }
+    p = str(tmp_path / "t.gguf")
+    _write_tiny_gguf(p, tensors)
+    f = GGUFFile(p)
+    assert f.version == 3
+    assert set(f.names()) == set(tensors)
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(f.tensor(k), v)
+    assert f.tensor_type("y") == "f32"
+
+
+@pytest.mark.parametrize(
+    "gtype,d_offsets", [(GGML_Q4_0, [0]), (GGML_Q8_0, [0]), (GGML_Q4_K, [0, 2]), (GGML_Q6_K, [208])]
+)
+def test_quant_block_sizes(gtype, d_offsets):
+    be, bb = BLOCK_INFO[gtype]
+    rng = np.random.default_rng(2)
+    raw = rng.integers(0, 255, size=(4, bb)).astype(np.uint8)
+    # overwrite scale halves with a valid f16 so outputs are finite
+    for off in d_offsets:
+        raw[:, off : off + 2] = np.frombuffer(np.float16(0.25).tobytes(), dtype=np.uint8)
+    out = dequantize(raw.reshape(-1), gtype, 4 * be)
+    assert out.shape == (4 * be,)
+    assert np.isfinite(out).all()
