@@ -11,7 +11,12 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from sdtpu.config import SDVersion, sd_version_is_sd2, sd_version_is_sdxl
+from sdtpu.config import (
+    SDVersion,
+    sd_version_is_inpaint,
+    sd_version_is_sd2,
+    sd_version_is_sdxl,
+)
 from sdtpu.conditioning.conditioner import SD1Conditioner, SDXLConditioner
 from sdtpu.diffusion.denoiser import CompVisDenoiser, CompVisVDenoiser
 from sdtpu.models import clip as clip_mod
@@ -37,12 +42,26 @@ def unet_config_for(version: SDVersion, small: bool = False):
         if sd_version_is_sdxl(version):
             # small clip-g projection dim (48) + 6×256 size/crop embeddings
             base = dataclasses.replace(base, context_dim=96, adm_in_channels=48 + 1536)
+        if sd_version_is_inpaint(version):
+            base = dataclasses.replace(base, in_channels=9)
         return base
     if sd_version_is_sdxl(version):
-        return unet_mod.SDXL_UNET_CONFIG
+        return (
+            unet_mod.SDXL_INPAINT_UNET_CONFIG
+            if sd_version_is_inpaint(version)
+            else unet_mod.SDXL_UNET_CONFIG
+        )
     if sd_version_is_sd2(version):
-        return unet_mod.SD2_UNET_CONFIG
-    return unet_mod.SD1_UNET_CONFIG
+        return (
+            unet_mod.SD2_INPAINT_UNET_CONFIG
+            if sd_version_is_inpaint(version)
+            else unet_mod.SD2_UNET_CONFIG
+        )
+    return (
+        unet_mod.SD1_INPAINT_UNET_CONFIG
+        if sd_version_is_inpaint(version)
+        else unet_mod.SD1_UNET_CONFIG
+    )
 
 
 def create_pipeline(

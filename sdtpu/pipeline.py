@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdtpu.config import GenerationParams, SDVersion, sd_version_is_sd2, sd_version_is_sdxl
+from sdtpu.config import (
+    GenerationParams,
+    SDVersion,
+    sd_version_is_inpaint,
+    sd_version_is_sd2,
+    sd_version_is_sdxl,
+)
 from sdtpu.conditioning.conditioner import SDCondition
 from sdtpu.diffusion.denoiser import (
     CompVisDenoiser,
@@ -101,13 +107,28 @@ class DiffusionPipeline:
         denoiser = self.denoiser
         diffusion_fn = self.diffusion_fn
 
-        def program(params, x, sigmas, noises, ctx_cond, ctx_uncond, y_cond, y_uncond, cfg_scale):
+        def program(
+            params,
+            x,
+            sigmas,
+            noises,
+            ctx_cond,
+            ctx_uncond,
+            y_cond,
+            y_uncond,
+            cfg_scale,
+            c_concat=None,
+            denoise_mask=None,
+            masked_target=None,
+        ):
             b = x.shape[0]
 
             def model_fn(xt, sigma, i):
                 c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
                 t = denoiser.sigma_to_t_jnp(sigma)
                 x_in = (xt * c_in).astype(self.compute_dtype)
+                if c_concat is not None:
+                    x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
                 if has_uncond:
                     x_both = jnp.concatenate([x_in, x_in], axis=0)
                     ctx = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
@@ -121,11 +142,15 @@ class DiffusionPipeline:
                     den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
                     den_cond, den_uncond = den_both[:b], den_both[b:]
                     pred = cfg_combine(den_cond, den_uncond, None, cfg_scale)
-                    return pred, den_uncond
-                tt = jnp.full((b,), t, dtype=jnp.float32)
-                out = diffusion_fn(params, x_in, tt, ctx_cond, y_cond).astype(jnp.float32)
-                den = c_skip * xt + c_out * out
-                return den, den
+                else:
+                    tt = jnp.full((b,), t, dtype=jnp.float32)
+                    out = diffusion_fn(params, x_in, tt, ctx_cond, y_cond).astype(jnp.float32)
+                    pred = c_skip * xt + c_out * out
+                    den_uncond = pred
+                if denoise_mask is not None:
+                    # preserve unmasked regions (reference mask blend, :2691)
+                    pred = pred * denoise_mask + masked_target * (1.0 - denoise_mask)
+                return pred, den_uncond
 
             return sample(
                 model_fn,
@@ -151,9 +176,32 @@ class DiffusionPipeline:
         program = self._sample_program(method, steps, has_uncond, eta)
 
         @jax.jit
-        def run(params, x, noises, ctx_cond, ctx_uncond, y_cond, y_uncond, cfg_scale):
+        def run(
+            params,
+            x,
+            noises,
+            ctx_cond,
+            ctx_uncond,
+            y_cond,
+            y_uncond,
+            cfg_scale,
+            c_concat=None,
+            denoise_mask=None,
+            masked_target=None,
+        ):
             return program(
-                params, x, sigmas, noises, ctx_cond, ctx_uncond, y_cond, y_uncond, cfg_scale
+                params,
+                x,
+                sigmas,
+                noises,
+                ctx_cond,
+                ctx_uncond,
+                y_cond,
+                y_uncond,
+                cfg_scale,
+                c_concat=c_concat,
+                denoise_mask=denoise_mask,
+                masked_target=masked_target,
             )
 
         self._program_cache[key] = run
@@ -169,10 +217,37 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------ API
 
     def txt2img(self, gp: GenerationParams) -> GenerationResult:
+        return self.generate(gp)
+
+    def img2img(
+        self,
+        gp: GenerationParams,
+        init_image: np.ndarray,
+        mask_image: Optional[np.ndarray] = None,
+    ) -> GenerationResult:
+        """init_image: [H,W,3] uint8 or float in [0,1]; mask: [H,W] float/uint8
+        (1 = regenerate, 0 = keep), following the reference semantics."""
+        return self.generate(gp, init_image=init_image, mask_image=mask_image)
+
+    def encode_image(self, image: np.ndarray) -> np.ndarray:
+        """[H,W,3] → scaled latent [1,h,w,zc] (deterministic: posterior mean)."""
+        x = _to_pm1(image)[None]
+        if "encode" not in self._decode_cache:
+            self._decode_cache["encode"] = jax.jit(lambda p, x: self.vae_encode_fn(p, x))
+        z = self._decode_cache["encode"](self.vae_params, jnp.asarray(x))
+        return np.asarray(z, dtype=np.float32)
+
+    def generate(
+        self,
+        gp: GenerationParams,
+        init_image: Optional[np.ndarray] = None,
+        mask_image: Optional[np.ndarray] = None,
+    ) -> GenerationResult:
         t0 = time.time()
         w, h = gp.width, gp.height
         lh, lw = h // self.scale_factor, w // self.scale_factor
         bc = gp.batch_count
+        is_inpaint_model = sd_version_is_inpaint(self.version)
 
         cond = self.conditioner.get_learned_condition(
             gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
@@ -200,6 +275,49 @@ class DiffusionPipeline:
             version=self.version.value,
             image_seq_len=(lh // 2) * (lw // 2),
         )
+
+        # ---- latent prep (reference prepare_image_generation_latents :4716)
+        init_latent = None
+        latent_mask = None
+        c_concat = None
+        if init_image is not None:
+            init_latent = self.encode_image(init_image)  # [1,lh,lw,zc]
+            if gp.strength < 1.0:
+                t_enc = int(gp.sample_steps * gp.strength)
+                if t_enc == gp.sample_steps:
+                    t_enc -= 1
+                sigmas = sigmas[gp.sample_steps - t_enc - 1 :]
+        if mask_image is not None:
+            m = np.round(np.asarray(mask_image, dtype=np.float32))
+            if m.max() > 1.0:
+                m = m / 255.0
+            # nearest-downsample to latent resolution
+            latent_mask = m[:: self.scale_factor, :: self.scale_factor]
+            latent_mask = latent_mask[None, :lh, :lw, None].astype(np.float32)
+        if is_inpaint_model:
+            mask_full = (
+                np.round(np.asarray(mask_image, dtype=np.float32))
+                if mask_image is not None
+                else np.ones((h, w), dtype=np.float32)
+            )
+            if mask_full.max() > 1.0:
+                mask_full = mask_full / 255.0
+            if init_image is not None:
+                # reference: masked = (1-mask)*(img01 - 0.5) + 0.5 in [0,1] space
+                im01 = (_to_pm1(init_image) + 1.0) / 2.0
+                masked_img = (1.0 - mask_full[..., None]) * (im01 - 0.5) + 0.5
+                masked_latent = self.encode_image(masked_img * 2.0 - 1.0)
+            else:
+                masked_latent = np.zeros((1, lh, lw, self.latent_channels), dtype=np.float32)
+            lm = (
+                latent_mask
+                if latent_mask is not None
+                else np.ones((1, lh, lw, 1), dtype=np.float32)
+            )
+            # UNet input channels: [x, mask, masked_latent] (CompVis inpaint)
+            c_concat = np.concatenate([lm, masked_latent], axis=-1)
+            latent_mask = None  # inpaint models handle the mask via concat
+
         steps = len(sigmas) - 1
 
         # per-batch Philox streams: latent noise then per-step sampler noise
@@ -217,12 +335,22 @@ class DiffusionPipeline:
                 for si in range(steps):
                     step_noise[si, bi] = rng.randn_shape(shape)
 
-        x0 = np.zeros((bc,) + shape, dtype=np.float32)
+        x0 = (
+            np.broadcast_to(init_latent, (bc,) + shape).astype(np.float32)
+            if init_latent is not None
+            else np.zeros((bc,) + shape, dtype=np.float32)
+        )
         x = np.asarray(
             self.denoiser.noise_scaling(np.float32(sigmas[0]), init_noise, x0)
         )
 
         run = self._jit_sampler(gp.sample_method, steps, has_uncond, gp.eta, sigmas)
+        kwargs = {}
+        if c_concat is not None:
+            kwargs["c_concat"] = jnp.asarray(np.broadcast_to(c_concat, (bc,) + c_concat.shape[1:]))
+        if latent_mask is not None and init_latent is not None:
+            kwargs["denoise_mask"] = jnp.asarray(np.broadcast_to(latent_mask, (bc,) + latent_mask.shape[1:]))
+            kwargs["masked_target"] = jnp.asarray(x0)
         latents = run(
             self.diffusion_params,
             jnp.asarray(x),
@@ -232,6 +360,7 @@ class DiffusionPipeline:
             y_c,
             y_u,
             jnp.float32(gp.cfg_scale),
+            **kwargs,
         )
         # reference applies inverse_noise_scaling at the final sigma (=0 → identity)
         latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
@@ -244,6 +373,14 @@ class DiffusionPipeline:
         images = np.clip((imgs + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
         log_info(f"decode completed in {time.time() - t1:.2f}s")
         return GenerationResult(images=images, latents=latents, seeds=seeds)
+
+
+def _to_pm1(image: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] or float [0,1] image → float32 in [-1,1]."""
+    img = np.asarray(image, dtype=np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    return img * 2.0 - 1.0
 
 
 def _tile(x: Optional[jnp.ndarray], bc: int) -> Optional[jnp.ndarray]:
