@@ -1,0 +1,149 @@
+"""LoRA / LoCon loading and weight merging.
+
+Reference analog: LoraModel::apply merge graphs (src/model/adapter/lora.hpp:
+845-865) — the "immediately" apply mode: w' = w + mult * (alpha/rank) * up@down.
+Runtime-patch mode (MultiLoraAdapter analog) is layered on top in a later
+round; on TPU, merge-on-load is usually the right call because weights live in
+HBM and re-merging is a cheap one-time device pass per LoRA-set epoch
+(reference ModelManager lora epochs, src/model_manager.h:73).
+
+Supported key styles: kohya (lora_unet_*/lora_te_* with lora_down/lora_up +
+alpha), PEFT (lora_A/lora_B), diffusers-attn-processor.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _flatten_key(name: str) -> str:
+    return name.replace(".", "_")
+
+
+def group_lora_tensors(tensors: Dict[str, np.ndarray]):
+    """Group raw LoRA checkpoint tensors → {module_key: {down, up, alpha, mid}}."""
+    groups: Dict[str, dict] = {}
+    for name, arr in tensors.items():
+        m = re.match(r"(.*)\.(lora_down|lora_up|lora_A|lora_B|alpha|lora_mid|dora_scale)\.?(weight)?$", name)
+        if not m:
+            m2 = re.match(r"(.*)\.alpha$", name)
+            if m2:
+                groups.setdefault(m2.group(1), {})["alpha"] = float(np.asarray(arr).reshape(-1)[0])
+            continue
+        key, kind = m.group(1), m.group(2)
+        g = groups.setdefault(key, {})
+        if kind in ("lora_down", "lora_A"):
+            g["down"] = arr
+        elif kind in ("lora_up", "lora_B"):
+            g["up"] = arr
+        elif kind == "lora_mid":
+            g["mid"] = arr
+        elif kind == "alpha":
+            g["alpha"] = float(np.asarray(arr).reshape(-1)[0])
+    return groups
+
+
+_KOHYA_PREFIXES = (
+    ("lora_unet_", "diffusion"),
+    ("lora_te1_", "clip_l"),
+    ("lora_te2_", "clip_g"),
+    ("lora_te_", "clip_l"),
+    ("unet.", "diffusion"),
+    ("text_encoder.", "clip_l"),
+)
+
+
+def resolve_target(
+    lora_key: str, param_names_by_module: Dict[str, Dict[str, str]]
+) -> Optional[Tuple[str, str]]:
+    """LoRA module key → (module, canonical param name of the .weight)."""
+    for prefix, module in _KOHYA_PREFIXES:
+        if not lora_key.startswith(prefix):
+            continue
+        flat = lora_key[len(prefix) :]
+        lookup = param_names_by_module.get(module)
+        if lookup and flat in lookup:
+            return module, lookup[flat]
+    # diffusers processor style: unet.<path>.processor.to_q_lora etc.
+    m = re.match(r"unet\.(.*)\.processor\.(to_[qkv]|to_out)_lora", lora_key)
+    if m:
+        path = m.group(1) + "." + m.group(2) + (".0" if m.group(2) == "to_out" else "")
+        lookup = param_names_by_module.get("diffusion", {})
+        flat = _flatten_key(path)
+        if flat in lookup:
+            return "diffusion", lookup[flat]
+    return None
+
+
+def build_lookup(param_names_by_module: Dict[str, list]) -> Dict[str, Dict[str, str]]:
+    """module → {flattened_name_without_weight: canonical name}."""
+    out: Dict[str, Dict[str, str]] = {}
+    for module, names in param_names_by_module.items():
+        d = {}
+        for n in names:
+            if n.endswith(".weight"):
+                d[_flatten_key(n[: -len(".weight")])] = n
+        out[module] = d
+    return out
+
+
+def lora_delta(g: dict, mult: float) -> Optional[np.ndarray]:
+    """delta W for one group: mult * (alpha/rank) * up @ (mid?) @ down."""
+    down, up = g.get("down"), g.get("up")
+    if down is None or up is None:
+        return None
+    rank = down.shape[0]
+    alpha = g.get("alpha", float(rank))
+    scale = mult * alpha / rank
+    if down.ndim == 2:
+        delta = (up.astype(np.float32) @ down.astype(np.float32)) * scale
+    else:
+        # conv LoRA / LoCon: down [r, in, kh, kw], up [out, r, 1, 1]
+        r, in_c, kh, kw = down.shape
+        mid = g.get("mid")
+        if mid is not None:
+            # tucker (LoCon mid): delta = up · (mid composed with down)
+            # mid [r, r, kh, kw] contracted with down [r, in, 1, 1]
+            m_ = mid.astype(np.float32)
+            dn_ = down.astype(np.float32).reshape(r, in_c)
+            mid_down = np.einsum("rsxy,si->rixy", m_, dn_)
+            u = up.astype(np.float32).reshape(-1, r)
+            return np.einsum("or,rixy->oixy", u, mid_down) * scale
+        u = up.astype(np.float32).reshape(-1, r)
+        dn = down.astype(np.float32).reshape(r, -1)
+        delta = (u @ dn).reshape(u.shape[0], in_c, kh, kw) * scale
+    return delta
+
+
+def apply_lora(
+    params_by_module: Dict[str, Dict[str, "np.ndarray"]],
+    lora_tensors: Dict[str, np.ndarray],
+    multiplier: float = 1.0,
+) -> Tuple[int, int]:
+    """Merge a LoRA into module param dicts in place. Returns (applied, total)."""
+    import jax.numpy as jnp
+
+    groups = group_lora_tensors(lora_tensors)
+    lookup = build_lookup({m: list(p.keys()) for m, p in params_by_module.items()})
+    applied = 0
+    for key, g in groups.items():
+        target = resolve_target(key, lookup)
+        if target is None:
+            continue
+        module, pname = target
+        delta = lora_delta(g, multiplier)
+        if delta is None:
+            continue
+        w = params_by_module[module][pname]
+        if tuple(delta.shape) != tuple(w.shape):
+            if delta.ndim == 2 and w.ndim == 4 and delta.shape == tuple(w.shape[:2]):
+                delta = delta.reshape(delta.shape + (1, 1))
+            else:
+                continue
+        params_by_module[module][pname] = (
+            jnp.asarray(w, dtype=jnp.float32) + jnp.asarray(delta)
+        ).astype(w.dtype)
+        applied += 1
+    return applied, len(groups)

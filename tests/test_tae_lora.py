@@ -1,0 +1,118 @@
+"""TAESD decode/encode shapes + LoRA merge math."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.models.lora import apply_lora, group_lora_tensors, lora_delta
+from sdtpu.models.tae import (
+    TAESD_CONFIG,
+    convert_taesd_name,
+    init_tae_params,
+    tae_decode,
+    tae_encode,
+)
+
+
+def test_tae_decode_shape():
+    p = init_tae_params()
+    z = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 8, 4)), dtype=jnp.float32)
+    out = jax.jit(lambda p, z: tae_decode(p, z))(p, z)
+    assert out.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_tae_encode_shape():
+    p = init_tae_params()
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 64, 64, 3)), dtype=jnp.float32)
+    z = jax.jit(lambda p, x: tae_encode(p, x))(p, x)
+    assert z.shape == (1, 8, 8, 4)
+
+
+def test_tae_param_count():
+    # taesd has ~1.2M params per tower
+    p = init_tae_params()
+    n = sum(int(np.prod(v.shape)) for v in p.values())
+    assert 2_000_000 < n < 3_000_000, n
+
+
+def test_taesd_name_conversion():
+    assert convert_taesd_name("decoder.1.weight") == "decoder.layers.0.weight"
+    assert convert_taesd_name("decoder.3.conv.0.weight") == "decoder.layers.2.conv.0.weight"
+    assert convert_taesd_name("encoder.0.weight") == "encoder.layers.0.weight"
+    assert convert_taesd_name("encoder.14.bias") == "encoder.layers.14.bias"
+
+
+def test_lora_group_and_delta():
+    rng = np.random.default_rng(0)
+    down = rng.standard_normal((4, 16)).astype(np.float32)
+    up = rng.standard_normal((16, 4)).astype(np.float32)
+    tensors = {
+        "lora_unet_foo_bar.lora_down.weight": down,
+        "lora_unet_foo_bar.lora_up.weight": up,
+        "lora_unet_foo_bar.alpha": np.asarray(2.0, dtype=np.float32),
+    }
+    groups = group_lora_tensors(tensors)
+    assert "lora_unet_foo_bar" in groups
+    delta = lora_delta(groups["lora_unet_foo_bar"], multiplier := 0.5)
+    want = (up @ down) * (0.5 * 2.0 / 4)
+    np.testing.assert_allclose(delta, want, rtol=1e-6)
+
+
+def test_apply_lora_kohya_to_unet():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((16, 16)).astype(np.float32)
+    params = {
+        "diffusion": {
+            "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight": jnp.asarray(w)
+        }
+    }
+    down = rng.standard_normal((2, 16)).astype(np.float32)
+    up = rng.standard_normal((16, 2)).astype(np.float32)
+    lora = {
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_down.weight": down,
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_up.weight": up,
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.alpha": np.float32(2.0),
+    }
+    applied, total = apply_lora(params, lora, multiplier=1.0)
+    assert (applied, total) == (1, 1)
+    want = w + (up @ down) * (2.0 / 2)
+    np.testing.assert_allclose(
+        np.asarray(params["diffusion"]["input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"]),
+        want,
+        rtol=1e-5,
+    )
+
+
+def test_apply_lora_conv():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((8, 4, 3, 3)).astype(np.float32)
+    params = {"diffusion": {"input_blocks.0.0.weight": jnp.asarray(w)}}
+    down = rng.standard_normal((2, 4, 3, 3)).astype(np.float32)
+    up = rng.standard_normal((8, 2, 1, 1)).astype(np.float32)
+    lora = {
+        "lora_unet_input_blocks_0_0.lora_down.weight": down,
+        "lora_unet_input_blocks_0_0.lora_up.weight": up,
+    }
+    applied, _ = apply_lora(params, lora)
+    assert applied == 1
+    want = w + (up.reshape(8, 2) @ down.reshape(2, -1)).reshape(8, 4, 3, 3) * (2.0 / 2)
+    np.testing.assert_allclose(np.asarray(params["diffusion"]["input_blocks.0.0.weight"]), want, rtol=1e-5)
+
+
+def test_apply_lora_te():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((8, 8)).astype(np.float32)
+    params = {
+        "clip_l": {"text_model.encoder.layers.0.self_attn.q_proj.weight": jnp.asarray(w)},
+        "diffusion": {},
+    }
+    down = rng.standard_normal((2, 8)).astype(np.float32)
+    up = rng.standard_normal((8, 2)).astype(np.float32)
+    lora = {
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_down.weight": down,
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_up.weight": up,
+    }
+    applied, _ = apply_lora(params, lora)
+    assert applied == 1
