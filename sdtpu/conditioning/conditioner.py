@@ -121,6 +121,65 @@ def sdxl_size_vector(pooled: jnp.ndarray, width: int, height: int,
     return jnp.concatenate([pooled.reshape(1, -1), embs], axis=-1)
 
 
+class SD3Conditioner:
+    """SD3 triple conditioner: clip_l + clip_g (feature-concat, padded to 4096)
+    token-concatenated with T5-XXL; pooled = clip_l ++ clip_g projections
+    (reference SD3CLIPEmbedder, conditioner.hpp:591)."""
+
+    def __init__(
+        self,
+        clip_tokenizer,
+        t5_tokenizer,
+        clip_l_params,
+        clip_l_cfg,
+        clip_g_params,
+        clip_g_cfg,
+        t5_params,
+        t5_cfg,
+        t5_seq_len: int = 77,
+    ):
+        self.clip_tokenizer = clip_tokenizer
+        self.t5_tokenizer = t5_tokenizer
+        self.pl, self.cl = clip_l_params, clip_l_cfg
+        self.pg, self.cg = clip_g_params, clip_g_cfg
+        self.pt, self.ct = t5_params, t5_cfg
+        self.t5_seq_len = t5_seq_len
+
+        from sdtpu.models.t5 import t5_encoder_forward
+
+        def fwd(pl, pg, pt, ids, w, t5_ids, skip):
+            h_l, pooled_l = clip_text_forward(pl, ids, self.cl, clip_skip=skip, return_pooled=True)
+            h_g, pooled_g = clip_text_forward(pg, ids, self.cg, clip_skip=skip, return_pooled=True)
+            hidden = jnp.concatenate([h_l, h_g], axis=-1)  # [n, 77, 2048]
+            hidden = apply_token_weights(hidden, w)
+            t5_dim = self.ct.d_model
+            pad = t5_dim - hidden.shape[-1]
+            hidden = jnp.pad(hidden, ((0, 0), (0, 0), (0, pad)))
+            h_t5 = t5_encoder_forward(pt, t5_ids, self.ct)
+            pooled = jnp.concatenate([pooled_l, pooled_g], axis=-1)
+            return hidden, h_t5, pooled
+
+        self._jit_forward = jax.jit(fwd, static_argnums=6)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if clip_skip <= 0:
+            clip_skip = 2
+        tokens, weights = tokenize_with_weights(self.clip_tokenizer, text, 0)
+        # SD3 uses only the first chunk per tower
+        ids = jnp.asarray(tokens[:CHUNK_LEN][None])
+        w = jnp.asarray(weights[:CHUNK_LEN][None])
+        if self.t5_tokenizer is not None:
+            t5_ids, _ = self.t5_tokenizer.pad(
+                self.t5_tokenizer.encode(text, add_eos=True), self.t5_seq_len
+            )
+        else:
+            t5_ids = [0] * self.t5_seq_len
+        t5_ids = jnp.asarray(np.asarray(t5_ids, dtype=np.int32)[None])
+        hidden, h_t5, pooled = self._jit_forward(self.pl, self.pg, self.pt, ids, w, t5_ids, clip_skip)
+        ctx = jnp.concatenate([hidden, h_t5.astype(hidden.dtype)], axis=1)
+        return SDCondition(c_crossattn=ctx, c_vector=pooled)
+
+
 class SDXLConditioner:
     """SDXL dual-CLIP (L + G) conditioner with pooled size/crop vector."""
 

@@ -72,10 +72,16 @@ def create_pipeline(
     small: bool = False,
     seed: int = 0,
     v_prediction: bool = False,
+    t5_tokenizer=None,
+    flow_shift: float = 3.0,
 ) -> DiffusionPipeline:
-    """params: dict with keys 'diffusion', 'clip_l' (+'clip_g'), 'vae'; any
-    missing module is random-initialized (tests/benchmarks)."""
+    """params: dict with keys 'diffusion', 'clip_l' (+'clip_g', 't5'), 'vae';
+    any missing module is random-initialized (tests/benchmarks)."""
     params = params or {}
+    if version == SDVersion.SD3:
+        return _create_sd3_pipeline(
+            params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -141,5 +147,90 @@ def create_pipeline(
         vae_encode_fn=vae_encode_fn,
         denoiser=denoiser,
         rng_type=rng_type,
+        compute_dtype=dtype,
+    )
+
+
+def _create_sd3_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift):
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import SD3Conditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import mmdit as mmdit_mod
+    from sdtpu.models import t5 as t5_mod
+
+    if small:
+        dit_cfg = mmdit_mod.MMDiTConfig(
+            patch_size=2,
+            in_channels=4,
+            depth=2,
+            context_size=96,
+            adm_in_channels=96,
+            pos_embed_max_size=16,
+        )
+        clip_l_cfg = dataclasses.replace(
+            clip_mod.CLIP_L_CONFIG,
+            hidden_size=48,
+            intermediate_size=96,
+            num_layers=2,
+            num_heads=4,
+            projection_dim=48,
+        )
+        clip_g_cfg = dataclasses.replace(clip_l_cfg, projection_dim=48)
+        t5_cfg = t5_mod.T5Config(
+            vocab_size=256, d_model=96, d_kv=16, d_ff=128, num_layers=2, num_heads=4
+        )
+        vae_cfg = vae_mod.VAEConfig(
+            base_channels=32, channel_mult=(1, 2, 2, 2), num_res_blocks=1, z_channels=4,
+            scale_factor=1.5305, shift_factor=0.0609,
+        )
+    else:
+        dit_cfg = mmdit_mod.SD3_MEDIUM_CONFIG
+        clip_l_cfg = dataclasses.replace(clip_mod.CLIP_L_CONFIG, projection_dim=768)
+        clip_g_cfg = clip_mod.CLIP_G_CONFIG
+        t5_cfg = t5_mod.T5_XXL_CONFIG
+        vae_cfg = vae_mod.SD3_VAE_CONFIG
+
+    dit_params = params.get("diffusion") or mmdit_mod.init_mmdit_params(dit_cfg, seed, dtype=dtype)
+    clip_l_params = params.get("clip_l") or clip_mod.init_clip_params(clip_l_cfg, seed, dtype=dtype)
+    clip_g_params = params.get("clip_g") or clip_mod.init_clip_params(clip_g_cfg, seed + 1, dtype=dtype)
+    t5_params = params.get("t5") or t5_mod.init_t5_params(t5_cfg, seed + 2, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(vae_cfg, seed=seed, dtype=dtype)
+
+    tokenizer = CLIPTokenizer()
+    conditioner = SD3Conditioner(
+        tokenizer,
+        t5_tokenizer,
+        clip_l_params,
+        clip_l_cfg,
+        clip_g_params,
+        clip_g_cfg,
+        t5_params,
+        t5_cfg,
+    )
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return mmdit_forward_wrapper(p, x, t, ctx, y, dit_cfg)
+
+    def mmdit_forward_wrapper(p, x, t, ctx, y, cfg):
+        return mmdit_mod.mmdit_forward(p, x, t, ctx, y, cfg=cfg)
+
+    def vae_decode_fn(p, z):
+        return vae_mod.vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.SD3,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
         compute_dtype=dtype,
     )
