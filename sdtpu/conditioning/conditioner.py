@@ -180,6 +180,43 @@ class SD3Conditioner:
         return SDCondition(c_crossattn=ctx, c_vector=pooled)
 
 
+class FluxConditioner:
+    """FLUX: clip_l pooled vector + T5 token sequence
+    (reference FluxCLIPEmbedder, conditioner.hpp:1003)."""
+
+    def __init__(
+        self, clip_tokenizer, t5_tokenizer, clip_l_params, clip_l_cfg, t5_params, t5_cfg,
+        t5_seq_len: int = 256,
+    ):
+        self.clip_tokenizer = clip_tokenizer
+        self.t5_tokenizer = t5_tokenizer
+        self.pl, self.cl = clip_l_params, clip_l_cfg
+        self.pt, self.ct = t5_params, t5_cfg
+        self.t5_seq_len = t5_seq_len
+
+        from sdtpu.models.t5 import t5_encoder_forward
+
+        def fwd(pl, pt, ids, t5_ids):
+            _, pooled = clip_text_forward(pl, ids, self.cl, clip_skip=-1, return_pooled=True)
+            h_t5 = t5_encoder_forward(pt, t5_ids, self.ct)
+            return h_t5, pooled
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        tokens, _ = tokenize_with_weights(self.clip_tokenizer, text, self.clip_tokenizer.eos_token_id)
+        ids = jnp.asarray(tokens[:CHUNK_LEN][None])
+        if self.t5_tokenizer is not None:
+            t5_ids, _ = self.t5_tokenizer.pad(
+                self.t5_tokenizer.encode(text, add_eos=True), self.t5_seq_len
+            )
+        else:
+            t5_ids = [0] * self.t5_seq_len
+        t5_ids = jnp.asarray(np.asarray(t5_ids, dtype=np.int32)[None])
+        h_t5, pooled = self._jit_forward(self.pl, self.pt, ids, t5_ids)
+        return SDCondition(c_crossattn=h_t5, c_vector=pooled)
+
+
 class SDXLConditioner:
     """SDXL dual-CLIP (L + G) conditioner with pooled size/crop vector."""
 

@@ -82,6 +82,10 @@ def create_pipeline(
         return _create_sd3_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift
         )
+    if version in (SDVersion.FLUX, SDVersion.FLUX_FILL):
+        return _create_flux_pipeline(
+            params, rng_type, dtype, small, seed, t5_tokenizer
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -148,6 +152,82 @@ def create_pipeline(
         denoiser=denoiser,
         rng_type=rng_type,
         compute_dtype=dtype,
+    )
+
+
+def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import FluxConditioner
+    from sdtpu.diffusion.denoiser import FluxFlowDenoiser
+    from sdtpu.models import flux as flux_mod
+    from sdtpu.models import t5 as t5_mod
+
+    if small:
+        dit_cfg = flux_mod.FluxConfig(
+            in_channels=16,  # packed 4ch latent × 2×2
+            hidden_size=64,
+            num_heads=2,
+            depth=2,
+            depth_single=2,
+            axes_dim=(8, 12, 12),
+            context_in_dim=96,
+            vec_in_dim=48,
+        )
+        clip_l_cfg = dataclasses.replace(
+            clip_mod.CLIP_L_CONFIG,
+            hidden_size=48,
+            intermediate_size=96,
+            num_layers=2,
+            num_heads=4,
+        )
+        t5_cfg = t5_mod.T5Config(
+            vocab_size=256, d_model=96, d_kv=16, d_ff=128, num_layers=2, num_heads=4
+        )
+        vae_cfg = vae_mod.VAEConfig(
+            base_channels=32, channel_mult=(1, 2, 2, 2), num_res_blocks=1, z_channels=4,
+            scale_factor=0.3611, shift_factor=0.1159,
+        )
+        t5_seq = 32
+    else:
+        dit_cfg = flux_mod.FLUX_DEV_CONFIG
+        clip_l_cfg = clip_mod.CLIP_L_CONFIG
+        t5_cfg = t5_mod.T5_XXL_CONFIG
+        vae_cfg = vae_mod.FLUX_VAE_CONFIG
+        t5_seq = 256
+
+    dit_params = params.get("diffusion") or flux_mod.init_flux_params(dit_cfg, seed, dtype=dtype)
+    clip_l_params = params.get("clip_l") or clip_mod.init_clip_params(clip_l_cfg, seed, dtype=dtype)
+    t5_params = params.get("t5") or t5_mod.init_t5_params(t5_cfg, seed + 2, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = FluxConditioner(
+        CLIPTokenizer(), t5_tokenizer, clip_l_params, clip_l_cfg, t5_params, t5_cfg,
+        t5_seq_len=t5_seq,
+    )
+
+    def diffusion_fn(p, x, t, ctx, y, guidance=None):
+        return flux_mod.flux_forward(p, x, t, ctx, y, guidance=guidance, cfg=dit_cfg)
+
+    def vae_decode_fn(p, z):
+        return vae_mod.vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.FLUX,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=FluxFlowDenoiser(),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels // 4,
+        compute_dtype=dtype,
+        uses_distilled_guidance=dit_cfg.guidance_embed,
     )
 
 

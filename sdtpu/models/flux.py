@@ -1,0 +1,253 @@
+"""FLUX.1 — double/single-stream rectified-flow DiT.
+
+Reference analog: FluxRunner (src/model/diffusion/flux.hpp:1397; upstream
+black-forest-labs/flux).  Checkpoint naming: ``double_blocks.N.{img,txt}_
+{mod.lin,attn.qkv,attn.norm.{query,key}_norm.scale,attn.proj,mlp.0,mlp.2}``,
+``single_blocks.N.{linear1,linear2,norm.…,modulation.lin}``, ``img_in``,
+``txt_in``, ``time_in/vector_in/guidance_in.{in_layer,out_layer}``,
+``final_layer.{linear,adaLN_modulation.1}``.
+
+Latents are packed 2×2 (16ch → 64-dim tokens); 3-axis RoPE (id, y, x) with
+axes_dim (16,56,56).  Serves FLUX.1 dev/schnell; Chroma/FLUX.2 variants layer
+on config detection in later rounds.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.ops import attention, layer_norm, linear, rms_norm, timestep_embedding
+from sdtpu.ops.basic import gelu_tanh, silu
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64  # packed 16ch × 2×2
+    hidden_size: int = 3072
+    mlp_ratio: float = 4.0
+    num_heads: int = 24
+    depth: int = 19
+    depth_single: int = 38
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    theta: int = 10000
+    context_in_dim: int = 4096
+    vec_in_dim: int = 768
+    guidance_embed: bool = True  # dev; schnell = False
+
+
+FLUX_DEV_CONFIG = FluxConfig()
+FLUX_SCHNELL_CONFIG = FluxConfig(guidance_embed=False)
+
+
+def rope_freqs(ids: np.ndarray, axes_dim, theta: int) -> np.ndarray:
+    """ids: [L, n_axes] int → [L, sum(dim)/2, 2, 2] rotation (host, static)."""
+    outs = []
+    for a, dim in enumerate(axes_dim):
+        pos = ids[:, a].astype(np.float64)  # [L]
+        scale = np.arange(0, dim, 2, dtype=np.float64) / dim
+        omega = 1.0 / (theta**scale)  # [dim/2]
+        out = pos[:, None] * omega[None, :]  # [L, dim/2]
+        cos, sin = np.cos(out), np.sin(out)
+        # rotation matrix [[cos, -sin], [sin, cos]]
+        rot = np.stack(
+            [np.stack([cos, -sin], axis=-1), np.stack([sin, cos], axis=-1)], axis=-2
+        )  # [L, dim/2, 2, 2]
+        outs.append(rot)
+    return np.concatenate(outs, axis=1).astype(np.float32)  # [L, D/2, 2, 2]
+
+
+def apply_rope(x: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, L, D], rot: [L, D/2, 2, 2]."""
+    b, h, l, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, l, d // 2, 1, 2)
+    # out_even = rot[0,0]*x0 + rot[0,1]*x1 ; out_odd = rot[1,0]*x0 + rot[1,1]*x1
+    x0 = xf[..., 0, 0]
+    x1 = xf[..., 0, 1]
+    o0 = rot[None, None, :, :, 0, 0] * x0 + rot[None, None, :, :, 0, 1] * x1
+    o1 = rot[None, None, :, :, 1, 0] * x0 + rot[None, None, :, :, 1, 1] * x1
+    return jnp.stack([o0, o1], axis=-1).reshape(b, h, l, d).astype(x.dtype)
+
+
+def _mlp_embed(p, pre, x):
+    h = linear(x, p[f"{pre}.in_layer.weight"], p[f"{pre}.in_layer.bias"])
+    return linear(silu(h), p[f"{pre}.out_layer.weight"], p[f"{pre}.out_layer.bias"])
+
+
+def _qkv_norm(p, pre, x, num_heads):
+    b, l, c = x.shape
+    d = c // num_heads
+    qkv = linear(x, p[f"{pre}.qkv.weight"], p[f"{pre}.qkv.bias"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
+    v = v.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
+    q = rms_norm(q, p[f"{pre}.norm.query_norm.scale"], eps=1e-6)
+    k = rms_norm(k, p[f"{pre}.norm.key_norm.scale"], eps=1e-6)
+    return q, k, v
+
+
+def _modulation(p, pre, vec, n: int):
+    m = linear(silu(vec), p[f"{pre}.lin.weight"], p[f"{pre}.lin.bias"])
+    return jnp.split(m, n, axis=-1)
+
+
+def flux_forward(
+    p,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context: jnp.ndarray,
+    y: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    cfg: FluxConfig = FLUX_DEV_CONFIG,
+    skip_layers: Tuple[int, ...] = (),
+) -> jnp.ndarray:
+    """x: [B,H,W,16] latent NHWC; timesteps: [B] (sigma in [0,1]);
+    context: [B,L,4096] T5; y: [B,768] clip pooled; guidance: [B] distilled
+    guidance scale. Returns velocity [B,H,W,16]."""
+    b, h, w, c = x.shape
+    hp, wp = h // 2, w // 2
+    hidden = cfg.hidden_size
+
+    img = x.reshape(b, hp, 2, wp, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * wp, 4 * c)
+    img = linear(img, p["img_in.weight"], p["img_in.bias"])
+    txt = linear(context.astype(x.dtype), p["txt_in.weight"], p["txt_in.bias"])
+    l_txt = txt.shape[1]
+
+    t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
+    vec = _mlp_embed(p, "time_in", t_emb)
+    if cfg.guidance_embed and guidance is not None:
+        g_emb = timestep_embedding(guidance * 1000.0, 256).astype(x.dtype)
+        vec = vec + _mlp_embed(p, "guidance_in", g_emb)
+    vec = vec + _mlp_embed(p, "vector_in", y.astype(x.dtype))
+
+    # RoPE ids: txt zeros; img (0, i, j) — static per shape
+    ids = np.zeros((l_txt + hp * wp, 3), dtype=np.int64)
+    ii, jj = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+    ids[l_txt:, 1] = ii.reshape(-1)
+    ids[l_txt:, 2] = jj.reshape(-1)
+    rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
+
+    nh = cfg.num_heads
+    for i in range(cfg.depth):
+        pre = f"double_blocks.{i}"
+        img_mods = _modulation(p, f"{pre}.img_mod", vec, 6)
+        txt_mods = _modulation(p, f"{pre}.txt_mod", vec, 6)
+        img_n = layer_norm(img, eps=1e-6) * (1 + img_mods[1][:, None]) + img_mods[0][:, None]
+        txt_n = layer_norm(txt, eps=1e-6) * (1 + txt_mods[1][:, None]) + txt_mods[0][:, None]
+        iq, ik, iv = _qkv_norm(p, f"{pre}.img_attn", img_n, nh)
+        tq, tk, tv = _qkv_norm(p, f"{pre}.txt_attn", txt_n, nh)
+        q = jnp.concatenate([tq, iq], axis=2)
+        k = jnp.concatenate([tk, ik], axis=2)
+        v = jnp.concatenate([tv, iv], axis=2)
+        q = apply_rope(q, rot)
+        k = apply_rope(k, rot)
+        att = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, -1, hidden)
+        txt_att, img_att = att[:, :l_txt], att[:, l_txt:]
+        img = img + img_mods[2][:, None] * linear(
+            img_att, p[f"{pre}.img_attn.proj.weight"], p[f"{pre}.img_attn.proj.bias"]
+        )
+        img_m = layer_norm(img, eps=1e-6) * (1 + img_mods[4][:, None]) + img_mods[3][:, None]
+        img_mlp = linear(img_m, p[f"{pre}.img_mlp.0.weight"], p[f"{pre}.img_mlp.0.bias"])
+        img = img + img_mods[5][:, None] * linear(
+            gelu_tanh(img_mlp), p[f"{pre}.img_mlp.2.weight"], p[f"{pre}.img_mlp.2.bias"]
+        )
+        txt = txt + txt_mods[2][:, None] * linear(
+            txt_att, p[f"{pre}.txt_attn.proj.weight"], p[f"{pre}.txt_attn.proj.bias"]
+        )
+        txt_m = layer_norm(txt, eps=1e-6) * (1 + txt_mods[4][:, None]) + txt_mods[3][:, None]
+        txt_mlp = linear(txt_m, p[f"{pre}.txt_mlp.0.weight"], p[f"{pre}.txt_mlp.0.bias"])
+        txt = txt + txt_mods[5][:, None] * linear(
+            gelu_tanh(txt_mlp), p[f"{pre}.txt_mlp.2.weight"], p[f"{pre}.txt_mlp.2.bias"]
+        )
+
+    xx = jnp.concatenate([txt, img], axis=1)
+    mlp_hidden = int(hidden * cfg.mlp_ratio)
+    d_head = hidden // nh
+    for i in range(cfg.depth_single):
+        if (i + cfg.depth) in skip_layers:
+            continue
+        pre = f"single_blocks.{i}"
+        mods = _modulation(p, f"{pre}.modulation", vec, 3)
+        xn = layer_norm(xx, eps=1e-6) * (1 + mods[1][:, None]) + mods[0][:, None]
+        h1 = linear(xn, p[f"{pre}.linear1.weight"], p[f"{pre}.linear1.bias"])
+        qkv, mlp = h1[..., : 3 * hidden], h1[..., 3 * hidden :]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        L = xx.shape[1]
+        q = q.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
+        q = rms_norm(q, p[f"{pre}.norm.query_norm.scale"], eps=1e-6)
+        k = rms_norm(k, p[f"{pre}.norm.key_norm.scale"], eps=1e-6)
+        q = apply_rope(q, rot)
+        k = apply_rope(k, rot)
+        att = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, L, hidden)
+        out = linear(
+            jnp.concatenate([att, gelu_tanh(mlp)], axis=-1),
+            p[f"{pre}.linear2.weight"],
+            p[f"{pre}.linear2.bias"],
+        )
+        xx = xx + mods[2][:, None] * out
+
+    img = xx[:, l_txt:]
+    mf = linear(
+        silu(vec),
+        p["final_layer.adaLN_modulation.1.weight"],
+        p["final_layer.adaLN_modulation.1.bias"],
+    )
+    shift, scale = jnp.split(mf, 2, axis=-1)
+    img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
+    img = linear(img, p["final_layer.linear.weight"], p["final_layer.linear.bias"])
+    img = img.reshape(b, hp, wp, 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+    return img
+
+
+def init_flux_params(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp.float32):
+    g = np.random.default_rng(seed)
+    hid = cfg.hidden_size
+    d_head = hid // cfg.num_heads
+    mlp_h = int(hid * cfg.mlp_ratio)
+    p = {}
+
+    def lin(name, o, i, bias=True):
+        p[f"{name}.weight"] = jnp.asarray(
+            g.standard_normal((o, i), dtype=np.float32) * 0.02, dtype=dtype
+        )
+        if bias:
+            p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
+
+    def scale(name):
+        p[name] = jnp.ones((d_head,), dtype=dtype)
+
+    lin("img_in", hid, cfg.in_channels)
+    lin("txt_in", hid, cfg.context_in_dim)
+    lin("time_in.in_layer", hid, 256)
+    lin("time_in.out_layer", hid, hid)
+    lin("vector_in.in_layer", hid, cfg.vec_in_dim)
+    lin("vector_in.out_layer", hid, hid)
+    if cfg.guidance_embed:
+        lin("guidance_in.in_layer", hid, 256)
+        lin("guidance_in.out_layer", hid, hid)
+    for i in range(cfg.depth):
+        for s in ("img", "txt"):
+            pre = f"double_blocks.{i}.{s}"
+            lin(f"{pre}_mod.lin", 6 * hid, hid)
+            lin(f"{pre}_attn.qkv", 3 * hid, hid)
+            scale(f"{pre}_attn.norm.query_norm.scale")
+            scale(f"{pre}_attn.norm.key_norm.scale")
+            lin(f"{pre}_attn.proj", hid, hid)
+            lin(f"{pre}_mlp.0", mlp_h, hid)
+            lin(f"{pre}_mlp.2", hid, mlp_h)
+    for i in range(cfg.depth_single):
+        pre = f"single_blocks.{i}"
+        lin(f"{pre}.modulation.lin", 3 * hid, hid)
+        lin(f"{pre}.linear1", 3 * hid + mlp_h, hid)
+        lin(f"{pre}.linear2", hid, hid + mlp_h)
+        scale(f"{pre}.norm.query_norm.scale")
+        scale(f"{pre}.norm.key_norm.scale")
+    lin("final_layer.adaLN_modulation.1", 2 * hid, hid)
+    lin("final_layer.linear", cfg.in_channels, hid)
+    return p

@@ -80,6 +80,7 @@ class DiffusionPipeline:
         latent_channels: int = 4,
         scale_factor: int = 8,
         compute_dtype=jnp.float32,
+        uses_distilled_guidance: bool = False,
     ):
         self.version = version
         self.diffusion_params = diffusion_params
@@ -93,6 +94,7 @@ class DiffusionPipeline:
         self.latent_channels = latent_channels
         self.scale_factor = scale_factor
         self.compute_dtype = compute_dtype
+        self.uses_distilled_guidance = uses_distilled_guidance
         self._program_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
 
@@ -120,8 +122,10 @@ class DiffusionPipeline:
             c_concat=None,
             denoise_mask=None,
             masked_target=None,
+            extras=None,
         ):
             b = x.shape[0]
+            extras = extras or {}
 
             def model_fn(xt, sigma, i):
                 c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
@@ -138,13 +142,16 @@ class DiffusionPipeline:
                         else None
                     )
                     tt = jnp.full((2 * b,), t, dtype=jnp.float32)
-                    out = diffusion_fn(params, x_both, tt, ctx, y).astype(jnp.float32)
+                    ex2 = {k: jnp.concatenate([v, v], axis=0) for k, v in extras.items()}
+                    out = diffusion_fn(params, x_both, tt, ctx, y, **ex2).astype(jnp.float32)
                     den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
                     den_cond, den_uncond = den_both[:b], den_both[b:]
                     pred = cfg_combine(den_cond, den_uncond, None, cfg_scale)
                 else:
                     tt = jnp.full((b,), t, dtype=jnp.float32)
-                    out = diffusion_fn(params, x_in, tt, ctx_cond, y_cond).astype(jnp.float32)
+                    out = diffusion_fn(params, x_in, tt, ctx_cond, y_cond, **extras).astype(
+                        jnp.float32
+                    )
                     pred = c_skip * xt + c_out * out
                     den_uncond = pred
                 if denoise_mask is not None:
@@ -188,6 +195,7 @@ class DiffusionPipeline:
             c_concat=None,
             denoise_mask=None,
             masked_target=None,
+            extras=None,
         ):
             return program(
                 params,
@@ -202,6 +210,7 @@ class DiffusionPipeline:
                 c_concat=c_concat,
                 denoise_mask=denoise_mask,
                 masked_target=masked_target,
+                extras=extras,
             )
 
         self._program_cache[key] = run
@@ -346,6 +355,8 @@ class DiffusionPipeline:
 
         run = self._jit_sampler(gp.sample_method, steps, has_uncond, gp.eta, sigmas)
         kwargs = {}
+        if self.uses_distilled_guidance:
+            kwargs["extras"] = {"guidance": jnp.full((bc,), gp.guidance, dtype=jnp.float32)}
         if c_concat is not None:
             kwargs["c_concat"] = jnp.asarray(np.broadcast_to(c_concat, (bc,) + c_concat.shape[1:]))
         if latent_mask is not None and init_latent is not None:

@@ -1,0 +1,102 @@
+"""FLUX model structure + tiny e2e pipeline tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import GenerationParams, SDVersion
+from sdtpu.factory import create_pipeline
+from sdtpu.models.flux import (
+    FLUX_DEV_CONFIG,
+    FluxConfig,
+    apply_rope,
+    init_flux_params,
+    rope_freqs,
+)
+
+SMALL = FluxConfig(
+    in_channels=16,
+    hidden_size=64,
+    num_heads=2,
+    depth=2,
+    depth_single=2,
+    axes_dim=(8, 12, 12),
+    context_in_dim=32,
+    vec_in_dim=24,
+)
+
+
+def test_rope_rotation_preserves_norm():
+    ids = np.zeros((6, 3), dtype=np.int64)
+    ids[:, 1] = np.arange(6)
+    rot = rope_freqs(ids, (8, 12, 12), 10000)
+    assert rot.shape == (6, 16, 2, 2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2, 6, 32), dtype=np.float32))
+    y = apply_rope(x, jnp.asarray(rot))
+    # rotations preserve per-pair norms
+    xp = np.asarray(x).reshape(1, 2, 6, 16, 2)
+    yp = np.asarray(y).reshape(1, 2, 6, 16, 2)
+    np.testing.assert_allclose(
+        np.linalg.norm(xp, axis=-1), np.linalg.norm(yp, axis=-1), rtol=1e-5
+    )
+    # position 0 is identity
+    np.testing.assert_allclose(np.asarray(y)[:, :, 0], np.asarray(x)[:, :, 0], rtol=1e-6)
+
+
+def test_flux_forward_shapes():
+    from sdtpu.models.flux import flux_forward
+
+    p = init_flux_params(SMALL)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+    t = jnp.asarray([0.8], dtype=jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 10, 32), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 24), dtype=np.float32))
+    g = jnp.asarray([3.5], dtype=jnp.float32)
+    out = jax.jit(
+        lambda p, x, t, c, y, g: flux_forward(p, x, t, c, y, guidance=g, cfg=SMALL)
+    )(p, x, t, ctx, y, g)
+    assert out.shape == (1, 8, 8, 4)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_flux_full_param_count():
+    from sdtpu.models.unet import materialize_params  # noqa: F401  (not used, shapes only)
+
+    # FLUX.1-dev ~11.9B params
+    p = init_flux_params(FluxConfig(depth=1, depth_single=1))
+    # count per-block params and extrapolate to the real depths
+    dbl = sum(
+        int(np.prod(v.shape)) for k, v in p.items() if k.startswith("double_blocks.0.")
+    )
+    sgl = sum(
+        int(np.prod(v.shape)) for k, v in p.items() if k.startswith("single_blocks.0.")
+    )
+    other = sum(
+        int(np.prod(v.shape))
+        for k, v in p.items()
+        if not k.startswith(("double_blocks.", "single_blocks."))
+    )
+    total = other + 19 * dbl + 38 * sgl
+    assert 11.5e9 < total < 12.3e9, total
+
+
+def test_flux_txt2img_small():
+    pipe = create_pipeline(SDVersion.FLUX, small=True)
+    gp = GenerationParams(
+        prompt="a cat",
+        width=32,
+        height=32,
+        sample_steps=4,
+        cfg_scale=1.0,  # distilled: no CFG batch
+        guidance=3.5,
+        seed=5,
+        sample_method="euler",
+        schedule="flux",
+    )
+    res = pipe.txt2img(gp)
+    assert res.images.shape == (1, 32, 32, 3)
+    assert np.isfinite(res.latents).all()
+    res2 = pipe.txt2img(gp)
+    np.testing.assert_array_equal(res.images, res2.images)
