@@ -1,0 +1,213 @@
+"""sd-cli equivalent (reference: examples/cli/main.cpp).
+
+Usage:
+  python -M sdtpu.cli --model sd15.safetensors -p "a cat" -o out.png
+  python -M sdtpu.cli img_gen -m model.safetensors -p "..." --steps 20
+
+Modes: img_gen (txt2img/img2img/inpaint), convert, metadata.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="sdtpu", description="TPU-native stable diffusion")
+    ap.add_argument("mode", nargs="?", default="img_gen",
+                    choices=["img_gen", "convert", "metadata"])
+    # model files (reference sd_ctx_params)
+    ap.add_argument("-m", "--model", help="full checkpoint (safetensors/gguf/ckpt)")
+    ap.add_argument("--diffusion-model", help="standalone diffusion model file")
+    ap.add_argument("--clip_l", help="clip-l text encoder file")
+    ap.add_argument("--clip_g", help="clip-g text encoder file")
+    ap.add_argument("--t5xxl", help="t5xxl text encoder file")
+    ap.add_argument("--t5-tokenizer", help="t5 tokenizer.json path")
+    ap.add_argument("--vae", help="vae file")
+    ap.add_argument("--taesd", help="taesd file (fast decode)")
+    ap.add_argument("--lora-model-dir", default="", help="dir for <lora:name:mult>")
+    # generation
+    ap.add_argument("-p", "--prompt", default="")
+    ap.add_argument("-n", "--negative-prompt", default="")
+    ap.add_argument("-H", "--height", type=int, default=512)
+    ap.add_argument("-W", "--width", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--cfg-scale", type=float, default=7.0)
+    ap.add_argument("--guidance", type=float, default=3.5)
+    ap.add_argument("--sampling-method", default="euler_a")
+    ap.add_argument("--schedule", default="discrete")
+    ap.add_argument("-s", "--seed", type=int, default=42)
+    ap.add_argument("-b", "--batch-count", type=int, default=1)
+    ap.add_argument("--clip-skip", type=int, default=-1)
+    ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--strength", type=float, default=0.75)
+    ap.add_argument("-i", "--init-img", help="img2img init image")
+    ap.add_argument("--mask", help="inpaint mask image")
+    ap.add_argument("--rng", default="cuda", choices=["cuda", "cpu", "std_default"])
+    ap.add_argument("--slg-scale", type=float, default=0.0)
+    ap.add_argument("--skip-layers", default="7,8,9")
+    # output
+    ap.add_argument("-o", "--output", default="output.png")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    # convert mode
+    ap.add_argument("--output-type", default="f16", help="convert: f32/f16/bf16/q8_0")
+    return ap
+
+
+def extract_loras(prompt: str):
+    """<lora:name:mult> syntax (reference common.h:301)."""
+    loras = []
+
+    def repl(m):
+        loras.append((m.group(1), float(m.group(2) or 1.0)))
+        return ""
+
+    cleaned = re.sub(r"<lora:([^:>]+)(?::([\d.]+))?>", repl, prompt)
+    return cleaned.strip(), loras
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from sdtpu.utils import set_log_level
+
+    set_log_level("debug" if args.verbose else "info")
+
+    if args.mode == "metadata":
+        from sdtpu.utils.image import parse_parameters_text, read_png
+
+        _, params = read_png(args.output if not args.model else args.model)
+        print(params or "(no parameters)")
+        if params:
+            for k, v in parse_parameters_text(params).items():
+                print(f"  {k}: {v}")
+        return 0
+
+    if args.mode == "convert":
+        return _convert(args)
+
+    return _img_gen(args)
+
+
+def _load_pipeline(args):
+    import jax.numpy as jnp
+
+    from sdtpu.config import SDVersion
+    from sdtpu.factory import create_pipeline
+    from sdtpu.io.model_loader import load_model_bundle
+    from sdtpu.models.lora import apply_lora
+
+    t5_tok = None
+    if args.t5_tokenizer:
+        from sdtpu.tokenizers.t5 import T5UnigramTokenizer
+
+        t5_tok = T5UnigramTokenizer.from_tokenizer_json(args.t5_tokenizer)
+
+    if not (args.model or args.diffusion_model):
+        raise SystemExit("error: provide --model or --diffusion-model")
+    bundle = load_model_bundle(
+        model_path=args.model,
+        diffusion_model_path=args.diffusion_model,
+        clip_l_path=args.clip_l,
+        clip_g_path=args.clip_g,
+        t5xxl_path=args.t5xxl,
+        vae_path=args.vae,
+    )
+    import jax
+
+    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    params = {
+        "diffusion": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.diffusion.items()},
+        "clip_l": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.clip_l.items()} or None,
+        "clip_g": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.clip_g.items()} or None,
+        "t5": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.t5.items()} or None,
+        "vae": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.vae.items()} or None,
+    }
+    params = {k: v for k, v in params.items() if v}
+    pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
+                           t5_tokenizer=t5_tok)
+    return pipe, params
+
+
+def _img_gen(args) -> int:
+    import numpy as np
+
+    from sdtpu.config import GenerationParams
+    from sdtpu.utils.image import build_parameters_text, read_png, write_png
+
+    prompt, loras = extract_loras(args.prompt)
+    pipe, params = _load_pipeline(args)
+
+    if loras:
+        from sdtpu.io.model_loader import read_checkpoint_file
+        from sdtpu.models.lora import apply_lora
+
+        for name, mult in loras:
+            for ext in (".safetensors", ".ckpt", ".pt"):
+                path = os.path.join(args.lora_model_dir, name + ext)
+                if os.path.exists(path):
+                    applied, total = apply_lora(params, read_checkpoint_file(path), mult)
+                    print(f"lora {name}: applied {applied}/{total} tensors x{mult}")
+                    break
+            else:
+                print(f"warning: lora {name} not found in {args.lora_model_dir}")
+
+    gp = GenerationParams(
+        prompt=prompt,
+        negative_prompt=args.negative_prompt,
+        width=args.width,
+        height=args.height,
+        sample_steps=args.steps,
+        cfg_scale=args.cfg_scale,
+        guidance=args.guidance,
+        sample_method=args.sampling_method,
+        schedule=args.schedule,
+        seed=args.seed,
+        batch_count=args.batch_count,
+        clip_skip=args.clip_skip,
+        eta=args.eta,
+        strength=args.strength,
+        slg_scale=args.slg_scale,
+    )
+    init_image = mask_image = None
+    if args.init_img:
+        init_image, _ = read_png(args.init_img)
+    if args.mask:
+        m, _ = read_png(args.mask)
+        mask_image = m[..., 0]
+
+    t0 = time.time()
+    res = pipe.generate(gp, init_image=init_image, mask_image=mask_image)
+    print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")
+
+    base, ext = os.path.splitext(args.output)
+    for i, img in enumerate(res.images):
+        path = args.output if len(res.images) == 1 else f"{base}_{i}{ext}"
+        meta = build_parameters_text(
+            GenerationParams(**{**gp.__dict__, "seed": res.seeds[i]})
+        )
+        write_png(path, img, parameters=meta)
+        print(f"saved {path}")
+    return 0
+
+
+def _convert(args) -> int:
+    import numpy as np
+
+    from sdtpu.io.model_loader import read_checkpoint_file
+    from sdtpu.io.safetensors import save_safetensors
+
+    tensors = read_checkpoint_file(args.model)
+    out_type = args.output_type
+    if out_type == "f16":
+        tensors = {k: v.astype(np.float16) if v.dtype == np.float32 else v for k, v in tensors.items()}
+    print(f"writing {len(tensors)} tensors to {args.output} ({out_type})")
+    save_safetensors(args.output, tensors, metadata={"format": "pt", "converter": "sdtpu"})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

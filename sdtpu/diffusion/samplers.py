@@ -675,6 +675,49 @@ def sample(
     scalar. noises: [steps, *x.shape] (required for stochastic methods when
     eta/default noise injection applies). Returns the final latent.
     """
+    step, carry, per_step = build_sampler(model_fn, x, sigmas, method, noises, eta, is_flow, extra_args)
+    out = _scan(step, carry, per_step)
+    return out["x"]
+
+
+def sample_stepwise(
+    model_fn: Callable,
+    x: jnp.ndarray,
+    sigmas: np.ndarray,
+    method: str = "euler",
+    noises: Optional[jnp.ndarray] = None,
+    eta: float = 0.0,
+    is_flow: bool = False,
+    extra_args: Optional[dict] = None,
+    step_callback: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Host-driven variant of sample(): same step functions, python loop.
+
+    Used when host interaction per step is needed (preview callbacks, step
+    caches, cancellation). step_callback(i, x) is invoked after each step.
+    """
+    step, carry, per_step = build_sampler(model_fn, x, sigmas, method, noises, eta, is_flow, extra_args)
+    n = len(np.asarray(sigmas)) - 1
+    for i in range(n):
+        s = {k: v[i] for k, v in per_step.items()}
+        carry = step(carry, s)
+        if step_callback is not None:
+            if step_callback(i, carry["x"]) is False:
+                break  # cancellation
+    return carry["x"]
+
+
+def build_sampler(
+    model_fn: Callable,
+    x: jnp.ndarray,
+    sigmas: np.ndarray,
+    method: str = "euler",
+    noises: Optional[jnp.ndarray] = None,
+    eta: float = 0.0,
+    is_flow: bool = False,
+    extra_args: Optional[dict] = None,
+):
+    """→ (step_fn, initial carry, per-step arrays) — shared by both drivers."""
     extra_args = extra_args or {}
     sigmas = np.asarray(sigmas, dtype=np.float32)
     n = len(sigmas) - 1
@@ -757,5 +800,4 @@ def sample(
     per_step = {k: jnp.asarray(v) for k, v in per.items()}
     if noises is not None:
         per_step["noise"] = noises
-    out = _scan(step, carry, per_step)
-    return out["x"]
+    return step, carry, per_step

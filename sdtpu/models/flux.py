@@ -205,23 +205,41 @@ def flux_forward(
     return img
 
 
-def init_flux_params(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp.float32):
+def init_flux_params_quantized(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp.bfloat16):
+    """Random-init with large linears stored as int8 QuantTensors directly
+    (benchmarks at full scale without materializing f32 weights)."""
+    from sdtpu.ops.quant import QuantTensor
+
     g = np.random.default_rng(seed)
+    dense = init_flux_params  # reuse the shape walk below via a patched lin
+
+    p = {}
     hid = cfg.hidden_size
     d_head = hid // cfg.num_heads
     mlp_h = int(hid * cfg.mlp_ratio)
-    p = {}
 
     def lin(name, o, i, bias=True):
-        p[f"{name}.weight"] = jnp.asarray(
-            g.standard_normal((o, i), dtype=np.float32) * 0.02, dtype=dtype
-        )
+        if o * i >= (1 << 16):
+            q = g.integers(-127, 128, size=(o, i), dtype=np.int8)
+            s = np.full((o,), 0.02 / 127, dtype=np.float32)
+            p[f"{name}.weight"] = QuantTensor(q=jnp.asarray(q), scale=jnp.asarray(s))
+        else:
+            p[f"{name}.weight"] = jnp.asarray(
+                g.standard_normal((o, i), dtype=np.float32) * 0.02, dtype=dtype
+            )
         if bias:
             p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
 
     def scale(name):
         p[name] = jnp.ones((d_head,), dtype=dtype)
 
+    _flux_param_walk(cfg, lin, scale)
+    return p
+
+
+def _flux_param_walk(cfg: FluxConfig, lin, scale):
+    hid = cfg.hidden_size
+    mlp_h = int(hid * cfg.mlp_ratio)
     lin("img_in", hid, cfg.in_channels)
     lin("txt_in", hid, cfg.context_in_dim)
     lin("time_in.in_layer", hid, 256)
@@ -250,4 +268,22 @@ def init_flux_params(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp
         scale(f"{pre}.norm.key_norm.scale")
     lin("final_layer.adaLN_modulation.1", 2 * hid, hid)
     lin("final_layer.linear", cfg.in_channels, hid)
+
+
+def init_flux_params(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp.float32):
+    g = np.random.default_rng(seed)
+    d_head = cfg.hidden_size // cfg.num_heads
+    p = {}
+
+    def lin(name, o, i, bias=True):
+        p[f"{name}.weight"] = jnp.asarray(
+            g.standard_normal((o, i), dtype=np.float32) * 0.02, dtype=dtype
+        )
+        if bias:
+            p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
+
+    def scale(name):
+        p[name] = jnp.ones((d_head,), dtype=dtype)
+
+    _flux_param_walk(cfg, lin, scale)
     return p

@@ -25,8 +25,15 @@ def matmul_precision(dtype) -> jax.lax.Precision:
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
-def linear(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: [..., in], weight: [out, in] → [..., out]."""
+def linear(x: jnp.ndarray, weight, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: [..., in], weight: [out, in] (dense or int8 QuantTensor) → [..., out]."""
+    if type(weight).__name__ == "QuantTensor":
+        from .quant import quant_matmul
+
+        y = quant_matmul(x, weight)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     y = jax.lax.dot_general(
         x,
         weight,

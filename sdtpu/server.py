@@ -1,0 +1,254 @@
+"""HTTP server exposing the reference's three API families
+(examples/server/routes_{sdcpp,sdapi,openai}.cpp):
+
+  native:  POST /sdcpp/v1/img_gen, GET /sdcpp/v1/jobs/<id>,
+           POST /sdcpp/v1/jobs/<id>/cancel, GET /sdcpp/v1/capabilities
+  A1111:   POST /sdapi/v1/txt2img, POST /sdapi/v1/img2img,
+           GET /sdapi/v1/{samplers,schedulers,sd-models,options,progress}
+  OpenAI:  POST /v1/images/generations, GET /v1/models
+
+Single generation context guarded by a mutex (runtime.h:48 semantics); the
+native family is async with a job queue + cancellation.
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+from sdtpu.config import GenerationParams
+from sdtpu.diffusion.samplers import SAMPLE_METHODS
+from sdtpu.diffusion.schedule import SCHEDULERS
+from sdtpu.utils import log_info
+
+
+class Job:
+    def __init__(self, params: dict):
+        self.id = uuid.uuid4().hex[:16]
+        self.params = params
+        self.status = "queued"  # queued | running | completed | failed | cancelled
+        self.images = []
+        self.error = None
+        self.cancel_requested = threading.Event()
+        self.created = time.time()
+
+
+class JobManager:
+    """Async worker queue (reference async_jobs.h:31-50)."""
+
+    def __init__(self, pipeline, max_jobs: int = 64):
+        self.pipeline = pipeline
+        self.jobs: Dict[str, Job] = {}
+        self.queue = []
+        self.lock = threading.Lock()
+        self.wake = threading.Condition(self.lock)
+        self.ctx_mutex = threading.Lock()  # one generation at a time
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def submit(self, params: dict) -> Job:
+        job = Job(params)
+        with self.wake:
+            self.jobs[job.id] = job
+            self.queue.append(job.id)
+            self.wake.notify()
+        return job
+
+    def cancel(self, job_id: str) -> bool:
+        with self.lock:
+            job = self.jobs.get(job_id)
+            if job is None:
+                return False
+            if job.status == "queued":
+                self.queue.remove(job_id)
+                job.status = "cancelled"
+            else:
+                job.cancel_requested.set()
+            return True
+
+    def _run(self):
+        while True:
+            with self.wake:
+                while not self.queue:
+                    self.wake.wait()
+                job = self.jobs[self.queue.pop(0)]
+                job.status = "running"
+            try:
+                with self.ctx_mutex:
+                    if job.cancel_requested.is_set():
+                        job.status = "cancelled"
+                        continue
+                    job.images = run_generation(self.pipeline, job.params)
+                    job.status = "completed"
+            except Exception as e:  # noqa: BLE001 — job error surface
+                job.error = str(e)
+                job.status = "failed"
+
+
+def params_from_json(data: dict) -> GenerationParams:
+    """Map request JSON (native/A1111 field names) onto GenerationParams."""
+    return GenerationParams(
+        prompt=data.get("prompt", ""),
+        negative_prompt=data.get("negative_prompt", ""),
+        width=int(data.get("width", 512)),
+        height=int(data.get("height", 512)),
+        sample_steps=int(data.get("sample_steps", data.get("steps", 20))),
+        cfg_scale=float(data.get("cfg_scale", 7.0)),
+        guidance=float(data.get("guidance", 3.5)),
+        seed=int(data.get("seed", 42)),
+        batch_count=int(data.get("batch_count", data.get("batch_size", 1))),
+        sample_method=str(
+            data.get("sample_method", data.get("sampler_name", "euler_a"))
+        ).lower().replace(" ", "_"),
+        schedule=str(data.get("schedule", data.get("scheduler", "discrete"))).lower(),
+        clip_skip=int(data.get("clip_skip", -1)),
+        strength=float(data.get("strength", data.get("denoising_strength", 0.75))),
+        eta=float(data.get("eta", 0.0)),
+    )
+
+
+def run_generation(pipeline, data: dict):
+    from sdtpu.utils.image import base64_png_to_image, build_parameters_text, image_to_base64_png
+
+    gp = params_from_json(data)
+    init_image = mask_image = None
+    init_b64 = data.get("init_images") or data.get("init_image")
+    if isinstance(init_b64, list):
+        init_b64 = init_b64[0] if init_b64 else None
+    if init_b64:
+        init_image = base64_png_to_image(init_b64)
+    if data.get("mask"):
+        mask_image = base64_png_to_image(data["mask"])[..., 0]
+    res = pipeline.generate(gp, init_image=init_image, mask_image=mask_image)
+    out = []
+    for i, img in enumerate(res.images):
+        meta = build_parameters_text(
+            GenerationParams(**{**gp.__dict__, "seed": res.seeds[i]})
+        )
+        out.append(image_to_base64_png(img, parameters=meta))
+    return out
+
+
+def make_handler(manager: JobManager):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            log_info("http: " + fmt % args)
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_json(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            return json.loads(self.rfile.read(n))
+
+        # ----------------------------------------------------------- GET
+        def do_GET(self):
+            p = self.path.split("?")[0]
+            if p == "/sdcpp/v1/capabilities":
+                self._json(
+                    {
+                        "modes": ["img_gen"],
+                        "samplers": SAMPLE_METHODS,
+                        "schedulers": sorted(SCHEDULERS),
+                        "version": "sdtpu-0.1",
+                    }
+                )
+            elif p.startswith("/sdcpp/v1/jobs/"):
+                job_id = p.rsplit("/", 1)[-1]
+                job = manager.jobs.get(job_id)
+                if job is None:
+                    self._json({"error": "not found"}, 404)
+                    return
+                out = {"id": job.id, "status": job.status, "error": job.error}
+                if job.status == "completed":
+                    out["images"] = job.images
+                self._json(out)
+            elif p == "/sdapi/v1/samplers":
+                self._json([{"name": s, "aliases": [s], "options": {}} for s in SAMPLE_METHODS])
+            elif p == "/sdapi/v1/schedulers":
+                self._json([{"name": s, "label": s} for s in sorted(SCHEDULERS)])
+            elif p == "/sdapi/v1/sd-models":
+                self._json([{"title": "loaded", "model_name": "loaded"}])
+            elif p == "/sdapi/v1/options":
+                self._json({"sd_model_checkpoint": "loaded"})
+            elif p == "/sdapi/v1/progress":
+                running = any(j.status == "running" for j in manager.jobs.values())
+                self._json({"progress": 0.5 if running else 0.0, "state": {}})
+            elif p == "/v1/models":
+                self._json({"object": "list", "data": [{"id": "sdtpu", "object": "model"}]})
+            elif p == "/" or p == "/index.html":
+                self._json({"name": "sdtpu server", "apis": ["/sdcpp/v1", "/sdapi/v1", "/v1"]})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        # ---------------------------------------------------------- POST
+        def do_POST(self):
+            p = self.path.split("?")[0]
+            if p == "/sdcpp/v1/img_gen":
+                job = manager.submit(self._read_json())
+                self._json({"id": job.id, "status": job.status}, 202)
+            elif p.startswith("/sdcpp/v1/jobs/") and p.endswith("/cancel"):
+                job_id = p.split("/")[-2]
+                ok = manager.cancel(job_id)
+                self._json({"cancelled": ok}, 200 if ok else 404)
+            elif p in ("/sdapi/v1/txt2img", "/sdapi/v1/img2img"):
+                data = self._read_json()
+                with manager.ctx_mutex:
+                    images = run_generation(manager.pipeline, data)
+                self._json({"images": images, "parameters": data, "info": "{}"})
+            elif p == "/v1/images/generations":
+                data = self._read_json()
+                req = {
+                    "prompt": data.get("prompt", ""),
+                    "batch_count": int(data.get("n", 1)),
+                }
+                size = data.get("size", "512x512")
+                if "x" in str(size):
+                    w, h = str(size).split("x")
+                    req["width"], req["height"] = int(w), int(h)
+                with manager.ctx_mutex:
+                    images = run_generation(manager.pipeline, req)
+                self._json(
+                    {
+                        "created": int(time.time()),
+                        "data": [{"b64_json": b64} for b64 in images],
+                    }
+                )
+            else:
+                self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def serve(pipeline, host: str = "127.0.0.1", port: int = 7860):
+    manager = JobManager(pipeline)
+    server = ThreadingHTTPServer((host, port), make_handler(manager))
+    log_info(f"sdtpu server listening on http://{host}:{port}")
+    server.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+
+    from sdtpu.cli import build_parser, _load_pipeline
+
+    ap = build_parser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7860)
+    args = ap.parse_args(argv)
+    pipe, _ = _load_pipeline(args)
+    serve(pipe, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Image IO + webui-compatible PNG metadata.
+
+Reference analog: examples/common/media_io (stb-based codecs) and
+examples/cli/image_metadata.cpp (webui "parameters" text embedding, readable
+by A1111/civitai).  Uses Pillow when present; PNG has a dependency-free
+fallback writer.
+"""
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def build_parameters_text(gp, extra: Optional[Dict[str, str]] = None) -> str:
+    """webui-style generation parameters string (image_metadata.cpp parity)."""
+    lines = [gp.prompt]
+    if gp.negative_prompt:
+        lines.append(f"Negative prompt: {gp.negative_prompt}")
+    fields = [
+        f"Steps: {gp.sample_steps}",
+        f"Sampler: {gp.sample_method}",
+        f"Schedule type: {gp.schedule}",
+        f"CFG scale: {gp.cfg_scale:g}",
+        f"Seed: {gp.seed}",
+        f"Size: {gp.width}x{gp.height}",
+    ]
+    if gp.clip_skip > 0:
+        fields.append(f"Clip skip: {gp.clip_skip}")
+    if extra:
+        fields.extend(f"{k}: {v}" for k, v in extra.items())
+    fields.append("Version: sdtpu")
+    lines.append(", ".join(fields))
+    return "\n".join(lines)
+
+
+def parse_parameters_text(text: str) -> Dict[str, str]:
+    """Read back a webui parameters blob into a dict."""
+    out: Dict[str, str] = {}
+    lines = text.split("\n")
+    if not lines:
+        return out
+    out["prompt"] = lines[0]
+    rest = lines[1:]
+    for line in rest:
+        if line.startswith("Negative prompt: "):
+            out["negative_prompt"] = line[len("Negative prompt: ") :]
+        else:
+            for field in line.split(", "):
+                if ": " in field:
+                    k, v = field.split(": ", 1)
+                    out[k.strip().lower().replace(" ", "_")] = v
+    return out
+
+
+def write_png(path: str, image: np.ndarray, parameters: Optional[str] = None) -> None:
+    """image: [H,W,3] uint8. Embeds `parameters` as a tEXt chunk (webui)."""
+    try:
+        from PIL import Image
+        from PIL.PngImagePlugin import PngInfo
+
+        img = Image.fromarray(image)
+        info = PngInfo()
+        if parameters:
+            info.add_text("parameters", parameters)
+        img.save(path, format="PNG", pnginfo=info)
+        return
+    except ImportError:
+        pass
+    _write_png_fallback(path, image, parameters)
+
+
+def read_png(path: str):
+    """→ (image [H,W,3] uint8, parameters text or None)."""
+    try:
+        from PIL import Image
+
+        img = Image.open(path)
+        params = img.info.get("parameters")
+        return np.asarray(img.convert("RGB")), params
+    except ImportError:
+        raise RuntimeError("PNG reading requires Pillow in this build")
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _write_png_fallback(path: str, image: np.ndarray, parameters: Optional[str]) -> None:
+    h, w, _ = image.shape
+    raw = b"".join(b"\x00" + image[y].tobytes() for y in range(h))
+    out = io.BytesIO()
+    out.write(b"\x89PNG\r\n\x1a\n")
+    out.write(_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+    if parameters:
+        out.write(_png_chunk(b"tEXt", b"parameters\x00" + parameters.encode("latin-1", "replace")))
+    out.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
+    out.write(_png_chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+def image_to_base64_png(image: np.ndarray, parameters: Optional[str] = None) -> str:
+    import base64
+
+    from PIL import Image
+    from PIL.PngImagePlugin import PngInfo
+
+    buf = io.BytesIO()
+    info = PngInfo()
+    if parameters:
+        info.add_text("parameters", parameters)
+    Image.fromarray(image).save(buf, format="PNG", pnginfo=info)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def base64_png_to_image(data: str) -> np.ndarray:
+    import base64
+
+    from PIL import Image
+
+    if data.startswith("data:"):
+        data = data.split(",", 1)[1]
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB"))
+
+
+def resize_image(image: np.ndarray, width: int, height: int) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(image).resize((width, height), Image.LANCZOS))

@@ -1,0 +1,86 @@
+"""Quantized-weight matmul tests (interpret/XLA path on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.ops import linear
+from sdtpu.ops.quant import (
+    QuantTensor,
+    dequantize,
+    quant_matmul,
+    quantize_params,
+    quantize_per_channel,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    qt = quantize_per_channel(w)
+    back = np.asarray(dequantize(qt, jnp.float32))
+    # per-row max error ≤ scale/2
+    scale = np.abs(w).max(axis=1) / 127
+    assert (np.abs(back - w).max(axis=1) <= scale * 0.51).all()
+
+
+def test_quant_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    w = rng.standard_normal((96, 128)).astype(np.float32)
+    qt = quantize_per_channel(w)
+    got = np.asarray(quant_matmul(x, qt))
+    want = np.asarray(x) @ np.asarray(dequantize(qt, jnp.float32)).T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_linear_dispatches_quant():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = rng.standard_normal((32, 64)).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+    qt = quantize_per_channel(w)
+    got = np.asarray(linear(x, qt, jnp.asarray(b)))
+    want = np.asarray(x) @ w.T + b
+    # int8 quant error is ~1% relative
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_quantize_params_selective():
+    rng = np.random.default_rng(3)
+    params = {
+        "big.weight": jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32)),
+        "small.weight": jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32)),
+        "norm.weight": jnp.asarray(np.ones(512, dtype=np.float32)),
+    }
+    q = quantize_params(params)
+    assert isinstance(q["big.weight"], QuantTensor)
+    assert not isinstance(q["small.weight"], QuantTensor)
+    assert not isinstance(q["norm.weight"], QuantTensor)
+
+
+def test_quant_flux_forward():
+    """Flux forward with quantized linears stays close to dense."""
+    from sdtpu.models.flux import FluxConfig, flux_forward, init_flux_params
+
+    cfg = FluxConfig(
+        in_channels=16, hidden_size=64, num_heads=2, depth=1, depth_single=1,
+        axes_dim=(8, 12, 12), context_in_dim=32, vec_in_dim=24,
+    )
+    p = init_flux_params(cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+    t = jnp.asarray([0.5], dtype=jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 6, 32), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 24), dtype=np.float32))
+    g = jnp.asarray([3.5], dtype=jnp.float32)
+    dense = np.asarray(flux_forward(p, x, t, ctx, y, guidance=g, cfg=cfg))
+    qp = quantize_params(p, min_size=1024)
+    quant = np.asarray(
+        jax.jit(lambda p, x, t, c, y, g: flux_forward(p, x, t, c, y, guidance=g, cfg=cfg))(
+            qp, x, t, ctx, y, g
+        )
+    )
+    rel = np.abs(quant - dense).max() / (np.abs(dense).max() + 1e-6)
+    assert rel < 0.2, rel

@@ -1,0 +1,126 @@
+"""CLI arg handling, PNG metadata, and HTTP server (all three API families)."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sdtpu.cli import build_parser, extract_loras
+from sdtpu.config import GenerationParams, SDVersion
+from sdtpu.utils.image import (
+    build_parameters_text,
+    image_to_base64_png,
+    parse_parameters_text,
+    read_png,
+    write_png,
+)
+
+
+def test_extract_loras():
+    cleaned, loras = extract_loras("a cat <lora:style:0.8> sitting <lora:detail>")
+    assert cleaned == "a cat  sitting"  # markers removed
+    assert loras == [("style", 0.8), ("detail", 1.0)]
+
+
+def test_cli_parser_defaults():
+    args = build_parser().parse_args(["-p", "hi", "-m", "x.safetensors"])
+    assert args.mode == "img_gen"
+    assert args.steps == 20
+    assert args.sampling_method == "euler_a"
+
+
+def test_png_metadata_roundtrip(tmp_path):
+    gp = GenerationParams(prompt="a cat", negative_prompt="dog", seed=7)
+    text = build_parameters_text(gp)
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img, parameters=text)
+    back, params = read_png(p)
+    assert back.shape == (8, 8, 3)
+    parsed = parse_parameters_text(params)
+    assert parsed["prompt"] == "a cat"
+    assert parsed["negative_prompt"] == "dog"
+    assert parsed["seed"] == "7"
+    assert parsed["sampler"] == "euler_a"
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    from sdtpu.factory import create_pipeline
+    from sdtpu.server import JobManager, make_handler
+
+    from http.server import ThreadingHTTPServer
+
+    pipe = create_pipeline(SDVersion.SD1, small=True)
+    manager = JobManager(pipe)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(manager))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield port
+    server.shutdown()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=300) as r:
+        return json.loads(r.read())
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def test_capabilities(server_port):
+    caps = _get(server_port, "/sdcpp/v1/capabilities")
+    assert "euler_a" in caps["samplers"]
+    assert "karras" in caps["schedulers"]
+
+
+def test_sdapi_lists(server_port):
+    samplers = _get(server_port, "/sdapi/v1/samplers")
+    assert any(s["name"] == "dpm++2m" for s in samplers)
+
+
+def test_sdapi_txt2img(server_port):
+    out = _post(
+        server_port,
+        "/sdapi/v1/txt2img",
+        {"prompt": "a cat", "width": 64, "height": 64, "steps": 2, "seed": 1},
+    )
+    assert len(out["images"]) == 1
+    from sdtpu.utils.image import base64_png_to_image
+
+    img = base64_png_to_image(out["images"][0])
+    assert img.shape == (64, 64, 3)
+
+
+def test_openai_generations(server_port):
+    out = _post(
+        server_port, "/v1/images/generations", {"prompt": "a dog", "size": "64x64", "n": 1}
+    )
+    assert len(out["data"]) == 1
+
+
+def test_native_async_job(server_port):
+    import time
+
+    sub = _post(
+        server_port,
+        "/sdcpp/v1/img_gen",
+        {"prompt": "x", "width": 64, "height": 64, "sample_steps": 2, "seed": 2},
+    )
+    job_id = sub["id"]
+    for _ in range(600):
+        st = _get(server_port, f"/sdcpp/v1/jobs/{job_id}")
+        if st["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.5)
+    assert st["status"] == "completed", st
+    assert len(st["images"]) == 1
