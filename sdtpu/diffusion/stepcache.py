@@ -62,23 +62,18 @@ class EasyCache:
             return out
 
         xin = np.asarray(x, dtype=np.float32)
-        if (
-            self.prev_input is not None
-            and self.cache_diff is not None
-            and self.output_prev_norm
-            and self.relative_rate is not None
-        ):
+        self._last_input_change = None
+        if self.prev_input is not None and self.cache_diff is not None:
             input_change = float(np.abs(xin - self.prev_input).mean())
-            approx_rate = self.relative_rate * input_change / self.output_prev_norm
-            self.cumulative_change += approx_rate
-            if self.cumulative_change < self.config.reuse_threshold:
-                self.steps_skipped += 1
-                pred = xin + self.cache_diff
-                return pred, pred
-            self.cumulative_change = 0.0
             self._last_input_change = input_change
-        else:
-            self._last_input_change = None
+            if self.output_prev_norm and self.relative_rate is not None and input_change > 0:
+                approx_rate = self.relative_rate * input_change / self.output_prev_norm
+                self.cumulative_change += approx_rate
+                if self.cumulative_change < self.config.reuse_threshold:
+                    self.steps_skipped += 1
+                    pred = xin + self.cache_diff
+                    return pred, pred
+                self.cumulative_change = 0.0
 
         pred, uncond = self.model_fn(x, sigma, i)
         out = np.asarray(pred, dtype=np.float32)
