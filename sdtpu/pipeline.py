@@ -228,6 +228,45 @@ class DiffusionPipeline:
     def txt2img(self, gp: GenerationParams) -> GenerationResult:
         return self.generate(gp)
 
+    def txt2img_hires(
+        self,
+        gp: GenerationParams,
+        hires_scale: float = 2.0,
+        hires_steps: Optional[int] = None,
+        hires_strength: float = 0.7,
+        upscaler: str = "latent",
+        esrgan_params=None,
+    ) -> GenerationResult:
+        """Hires fix (reference stable-diffusion.cpp:5523-5642): base sample →
+        upscale (latent bilinear, or decode→ESRGAN→re-encode) → second
+        img2img-style pass at hires_strength."""
+        import dataclasses as _dc
+
+        base = self.generate(gp)
+        tw = int(gp.width * hires_scale) // self.scale_factor * self.scale_factor
+        th = int(gp.height * hires_scale) // self.scale_factor * self.scale_factor
+        gp2 = _dc.replace(
+            gp,
+            width=tw,
+            height=th,
+            sample_steps=hires_steps or gp.sample_steps,
+            strength=hires_strength,
+        )
+        if upscaler == "esrgan" and esrgan_params is not None:
+            from sdtpu.models.esrgan import upscale_image
+            from sdtpu.utils.image import resize_image
+
+            up = upscale_image(esrgan_params, base.images[0])
+            init_image = resize_image(up, tw, th)
+            return self.generate(gp2, init_image=init_image)
+        # latent-space upscale
+        lh, lw = th // self.scale_factor, tw // self.scale_factor
+        hi_latent = jax.image.resize(
+            jnp.asarray(base.latents), (base.latents.shape[0], lh, lw, base.latents.shape[-1]),
+            method="bilinear",
+        )
+        return self.generate(gp2, init_latent=np.asarray(hi_latent))
+
     def img2img(
         self,
         gp: GenerationParams,
@@ -251,6 +290,7 @@ class DiffusionPipeline:
         gp: GenerationParams,
         init_image: Optional[np.ndarray] = None,
         mask_image: Optional[np.ndarray] = None,
+        init_latent: Optional[np.ndarray] = None,
     ) -> GenerationResult:
         t0 = time.time()
         w, h = gp.width, gp.height
@@ -286,11 +326,11 @@ class DiffusionPipeline:
         )
 
         # ---- latent prep (reference prepare_image_generation_latents :4716)
-        init_latent = None
         latent_mask = None
         c_concat = None
-        if init_image is not None:
+        if init_image is not None and init_latent is None:
             init_latent = self.encode_image(init_image)  # [1,lh,lw,zc]
+        if init_latent is not None:
             if gp.strength < 1.0:
                 t_enc = int(gp.sample_steps * gp.strength)
                 if t_enc == gp.sample_steps:
