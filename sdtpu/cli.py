@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-i", "--init-img", help="img2img init image")
     ap.add_argument("--mask", help="inpaint mask image")
     ap.add_argument("--rng", default="cuda", choices=["cuda", "cpu", "std_default"])
+    ap.add_argument("--control-net", help="controlnet checkpoint file")
+    ap.add_argument("--control-image", help="control hint image")
+    ap.add_argument("--control-strength", type=float, default=0.9)
+    ap.add_argument("--canny", action="store_true",
+                    help="apply canny preprocessing to the control image")
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
     # output
@@ -172,15 +177,37 @@ def _img_gen(args) -> int:
         strength=args.strength,
         slg_scale=args.slg_scale,
     )
-    init_image = mask_image = None
+    init_image = mask_image = control_image = None
     if args.init_img:
         init_image, _ = read_png(args.init_img)
     if args.mask:
         m, _ = read_png(args.mask)
         mask_image = m[..., 0]
+    if args.control_net and args.control_image:
+        import jax.numpy as jnp
+
+        from sdtpu.io.model_loader import load_controlnet
+        from sdtpu.utils.image import resize_image
+
+        cn = load_controlnet(args.control_net)
+        pipe.set_controlnet(
+            {k: jnp.asarray(v, dtype=pipe.compute_dtype) for k, v in cn.items()}
+        )
+        control_image, _ = read_png(args.control_image)
+        control_image = resize_image(control_image[..., :3], args.width, args.height)
+        if args.canny:
+            from sdtpu.diffusion.preprocessing import canny
+
+            control_image = canny(control_image)
 
     t0 = time.time()
-    res = pipe.generate(gp, init_image=init_image, mask_image=mask_image)
+    res = pipe.generate(
+        gp,
+        init_image=init_image,
+        mask_image=mask_image,
+        control_image=control_image,
+        control_strength=args.control_strength,
+    )
     print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")
 
     base, ext = os.path.splitext(args.output)

@@ -259,3 +259,47 @@ class SDXLConditioner:
             if k in ("crop_w", "crop_h", "target_width", "target_height")
         })
         return SDCondition(c_crossattn=c, c_vector=vec)
+
+
+class WanConditioner:
+    """Wan 2.x: UMT5-XXL only, 512-token chunk, attention-masked encoding with
+    masked hidden states zeroed (reference T5CLIPEmbedder,
+    conditioner.hpp:1284, constructed for Wan at stable-diffusion.cpp:1099;
+    zero_out_masked=true in the video path, :6064)."""
+
+    def __init__(self, t5_tokenizer, t5_params, t5_cfg, seq_len: int = 512):
+        self.t5_tokenizer = t5_tokenizer
+        self.pt, self.ct = t5_params, t5_cfg
+        self.seq_len = seq_len
+
+        from sdtpu.models.t5 import t5_encoder_forward
+
+        def fwd(pt, ids, mask, w):
+            h = t5_encoder_forward(pt, ids, self.ct, attention_mask=mask)
+            h = apply_token_weights(h, w)
+            return h * mask[:, :, None].astype(h.dtype)  # zero_out_masked
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        weights_by_span = parse_prompt_attention(text)
+        ids: List[int] = []
+        w: List[float] = []
+        if self.t5_tokenizer is not None:
+            for span, weight in weights_by_span:
+                span_ids = self.t5_tokenizer.encode(span)
+                ids.extend(span_ids)
+                w.extend([weight] * len(span_ids))
+            ids.append(self.t5_tokenizer.eos_token_id)
+            w.append(1.0)
+            ids, mask = self.t5_tokenizer.pad(ids, self.seq_len)
+        else:  # tests without a tokenizer file
+            ids, mask = [0] * self.seq_len, [1] * self.seq_len
+        w = (w + [1.0] * self.seq_len)[: self.seq_len]
+        h = self._jit_forward(
+            self.pt,
+            jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(np.asarray(mask, dtype=np.float32)[None]),
+            jnp.asarray(np.asarray(w, dtype=np.float32)[None]),
+        )
+        return SDCondition(c_crossattn=h)

@@ -73,7 +73,7 @@ def create_pipeline(
     seed: int = 0,
     v_prediction: bool = False,
     t5_tokenizer=None,
-    flow_shift: float = 3.0,
+    flow_shift: Optional[float] = None,  # None → per-version default
 ) -> DiffusionPipeline:
     """params: dict with keys 'diffusion', 'clip_l' (+'clip_g', 't5'), 'vae';
     any missing module is random-initialized (tests/benchmarks)."""
@@ -85,6 +85,10 @@ def create_pipeline(
     if version in (SDVersion.FLUX, SDVersion.FLUX_FILL):
         return _create_flux_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer
+        )
+    if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
+        return _create_wan_pipeline(
+            params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift
         )
     ucfg = unet_config_for(version, small)
 
@@ -131,8 +135,16 @@ def create_pipeline(
             tokenizer, clip_params, clip_cfg, is_sd2=sd_version_is_sd2(version)
         )
 
-    def diffusion_fn(p, x, t, ctx, y):
-        return unet_mod.unet_forward(p, x, t, ctx, y=y, cfg=ucfg)
+    def diffusion_fn(p, x, t, ctx, y, controls=None, control_strength=1.0):
+        return unet_mod.unet_forward(
+            p, x, t, ctx, y=y, cfg=ucfg, controls=controls,
+            control_strength=control_strength,
+        )
+
+    def controlnet_fn(p, x, hint, t, ctx, y):
+        from sdtpu.models.controlnet import controlnet_forward
+
+        return controlnet_forward(p, x, hint, t, ctx, y=y, cfg=ucfg)
 
     def vae_decode_fn(p, z):
         return vae_mod.vae_decode(p, z, vae_cfg)
@@ -141,7 +153,7 @@ def create_pipeline(
         return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
 
     denoiser = CompVisVDenoiser() if v_prediction else CompVisDenoiser()
-    return DiffusionPipeline(
+    pipe = DiffusionPipeline(
         version=version,
         diffusion_params=unet_params,
         diffusion_fn=diffusion_fn,
@@ -152,7 +164,11 @@ def create_pipeline(
         denoiser=denoiser,
         rng_type=rng_type,
         compute_dtype=dtype,
+        controlnet_fn=controlnet_fn,
     )
+    if params.get("controlnet") is not None:
+        pipe.set_controlnet(params["controlnet"])
+    return pipe
 
 
 def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
@@ -228,6 +244,71 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
         latent_channels=dit_cfg.in_channels // 4,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
+    )
+
+
+def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift):
+    """Wan 2.1 T2V (reference construction stable-diffusion.cpp:1098-1135;
+    default flow shift 5.0, :1714)."""
+    from sdtpu.conditioning.conditioner import WanConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import t5 as t5_mod
+    from sdtpu.models import wan as wan_mod
+    from sdtpu.models import wan_vae as wan_vae_mod
+
+    if small:
+        dit_cfg = wan_mod.WanConfig(
+            in_dim=4, dim=64, ffn_dim=128, freq_dim=32, text_dim=96, out_dim=4,
+            num_heads=2, num_layers=2, axes_dim=(8, 12, 12),
+        )
+        t5_cfg = t5_mod.T5Config(
+            vocab_size=256, d_model=96, d_kv=16, d_ff=128, num_layers=2,
+            num_heads=4, is_umt5=True,
+        )
+        vae_cfg = wan_vae_mod.WanVAEConfig(dim=8, z_dim=4, num_res_blocks=1)
+        t5_seq = 32
+    else:
+        dit_cfg = wan_mod.WAN21_T2V_1_3B_CONFIG
+        t5_cfg = t5_mod.UMT5_XXL_CONFIG
+        vae_cfg = wan_vae_mod.WAN21_VAE_CONFIG
+        t5_seq = 512
+
+    dit_params = params.get("diffusion") or wan_mod.init_wan_params(dit_cfg, seed, dtype=dtype)
+    t5_params = params.get("t5") or t5_mod.init_t5_params(t5_cfg, seed + 2, dtype=dtype)
+    vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = WanConditioner(t5_tokenizer, t5_params, t5_cfg, seq_len=t5_seq)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return wan_mod.wan_forward(p, x, t, ctx, clip_fea=y, cfg=dit_cfg)
+
+    use_stats = vae_cfg.z_dim == 16  # per-channel stats only for the real VAE
+
+    def vae_decode_fn(p, z):
+        if use_stats:
+            z = wan_vae_mod.diffusion_to_vae_latents(z)
+        return wan_vae_mod.wan_vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        z = wan_vae_mod.wan_vae_encode(p, x, vae_cfg)
+        if use_stats:
+            z = wan_vae_mod.vae_to_diffusion_latents(z)
+        return z
+
+    return DiffusionPipeline(
+        version=SDVersion.WAN2,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=5.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_dim,
+        scale_factor=8,
+        compute_dtype=dtype,
+        temporal_scale=4,
     )
 
 
@@ -309,7 +390,7 @@ def _create_sd3_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         vae_params=vae_params,
         vae_decode_fn=vae_decode_fn,
         vae_encode_fn=vae_encode_fn,
-        denoiser=DiscreteFlowDenoiser(shift=flow_shift),
+        denoiser=DiscreteFlowDenoiser(shift=3.0 if flow_shift is None else flow_shift),
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         compute_dtype=dtype,

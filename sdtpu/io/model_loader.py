@@ -142,6 +142,30 @@ def _resolve_upsample_markers(diffusion: Dict[str, np.ndarray]):
         diffusion[name.replace(".__up__.", f".{idx}.")] = arr
 
 
+def load_controlnet(path: str) -> Dict[str, np.ndarray]:
+    """Load a ControlNet checkpoint (CompVis `control_model.*` or diffusers
+    ControlNetModel names) into the module-local dict consumed by
+    sdtpu.models.controlnet (reference: ControlNet loading,
+    src/model/diffusion/control.hpp:311 + name_conversion.cpp controlnet)."""
+    from sdtpu.io.name_conversion import convert_diffusers_controlnet_name
+
+    raw = read_checkpoint_file(path)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in raw.items():
+        if k.startswith("control_model."):
+            out[k[len("control_model.") :]] = v
+        elif k.startswith(("input_blocks.", "zero_convs.", "middle_block",
+                           "input_hint_block.", "time_embed.", "label_emb.")):
+            out[k] = v
+        else:
+            cv = convert_diffusers_controlnet_name(k)
+            if cv is not None:
+                out[cv] = v
+            else:
+                log_warn(f"controlnet: unmapped tensor {k}")
+    return out
+
+
 def load_model_bundle(
     model_path: Optional[str] = None,
     diffusion_model_path: Optional[str] = None,

@@ -92,6 +92,31 @@ def _convert_res_inner(rest: str) -> str:
     return rest
 
 
+# --------------------------------------------------------------- ControlNet
+
+def convert_diffusers_controlnet_name(name: str) -> Optional[str]:
+    """diffusers ControlNetModel names → CompVis control_model names
+    (reference name_conversion.cpp controlnet section).
+
+    The encoder copy reuses the UNet mapping; the extra pieces are the hint
+    stem (controlnet_cond_embedding → input_hint_block, even indices 0..14)
+    and the zero convs (controlnet_down_blocks.N → zero_convs.N.0,
+    controlnet_mid_block → middle_block_out.0)."""
+    if name.startswith("controlnet_cond_embedding.conv_in."):
+        return "input_hint_block.0." + name.split(".", 2)[2]
+    m = re.match(r"controlnet_cond_embedding\.blocks\.(\d+)\.(.*)", name)
+    if m:
+        return f"input_hint_block.{2 + 2 * int(m.group(1))}.{m.group(2)}"
+    if name.startswith("controlnet_cond_embedding.conv_out."):
+        return "input_hint_block.14." + name.split(".", 2)[2]
+    m = re.match(r"controlnet_down_blocks\.(\d+)\.(.*)", name)
+    if m:
+        return f"zero_convs.{m.group(1)}.0.{m.group(2)}"
+    if name.startswith("controlnet_mid_block."):
+        return "middle_block_out.0." + name.split(".", 1)[1]
+    return convert_diffusers_unet_name(name)
+
+
 # --------------------------------------------------------------------- VAE
 
 def convert_diffusers_vae_name(name: str, num_levels: int = 4) -> Optional[str]:

@@ -29,10 +29,11 @@ class T5Config:
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     layer_norm_eps: float = 1e-6
+    is_umt5: bool = False  # UMT5: per-layer relative attention bias
 
 
 T5_XXL_CONFIG = T5Config()
-UMT5_XXL_CONFIG = dataclasses.replace(T5_XXL_CONFIG, vocab_size=256384)
+UMT5_XXL_CONFIG = dataclasses.replace(T5_XXL_CONFIG, vocab_size=256384, is_umt5=True)
 
 
 def _relative_position_bucket(rel_pos: np.ndarray, num_buckets: int, max_distance: int) -> np.ndarray:
@@ -51,14 +52,16 @@ def _relative_position_bucket(rel_pos: np.ndarray, num_buckets: int, max_distanc
     return ret + np.where(is_small, n, val_if_large)
 
 
-def t5_position_bias(p, length: int, cfg: T5Config) -> jnp.ndarray:
-    """[1, heads, L, L] additive bias from the shared relative embedding."""
+def t5_position_bias(p, length: int, cfg: T5Config, layer: int = 0) -> jnp.ndarray:
+    """[1, heads, L, L] additive bias from the relative embedding (shared
+    table for T5, per-layer for UMT5)."""
     ctx = np.arange(length)
     rel = ctx[None, :] - ctx[:, None]  # memory - query
     buckets = _relative_position_bucket(
         rel, cfg.relative_attention_num_buckets, cfg.relative_attention_max_distance
     )
-    table = p["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    src = layer if cfg.is_umt5 else 0
+    table = p[f"encoder.block.{src}.layer.0.SelfAttention.relative_attention_bias.weight"]
     bias = table[jnp.asarray(buckets)]  # [L, L, heads]
     return bias.transpose(2, 0, 1)[None]
 
@@ -72,14 +75,18 @@ def t5_encoder_forward(
     """input_ids: [B, L] → hidden [B, L, d_model]."""
     b, l = input_ids.shape
     x = p["shared.weight"][input_ids]
-    pos_bias = t5_position_bias(p, l, cfg).astype(jnp.float32)
-    if attention_mask is not None:
-        mask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
-        pos_bias = pos_bias + mask
+    mask = (
+        jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
+        if attention_mask is not None
+        else None
+    )
 
     h = x
     for i in range(cfg.num_layers):
         pre = f"encoder.block.{i}"
+        pos_bias = t5_position_bias(p, l, cfg, layer=i).astype(jnp.float32)
+        if mask is not None:
+            pos_bias = pos_bias + mask
         # self attention (T5: no 1/sqrt(d) scaling)
         hn = rms_norm(h, p[f"{pre}.layer.0.layer_norm.weight"], eps=cfg.layer_norm_eps)
         q = linear(hn, p[f"{pre}.layer.0.SelfAttention.q.weight"])
@@ -111,12 +118,13 @@ def init_t5_params(cfg: T5Config = T5_XXL_CONFIG, seed: int = 0, dtype=jnp.float
     p = {
         "shared.weight": w(cfg.vocab_size, cfg.d_model),
         "encoder.final_layer_norm.weight": jnp.ones((cfg.d_model,), dtype=dtype),
-        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight": w(
-            cfg.relative_attention_num_buckets, cfg.num_heads
-        ),
     }
     for i in range(cfg.num_layers):
         pre = f"encoder.block.{i}"
+        if i == 0 or cfg.is_umt5:
+            p[f"{pre}.layer.0.SelfAttention.relative_attention_bias.weight"] = w(
+                cfg.relative_attention_num_buckets, cfg.num_heads
+            )
         p[f"{pre}.layer.0.SelfAttention.q.weight"] = w(inner, cfg.d_model)
         p[f"{pre}.layer.0.SelfAttention.k.weight"] = w(inner, cfg.d_model)
         p[f"{pre}.layer.0.SelfAttention.v.weight"] = w(inner, cfg.d_model)

@@ -197,9 +197,15 @@ def unet_forward(
     context: jnp.ndarray,
     y: Optional[jnp.ndarray] = None,
     cfg: UNetConfig = SD1_UNET_CONFIG,
+    controls=None,
+    control_strength: float = 1.0,
 ) -> jnp.ndarray:
     """x: [B,H,W,C] latent (NHWC), timesteps: [B], context: [B,L,ctx],
-    y: [B, adm_in_channels] (SDXL). Returns eps/v prediction [B,H,W,out]."""
+    y: [B, adm_in_channels] (SDXL). Returns eps/v prediction [B,H,W,out].
+
+    controls: optional (per-input-block residuals, middle residual) from a
+    ControlNet (reference control.hpp), added to skips/middle scaled by
+    control_strength."""
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
     emb = linear(t_emb, p["time_embed.0.weight"], p["time_embed.0.bias"])
     emb = linear(silu(emb), p["time_embed.2.weight"], p["time_embed.2.bias"])
@@ -227,6 +233,11 @@ def unet_forward(
     mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
     h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth)
     h = resblock(p, "middle_block.2", h, emb)
+
+    if controls is not None:
+        block_controls, middle_control = controls
+        h = h + middle_control.astype(h.dtype) * control_strength
+        hs = [s + c.astype(s.dtype) * control_strength for s, c in zip(hs, block_controls)]
 
     for i, blk in enumerate(outputs):
         h = jnp.concatenate([h, hs.pop()], axis=-1)

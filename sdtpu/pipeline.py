@@ -50,6 +50,13 @@ class GenerationResult:
     seeds: list
 
 
+@dataclasses.dataclass
+class VideoResult:
+    frames: np.ndarray  # [B, T, H, W, 3] uint8
+    latents: np.ndarray  # [B, Tl, h, w, zc] float32
+    seeds: list
+
+
 def _method_needs_noise(method: str, eta: float) -> bool:
     if method in ("lcm",):
         return True
@@ -81,6 +88,8 @@ class DiffusionPipeline:
         scale_factor: int = 8,
         compute_dtype=jnp.float32,
         uses_distilled_guidance: bool = False,
+        controlnet_fn=None,
+        temporal_scale: int = 1,
     ):
         self.version = version
         self.diffusion_params = diffusion_params
@@ -95,19 +104,30 @@ class DiffusionPipeline:
         self.scale_factor = scale_factor
         self.compute_dtype = compute_dtype
         self.uses_distilled_guidance = uses_distilled_guidance
+        self.temporal_scale = temporal_scale
+        self.controlnet_fn = controlnet_fn
+        self.controlnet_params = None
         self._program_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
 
+    def set_controlnet(self, params) -> None:
+        """Attach / hot-swap ControlNet weights (reference
+        sd_ctx_set_control_net, stable-diffusion.cpp:3819). Pass None to
+        detach."""
+        self.controlnet_params = params
+
     # ------------------------------------------------------------- programs
 
-    def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float):
-        key = (method, steps, has_uncond, eta)
+    def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float,
+                        use_control: bool = False):
+        key = (method, steps, has_uncond, eta, use_control)
         prog = self._program_cache.get(key)
         if prog is not None:
             return prog
 
         denoiser = self.denoiser
         diffusion_fn = self.diffusion_fn
+        controlnet_fn = self.controlnet_fn
 
         def program(
             params,
@@ -123,6 +143,9 @@ class DiffusionPipeline:
             denoise_mask=None,
             masked_target=None,
             extras=None,
+            cn_params=None,
+            hint=None,
+            control_strength=None,
         ):
             b = x.shape[0]
             extras = extras or {}
@@ -130,11 +153,30 @@ class DiffusionPipeline:
             def model_fn(xt, sigma, i):
                 c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
                 t = denoiser.sigma_to_t_jnp(sigma)
-                x_in = (xt * c_in).astype(self.compute_dtype)
+                x_core = (xt * c_in).astype(self.compute_dtype)
+                x_in = x_core
                 if c_concat is not None:
                     x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
+
+                def apply_model(x_full, x_core_full, tt, ctx, y, ex):
+                    ckw = {}
+                    if use_control:
+                        # per-step ControlNet forward on the scaled model input
+                        # (reference control compute, stable-diffusion.cpp:2605)
+                        h_full = jnp.concatenate(
+                            [hint] * (x_full.shape[0] // hint.shape[0]), axis=0
+                        )
+                        ckw = {
+                            "controls": controlnet_fn(
+                                cn_params, x_core_full, h_full, tt, ctx, y
+                            ),
+                            "control_strength": control_strength,
+                        }
+                    return diffusion_fn(params, x_full, tt, ctx, y, **ex, **ckw)
+
                 if has_uncond:
                     x_both = jnp.concatenate([x_in, x_in], axis=0)
+                    xc_both = jnp.concatenate([x_core, x_core], axis=0)
                     ctx = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
                     y = (
                         jnp.concatenate([y_cond, y_uncond], axis=0)
@@ -143,13 +185,13 @@ class DiffusionPipeline:
                     )
                     tt = jnp.full((2 * b,), t, dtype=jnp.float32)
                     ex2 = {k: jnp.concatenate([v, v], axis=0) for k, v in extras.items()}
-                    out = diffusion_fn(params, x_both, tt, ctx, y, **ex2).astype(jnp.float32)
+                    out = apply_model(x_both, xc_both, tt, ctx, y, ex2).astype(jnp.float32)
                     den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
                     den_cond, den_uncond = den_both[:b], den_both[b:]
                     pred = cfg_combine(den_cond, den_uncond, None, cfg_scale)
                 else:
                     tt = jnp.full((b,), t, dtype=jnp.float32)
-                    out = diffusion_fn(params, x_in, tt, ctx_cond, y_cond, **extras).astype(
+                    out = apply_model(x_in, x_core, tt, ctx_cond, y_cond, extras).astype(
                         jnp.float32
                     )
                     pred = c_skip * xt + c_out * out
@@ -174,13 +216,13 @@ class DiffusionPipeline:
         self._program_cache[key] = program
         return program
 
-    def _jit_sampler(self, method, steps, has_uncond, eta, sigmas):
+    def _jit_sampler(self, method, steps, has_uncond, eta, sigmas, use_control=False):
         """jit with sigmas baked (host-precomputed coefficients)."""
-        key = ("run", method, steps, has_uncond, eta, sigmas.tobytes())
+        key = ("run", method, steps, has_uncond, eta, sigmas.tobytes(), use_control)
         cached = self._program_cache.get(key)
         if cached is not None:
             return cached
-        program = self._sample_program(method, steps, has_uncond, eta)
+        program = self._sample_program(method, steps, has_uncond, eta, use_control)
 
         @jax.jit
         def run(
@@ -196,6 +238,9 @@ class DiffusionPipeline:
             denoise_mask=None,
             masked_target=None,
             extras=None,
+            cn_params=None,
+            hint=None,
+            control_strength=None,
         ):
             return program(
                 params,
@@ -211,6 +256,9 @@ class DiffusionPipeline:
                 denoise_mask=denoise_mask,
                 masked_target=masked_target,
                 extras=extras,
+                cn_params=cn_params,
+                hint=hint,
+                control_strength=control_strength,
             )
 
         self._program_cache[key] = run
@@ -267,6 +315,96 @@ class DiffusionPipeline:
         )
         return self.generate(gp2, init_latent=np.asarray(hi_latent))
 
+    def generate_video(
+        self,
+        gp: GenerationParams,
+        frames: int = 81,
+        init_image: Optional[np.ndarray] = None,
+    ) -> VideoResult:
+        """txt2vid / img2vid (reference generate_video,
+        stable-diffusion.cpp:6374).  frames must satisfy 1+4k for the causal
+        VAE; it is rounded down otherwise.  init_image ([H,W,3]) enables i2v
+        via first-frame latent replacement for TI2V-style models."""
+        t0 = time.time()
+        w, h = gp.width, gp.height
+        lh, lw = h // self.scale_factor, w // self.scale_factor
+        ts = self.temporal_scale
+        frames = max(1, ((frames - 1) // ts) * ts + 1)
+        tl = (frames - 1) // ts + 1
+        bc = gp.batch_count
+
+        cond = self.conditioner.get_learned_condition(
+            gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
+        )
+        has_uncond = gp.cfg_scale != 1.0
+        uncond = (
+            self.conditioner.get_learned_condition(
+                gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h
+            )
+            if has_uncond
+            else None
+        )
+        ctx_c, ctx_u = _match_context(cond, uncond, bc)
+        y_c = _tile(cond.c_vector, bc) if cond.c_vector is not None else None
+        y_u = (
+            _tile(uncond.c_vector, bc)
+            if (uncond is not None and uncond.c_vector is not None)
+            else None
+        )
+
+        sigmas = get_sigmas(
+            self.denoiser,
+            gp.sample_steps,
+            scheduler=gp.schedule,
+            version=self.version.value,
+            image_seq_len=tl * (lh // 2) * (lw // 2),
+        )
+        steps = len(sigmas) - 1
+
+        seeds = [gp.seed + i for i in range(bc)]
+        shape = (tl, lh, lw, self.latent_channels)
+        init_noise = np.empty((bc,) + shape, dtype=np.float32)
+        need_noise = _method_needs_noise(gp.sample_method, gp.eta)
+        step_noise = (
+            np.empty((steps, bc) + shape, dtype=np.float32) if need_noise else None
+        )
+        for bi, s in enumerate(seeds):
+            rng = create_rng(self.rng_type, s)
+            init_noise[bi] = rng.randn_shape(shape)
+            if need_noise:
+                for si in range(steps):
+                    step_noise[si, bi] = rng.randn_shape(shape)
+
+        x0 = np.zeros((bc,) + shape, dtype=np.float32)
+        x = np.asarray(
+            self.denoiser.noise_scaling(np.float32(sigmas[0]), init_noise, x0)
+        )
+
+        run = self._jit_sampler(gp.sample_method, steps, has_uncond, gp.eta, sigmas)
+        latents = run(
+            self.diffusion_params,
+            jnp.asarray(x),
+            jnp.asarray(step_noise) if step_noise is not None else None,
+            ctx_c,
+            ctx_u,
+            y_c,
+            y_u,
+            jnp.float32(gp.cfg_scale),
+        )
+        latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
+        latents = np.asarray(latents, dtype=np.float32)
+        t1 = time.time()
+        log_info(
+            f"video sampling completed in {t1 - t0:.2f}s "
+            f"({steps} steps, {tl}×{lh}×{lw} latent)"
+        )
+
+        decode = self._decode_program()
+        vid = np.asarray(decode(self.vae_params, jnp.asarray(latents)))
+        frames_u8 = np.clip((vid + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+        log_info(f"video decode completed in {time.time() - t1:.2f}s")
+        return VideoResult(frames=frames_u8, latents=latents, seeds=seeds)
+
     def img2img(
         self,
         gp: GenerationParams,
@@ -291,6 +429,8 @@ class DiffusionPipeline:
         init_image: Optional[np.ndarray] = None,
         mask_image: Optional[np.ndarray] = None,
         init_latent: Optional[np.ndarray] = None,
+        control_image: Optional[np.ndarray] = None,
+        control_strength: float = 0.9,
     ) -> GenerationResult:
         t0 = time.time()
         w, h = gp.width, gp.height
@@ -393,8 +533,26 @@ class DiffusionPipeline:
             self.denoiser.noise_scaling(np.float32(sigmas[0]), init_noise, x0)
         )
 
-        run = self._jit_sampler(gp.sample_method, steps, has_uncond, gp.eta, sigmas)
+        use_control = (
+            control_image is not None
+            and self.controlnet_fn is not None
+            and self.controlnet_params is not None
+        )
+        run = self._jit_sampler(
+            gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control
+        )
         kwargs = {}
+        if use_control:
+            hint01 = np.asarray(control_image, dtype=np.float32)
+            if hint01.max() > 1.5:
+                hint01 = hint01 / 255.0
+            if hint01.ndim == 2:
+                hint01 = np.repeat(hint01[..., None], 3, axis=-1)
+            kwargs["cn_params"] = self.controlnet_params
+            kwargs["hint"] = jnp.asarray(
+                np.broadcast_to(hint01[None], (bc, h, w, 3))
+            )
+            kwargs["control_strength"] = jnp.float32(control_strength)
         if self.uses_distilled_guidance:
             kwargs["extras"] = {"guidance": jnp.full((bc,), gp.guidance, dtype=jnp.float32)}
         if c_concat is not None:
