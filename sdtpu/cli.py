@@ -19,7 +19,7 @@ from typing import Optional
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="sdtpu", description="TPU-native stable diffusion")
     ap.add_argument("mode", nargs="?", default="img_gen",
-                    choices=["img_gen", "convert", "metadata"])
+                    choices=["img_gen", "vid_gen", "convert", "metadata"])
     # model files (reference sd_ctx_params)
     ap.add_argument("-m", "--model", help="full checkpoint (safetensors/gguf/ckpt)")
     ap.add_argument("--diffusion-model", help="standalone diffusion model file")
@@ -55,9 +55,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="apply canny preprocessing to the control image")
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
+    # video (vid_gen mode)
+    ap.add_argument("--video-frames", type=int, default=81, help="frame count (1+4k)")
+    ap.add_argument("--fps", type=int, default=16)
+    ap.add_argument("--flow-shift", type=float, default=None)
     # output
     ap.add_argument("-o", "--output", default="output.png")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--dtype", default=None, choices=["f32", "f16", "bf16"],
+                    help="compute dtype (default: bf16 on TPU, f32 elsewhere)")
+    ap.add_argument("--no-progress", action="store_true",
+                    help="disable the per-step progress bar (fastest path: "
+                    "the whole sigma schedule runs as one on-device scan)")
     # convert mode
     ap.add_argument("--output-type", default="f16", help="convert: f32/f16/bf16/q8_0")
     return ap
@@ -93,6 +102,8 @@ def main(argv=None) -> int:
 
     if args.mode == "convert":
         return _convert(args)
+    if args.mode == "vid_gen":
+        return _vid_gen(args)
 
     return _img_gen(args)
 
@@ -123,7 +134,10 @@ def _load_pipeline(args):
     )
     import jax
 
-    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    if args.dtype:
+        dtype = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}[args.dtype]
+    else:
+        dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
     params = {
         "diffusion": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.diffusion.items()},
         "clip_l": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.clip_l.items()} or None,
@@ -133,8 +147,27 @@ def _load_pipeline(args):
     }
     params = {k: v for k, v in params.items() if v}
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
-                           t5_tokenizer=t5_tok)
+                           t5_tokenizer=t5_tok, flow_shift=args.flow_shift)
     return pipe, params
+
+
+def _progress_cb(args):
+    """Per-step progress printer (reference pretty_progress); None when
+    --no-progress keeps the monolithic on-device scan."""
+    if args.no_progress:
+        return None
+    import time as _time
+
+    from sdtpu.utils import pretty_progress
+
+    state = {"t": _time.time()}
+
+    def cb(step, steps, _x):
+        now = _time.time()
+        pretty_progress(step, steps, now - state["t"])
+        state["t"] = now
+
+    return cb
 
 
 def _img_gen(args) -> int:
@@ -207,6 +240,7 @@ def _img_gen(args) -> int:
         mask_image=mask_image,
         control_image=control_image,
         control_strength=args.control_strength,
+        progress_callback=_progress_cb(args),
     )
     print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")
 
@@ -218,6 +252,40 @@ def _img_gen(args) -> int:
         )
         write_png(path, img, parameters=meta)
         print(f"saved {path}")
+    return 0
+
+
+def _vid_gen(args) -> int:
+    """Video generation (reference sd-cli vid_gen mode). Output container
+    from the -o extension: .avi (MJPG), .webp, .gif, or per-frame PNGs."""
+    from sdtpu.config import GenerationParams
+    from sdtpu.utils.image import read_png
+    from sdtpu.utils.video import write_video
+
+    prompt, _ = extract_loras(args.prompt)
+    pipe, _params = _load_pipeline(args)
+    gp = GenerationParams(
+        prompt=prompt,
+        negative_prompt=args.negative_prompt,
+        width=args.width,
+        height=args.height,
+        sample_steps=args.steps,
+        cfg_scale=args.cfg_scale,
+        sample_method=args.sampling_method,
+        schedule=args.schedule,
+        seed=args.seed,
+        clip_skip=args.clip_skip,
+        eta=args.eta,
+    )
+    init_image = None
+    if args.init_img:
+        init_image, _ = read_png(args.init_img)
+    t0 = time.time()
+    res = pipe.generate_video(gp, frames=args.video_frames, init_image=init_image)
+    print(f"generated {res.frames.shape[1]} frames in {time.time() - t0:.2f}s")
+    out = args.output if args.output != "output.png" else "output.avi"
+    write_video(out, res.frames[0], fps=args.fps)
+    print(f"saved {out}")
     return 0
 
 

@@ -690,16 +690,25 @@ def sample_stepwise(
     is_flow: bool = False,
     extra_args: Optional[dict] = None,
     step_callback: Optional[Callable] = None,
+    jit_step: bool = False,
 ) -> jnp.ndarray:
     """Host-driven variant of sample(): same step functions, python loop.
 
     Used when host interaction per step is needed (preview callbacks, step
-    caches, cancellation). step_callback(i, x) is invoked after each step.
+    caches, cancellation). step_callback(i, x) is invoked after each step;
+    returning False cancels. jit_step=True compiles the step function ONCE
+    (per-step values are traced args with constant shapes), so the python
+    loop only pays a dispatch per step — use for production progress/preview;
+    leave False for step caches whose model_fn skips steps host-side.
     """
     step, carry, per_step = build_sampler(model_fn, x, sigmas, method, noises, eta, is_flow, extra_args)
+    if jit_step:
+        import jax
+
+        step = jax.jit(step)
     n = len(np.asarray(sigmas)) - 1
     for i in range(n):
-        s = {k: v[i] for k, v in per_step.items()}
+        s = {k: jnp.asarray(v[i]) for k, v in per_step.items()}
         carry = step(carry, s)
         if step_callback is not None:
             if step_callback(i, carry["x"]) is False:

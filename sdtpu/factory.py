@@ -247,6 +247,40 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
     )
 
 
+def _detect_t5_config(p, t5_mod):
+    """T5/UMT5 config from checkpoint shapes (reference detect_from_weights
+    pattern, src/model/te/llm.hpp:113)."""
+    import dataclasses
+
+    vocab, d_model = p["shared.weight"].shape
+    num_layers = 1 + max(
+        int(k.split(".")[2]) for k in p if k.startswith("encoder.block.")
+    )
+    num_heads = p[
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    ].shape[1]
+    inner = p["encoder.block.0.layer.0.SelfAttention.q.weight"].shape[0]
+    d_ff = p["encoder.block.0.layer.1.DenseReluDense.wi_0.weight"].shape[0]
+    is_umt5 = (
+        "encoder.block.1.layer.0.SelfAttention.relative_attention_bias.weight" in p
+    )
+    return t5_mod.T5Config(
+        vocab_size=vocab, d_model=d_model, d_kv=inner // num_heads, d_ff=d_ff,
+        num_layers=num_layers, num_heads=num_heads, is_umt5=is_umt5,
+    )
+
+
+def _detect_wan_vae_config(p, wan_vae_mod):
+    """Wan VAE dims from checkpoint shapes; layout (dim_mult 1,2,4,4 ×
+    num_res_blocks 2) is fixed across published Wan 2.1 VAEs."""
+    dim = p["decoder.head.2.weight"].shape[1]
+    z_dim = p["decoder.conv1.weight"].shape[1]
+    n_res = 0
+    while f"decoder.upsamples.{n_res}.residual.0.gamma" in p:
+        n_res += 1
+    return wan_vae_mod.WanVAEConfig(dim=dim, z_dim=z_dim, num_res_blocks=n_res - 1)
+
+
 def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift):
     """Wan 2.1 T2V (reference construction stable-diffusion.cpp:1098-1135;
     default flow shift 5.0, :1714)."""
@@ -268,9 +302,23 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         vae_cfg = wan_vae_mod.WanVAEConfig(dim=8, z_dim=4, num_res_blocks=1)
         t5_seq = 32
     else:
-        dit_cfg = wan_mod.WAN21_T2V_1_3B_CONFIG
-        t5_cfg = t5_mod.UMT5_XXL_CONFIG
-        vae_cfg = wan_vae_mod.WAN21_VAE_CONFIG
+        if params.get("diffusion"):
+            d = params["diffusion"]
+            dit_cfg = wan_mod.detect_wan_config(
+                d.keys(), {k: tuple(v.shape) for k, v in d.items()}
+            )
+        else:
+            dit_cfg = wan_mod.WAN21_T2V_1_3B_CONFIG
+        t5_cfg = (
+            _detect_t5_config(params["t5"], t5_mod)
+            if params.get("t5")
+            else t5_mod.UMT5_XXL_CONFIG
+        )
+        vae_cfg = (
+            _detect_wan_vae_config(params["vae"], wan_vae_mod)
+            if params.get("vae")
+            else wan_vae_mod.WAN21_VAE_CONFIG
+        )
         t5_seq = 512
 
     dit_params = params.get("diffusion") or wan_mod.init_wan_params(dit_cfg, seed, dtype=dtype)

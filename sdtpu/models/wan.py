@@ -72,7 +72,27 @@ def detect_wan_config(names, shapes, version: str = "wan2.1") -> WanConfig:
         base = WAN22_TI2V_5B_CONFIG
     else:
         base = WAN21_T2V_1_3B_CONFIG
-    return dataclasses.replace(base, in_dim=in_dim or base.in_dim)
+    base = dataclasses.replace(
+        base,
+        in_dim=in_dim or base.in_dim,
+        num_layers=num_layers or base.num_layers,
+        model_type="i2v" if is_i2v else base.model_type,
+    )
+    # prefer exact dims from the weights; every published Wan uses d_head=128
+    dim = shapes.get("patch_embedding.weight", (0,))[0]
+    ffn = shapes.get("blocks.0.ffn.0.weight", (0,))[0]
+    out = shapes.get("head.head.weight", (0,))
+    if dim and dim % 128 == 0:
+        pt, ph, pw = base.patch_size
+        base = dataclasses.replace(
+            base,
+            dim=dim,
+            num_heads=dim // 128,
+            ffn_dim=ffn or base.ffn_dim,
+            out_dim=(out[0] // (pt * ph * pw)) if out[0] else base.out_dim,
+            text_dim=shapes.get("text_embedding.0.weight", (0, base.text_dim))[1],
+        )
+    return base
 
 
 def _wan_attention(p, pre, x, rot, num_heads, eps):

@@ -108,6 +108,7 @@ class DiffusionPipeline:
         self.controlnet_fn = controlnet_fn
         self.controlnet_params = None
         self._program_cache: Dict[tuple, object] = {}
+        self._stepwise_step_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
 
     def set_controlnet(self, params) -> None:
@@ -146,63 +147,127 @@ class DiffusionPipeline:
             cn_params=None,
             hint=None,
             control_strength=None,
+            _stepwise_cb=None,
         ):
             b = x.shape[0]
             extras = extras or {}
+            # model inputs as a pytree so the stepwise path can pass them as
+            # TRACED jit arguments (closing over them would bake all weights
+            # into the compiled step as XLA constants)
+            mi = {
+                "params": params,
+                "ctx_cond": ctx_cond,
+                "ctx_uncond": ctx_uncond,
+                "y_cond": y_cond,
+                "y_uncond": y_uncond,
+                "cfg_scale": cfg_scale,
+                "c_concat": c_concat,
+                "denoise_mask": denoise_mask,
+                "masked_target": masked_target,
+                "extras": extras,
+                "cn_params": cn_params,
+                "hint": hint,
+                "control_strength": control_strength,
+            }
 
-            def model_fn(xt, sigma, i):
-                c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
-                t = denoiser.sigma_to_t_jnp(sigma)
-                x_core = (xt * c_in).astype(self.compute_dtype)
-                x_in = x_core
-                if c_concat is not None:
-                    x_in = jnp.concatenate([x_in, c_concat.astype(x_in.dtype)], axis=-1)
-
-                def apply_model(x_full, x_core_full, tt, ctx, y, ex):
-                    ckw = {}
-                    if use_control:
-                        # per-step ControlNet forward on the scaled model input
-                        # (reference control compute, stable-diffusion.cpp:2605)
-                        h_full = jnp.concatenate(
-                            [hint] * (x_full.shape[0] // hint.shape[0]), axis=0
+            def make_model_fn(mi):
+                def model_fn(xt, sigma, i):
+                    c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
+                    t = denoiser.sigma_to_t_jnp(sigma)
+                    x_core = (xt * c_in).astype(self.compute_dtype)
+                    x_in = x_core
+                    if mi["c_concat"] is not None:
+                        x_in = jnp.concatenate(
+                            [x_in, mi["c_concat"].astype(x_in.dtype)], axis=-1
                         )
-                        ckw = {
-                            "controls": controlnet_fn(
-                                cn_params, x_core_full, h_full, tt, ctx, y
-                            ),
-                            "control_strength": control_strength,
+
+                    def apply_model(x_full, x_core_full, tt, ctx, y, ex):
+                        ckw = {}
+                        if use_control:
+                            # per-step ControlNet forward on the scaled model
+                            # input (reference stable-diffusion.cpp:2605)
+                            hint_ = mi["hint"]
+                            h_full = jnp.concatenate(
+                                [hint_] * (x_full.shape[0] // hint_.shape[0]), axis=0
+                            )
+                            ckw = {
+                                "controls": controlnet_fn(
+                                    mi["cn_params"], x_core_full, h_full, tt, ctx, y
+                                ),
+                                "control_strength": mi["control_strength"],
+                            }
+                        return diffusion_fn(mi["params"], x_full, tt, ctx, y, **ex, **ckw)
+
+                    if has_uncond:
+                        x_both = jnp.concatenate([x_in, x_in], axis=0)
+                        xc_both = jnp.concatenate([x_core, x_core], axis=0)
+                        ctx = jnp.concatenate([mi["ctx_cond"], mi["ctx_uncond"]], axis=0)
+                        y = (
+                            jnp.concatenate([mi["y_cond"], mi["y_uncond"]], axis=0)
+                            if mi["y_cond"] is not None
+                            else None
+                        )
+                        tt = jnp.full((2 * b,), t, dtype=jnp.float32)
+                        ex2 = {
+                            k: jnp.concatenate([v, v], axis=0)
+                            for k, v in mi["extras"].items()
                         }
-                    return diffusion_fn(params, x_full, tt, ctx, y, **ex, **ckw)
+                        out = apply_model(x_both, xc_both, tt, ctx, y, ex2).astype(
+                            jnp.float32
+                        )
+                        den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
+                        den_cond, den_uncond = den_both[:b], den_both[b:]
+                        pred = cfg_combine(den_cond, den_uncond, None, mi["cfg_scale"])
+                    else:
+                        tt = jnp.full((b,), t, dtype=jnp.float32)
+                        out = apply_model(
+                            x_in, x_core, tt, mi["ctx_cond"], mi["y_cond"], mi["extras"]
+                        ).astype(jnp.float32)
+                        pred = c_skip * xt + c_out * out
+                        den_uncond = pred
+                    if mi["denoise_mask"] is not None:
+                        # preserve unmasked regions (reference mask blend, :2691)
+                        pred = pred * mi["denoise_mask"] + mi["masked_target"] * (
+                            1.0 - mi["denoise_mask"]
+                        )
+                    return pred, den_uncond
 
-                if has_uncond:
-                    x_both = jnp.concatenate([x_in, x_in], axis=0)
-                    xc_both = jnp.concatenate([x_core, x_core], axis=0)
-                    ctx = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
-                    y = (
-                        jnp.concatenate([y_cond, y_uncond], axis=0)
-                        if y_cond is not None
-                        else None
-                    )
-                    tt = jnp.full((2 * b,), t, dtype=jnp.float32)
-                    ex2 = {k: jnp.concatenate([v, v], axis=0) for k, v in extras.items()}
-                    out = apply_model(x_both, xc_both, tt, ctx, y, ex2).astype(jnp.float32)
-                    den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
-                    den_cond, den_uncond = den_both[:b], den_both[b:]
-                    pred = cfg_combine(den_cond, den_uncond, None, cfg_scale)
-                else:
-                    tt = jnp.full((b,), t, dtype=jnp.float32)
-                    out = apply_model(x_in, x_core, tt, ctx_cond, y_cond, extras).astype(
-                        jnp.float32
-                    )
-                    pred = c_skip * xt + c_out * out
-                    den_uncond = pred
-                if denoise_mask is not None:
-                    # preserve unmasked regions (reference mask blend, :2691)
-                    pred = pred * denoise_mask + masked_target * (1.0 - denoise_mask)
-                return pred, den_uncond
+                return model_fn
 
+            if _stepwise_cb is not None:
+                # host-driven loop: one compiled step + per-step callback
+                # (progress / preview / cancellation — reference sample loop
+                # callbacks, stable-diffusion.cpp:2788).  The step is compiled
+                # once with the model inputs as traced arguments.
+                from sdtpu.diffusion.samplers import build_sampler
+
+                _, carry, per_step = build_sampler(
+                    make_model_fn(mi), x, sigmas, method, noises, eta, denoiser.is_flow
+                )
+                jit_step = self._stepwise_step_cache.get(key)
+                if jit_step is None:
+
+                    @jax.jit
+                    def jit_step(mi, carry, s):
+                        step, _, _ = build_sampler(
+                            make_model_fn(mi), carry["x"], sigmas, method,
+                            None, eta, denoiser.is_flow,
+                        )
+                        return step(carry, s)
+
+                    self._stepwise_step_cache[key] = jit_step
+                n = len(np.asarray(sigmas)) - 1
+                for i in range(n):
+                    s = {k: jnp.asarray(v[i]) for k, v in per_step.items()}
+                    carry = jit_step(mi, carry, s)
+                    # block so progress rates / cancellation track real
+                    # compute, not async dispatch
+                    jax.block_until_ready(carry["x"])
+                    if _stepwise_cb(i, carry["x"]) is False:
+                        break
+                return carry["x"]
             return sample(
-                model_fn,
+                make_model_fn(mi),
                 x,
                 sigmas,
                 method=method,
@@ -431,7 +496,17 @@ class DiffusionPipeline:
         init_latent: Optional[np.ndarray] = None,
         control_image: Optional[np.ndarray] = None,
         control_strength: float = 0.9,
+        progress_callback=None,
+        preview_callback=None,
+        preview_interval: int = 1,
+        cancel_check=None,
     ) -> GenerationResult:
+        """progress_callback(step, steps, x) → False cancels (reference
+        sd_set_progress_callback); preview_callback(step, latent_np) receives
+        the current latent every preview_interval steps (reference
+        sd_set_preview_callback); cancel_check() → True aborts between steps.
+        Any of these switches sampling from the monolithic on-device scan to
+        a host-driven loop with one compiled step."""
         t0 = time.time()
         w, h = gp.width, gp.height
         lh, lw = h // self.scale_factor, w // self.scale_factor
@@ -538,9 +613,35 @@ class DiffusionPipeline:
             and self.controlnet_fn is not None
             and self.controlnet_params is not None
         )
-        run = self._jit_sampler(
-            gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control
+        stepwise = (
+            progress_callback is not None
+            or preview_callback is not None
+            or cancel_check is not None
         )
+        if stepwise:
+            program = self._sample_program(
+                gp.sample_method, steps, has_uncond, gp.eta, use_control
+            )
+
+            def _cb(i, xi):
+                if cancel_check is not None and cancel_check():
+                    return False
+                if progress_callback is not None:
+                    if progress_callback(i + 1, steps, xi) is False:
+                        return False
+                if preview_callback is not None and (i + 1) % preview_interval == 0:
+                    preview_callback(i + 1, np.asarray(xi, dtype=np.float32))
+                return True
+
+            def run(params, x, noises, ctx_c, ctx_u, yc, yu, cfgs, **kw):
+                return program(
+                    params, x, sigmas, noises, ctx_c, ctx_u, yc, yu, cfgs,
+                    _stepwise_cb=_cb, **kw,
+                )
+        else:
+            run = self._jit_sampler(
+                gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control
+            )
         kwargs = {}
         if use_control:
             hint01 = np.asarray(control_image, dtype=np.float32)

@@ -34,6 +34,12 @@ class Job:
         self.error = None
         self.cancel_requested = threading.Event()
         self.created = time.time()
+        self.step = 0
+        self.steps = 0
+
+    @property
+    def progress(self) -> float:
+        return self.step / self.steps if self.steps else 0.0
 
 
 class JobManager:
@@ -81,8 +87,10 @@ class JobManager:
                     if job.cancel_requested.is_set():
                         job.status = "cancelled"
                         continue
-                    job.images = run_generation(self.pipeline, job.params)
-                    job.status = "completed"
+                    job.images = run_generation(self.pipeline, job.params, job=job)
+                    job.status = (
+                        "cancelled" if job.cancel_requested.is_set() else "completed"
+                    )
             except Exception as e:  # noqa: BLE001 — job error surface
                 job.error = str(e)
                 job.status = "failed"
@@ -110,7 +118,7 @@ def params_from_json(data: dict) -> GenerationParams:
     )
 
 
-def run_generation(pipeline, data: dict):
+def run_generation(pipeline, data: dict, job: Optional[Job] = None):
     from sdtpu.utils.image import base64_png_to_image, build_parameters_text, image_to_base64_png
 
     gp = params_from_json(data)
@@ -122,7 +130,16 @@ def run_generation(pipeline, data: dict):
         init_image = base64_png_to_image(init_b64)
     if data.get("mask"):
         mask_image = base64_png_to_image(data["mask"])[..., 0]
-    res = pipeline.generate(gp, init_image=init_image, mask_image=mask_image)
+    kw = {}
+    if job is not None:
+        # per-step progress + mid-run cancellation (reference
+        # async_jobs.h:44-46 + cancellation polling, stable-diffusion.cpp:2532)
+        def _progress(step, steps, _x):
+            job.step, job.steps = step, steps
+
+        kw["progress_callback"] = _progress
+        kw["cancel_check"] = job.cancel_requested.is_set
+    res = pipeline.generate(gp, init_image=init_image, mask_image=mask_image, **kw)
     out = []
     for i, img in enumerate(res.images):
         meta = build_parameters_text(
@@ -145,11 +162,20 @@ def make_handler(manager: JobManager):
             self.end_headers()
             self.wfile.write(body)
 
-        def _read_json(self) -> dict:
+        def _read_json(self) -> Optional[dict]:
+            """→ parsed body, or None after replying 400 to a bad payload."""
             n = int(self.headers.get("Content-Length", 0))
             if n == 0:
                 return {}
-            return json.loads(self.rfile.read(n))
+            try:
+                body = json.loads(self.rfile.read(n))
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                self._json({"error": f"invalid json: {e}"}, 400)
+                return None
+            if not isinstance(body, dict):
+                self._json({"error": "request body must be a json object"}, 400)
+                return None
+            return body
 
         # ----------------------------------------------------------- GET
         def do_GET(self):
@@ -169,7 +195,14 @@ def make_handler(manager: JobManager):
                 if job is None:
                     self._json({"error": "not found"}, 404)
                     return
-                out = {"id": job.id, "status": job.status, "error": job.error}
+                out = {
+                    "id": job.id,
+                    "status": job.status,
+                    "error": job.error,
+                    "progress": job.progress,
+                    "step": job.step,
+                    "steps": job.steps,
+                }
                 if job.status == "completed":
                     out["images"] = job.images
                 self._json(out)
@@ -182,8 +215,18 @@ def make_handler(manager: JobManager):
             elif p == "/sdapi/v1/options":
                 self._json({"sd_model_checkpoint": "loaded"})
             elif p == "/sdapi/v1/progress":
-                running = any(j.status == "running" for j in manager.jobs.values())
-                self._json({"progress": 0.5 if running else 0.0, "state": {}})
+                running = [j for j in manager.jobs.values() if j.status == "running"]
+                j = running[0] if running else None
+                self._json(
+                    {
+                        "progress": j.progress if j else 0.0,
+                        "state": (
+                            {"sampling_step": j.step, "sampling_steps": j.steps}
+                            if j
+                            else {}
+                        ),
+                    }
+                )
             elif p == "/v1/models":
                 self._json({"object": "list", "data": [{"id": "sdtpu", "object": "model"}]})
             elif p == "/" or p == "/index.html":
@@ -195,7 +238,10 @@ def make_handler(manager: JobManager):
         def do_POST(self):
             p = self.path.split("?")[0]
             if p == "/sdcpp/v1/img_gen":
-                job = manager.submit(self._read_json())
+                data = self._read_json()
+                if data is None:
+                    return
+                job = manager.submit(data)
                 self._json({"id": job.id, "status": job.status}, 202)
             elif p.startswith("/sdcpp/v1/jobs/") and p.endswith("/cancel"):
                 job_id = p.split("/")[-2]
@@ -203,11 +249,15 @@ def make_handler(manager: JobManager):
                 self._json({"cancelled": ok}, 200 if ok else 404)
             elif p in ("/sdapi/v1/txt2img", "/sdapi/v1/img2img"):
                 data = self._read_json()
+                if data is None:
+                    return
                 with manager.ctx_mutex:
                     images = run_generation(manager.pipeline, data)
                 self._json({"images": images, "parameters": data, "info": "{}"})
             elif p == "/v1/images/generations":
                 data = self._read_json()
+                if data is None:
+                    return
                 req = {
                     "prompt": data.get("prompt", ""),
                     "batch_count": int(data.get("n", 1)),

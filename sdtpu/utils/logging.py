@@ -46,3 +46,18 @@ def log_warn(msg: str) -> None:
 
 def log_error(msg: str) -> None:
     _log("error", msg)
+
+
+def pretty_progress(step: int, steps: int, time_per_step: float) -> None:
+    """In-place progress bar (reference pretty_progress, src/core/util.cpp):
+    |====>     | 5/20 - 2.10it/s."""
+    width = 50
+    filled = int(width * step / max(steps, 1))
+    bar = "=" * max(filled - 1, 0) + (">" if 0 < filled < width else "=" * min(filled, 1))
+    bar = bar.ljust(width)
+    if time_per_step >= 1.0 or time_per_step <= 0:
+        rate = f"{time_per_step:.2f}s/it"
+    else:
+        rate = f"{1.0 / time_per_step:.2f}it/s"
+    end = "\n" if step == steps else ""
+    print(f"\r|{bar}| {step}/{steps} - {rate}", end=end, file=sys.stderr, flush=True)
