@@ -84,3 +84,33 @@ def test_quant_flux_forward():
     )
     rel = np.abs(quant - dense).max() / (np.abs(dense).max() + 1e-6)
     assert rel < 0.2, rel
+
+
+def test_w8a8_matmul_accuracy():
+    """W8A8 (dynamic per-token activations × per-channel weights) must track
+    the f32 reference within int8 quantization error."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sdtpu.ops.quant import quant_matmul_w8a8, quantize_per_channel
+
+    g = np.random.default_rng(0)
+    w = g.standard_normal((256, 512)).astype(np.float32) * 0.05
+    x = g.standard_normal((64, 512)).astype(np.float32)
+    qt = quantize_per_channel(w)
+    ref = x @ w.T
+    out = np.asarray(quant_matmul_w8a8(jnp.asarray(x), qt), dtype=np.float32)
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+
+def test_w8a8_zero_rows():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sdtpu.ops.quant import quant_matmul_w8a8, quantize_per_channel
+
+    qt = quantize_per_channel(np.ones((8, 16), dtype=np.float32))
+    x = jnp.zeros((4, 16))
+    out = np.asarray(quant_matmul_w8a8(x, qt))
+    assert (out == 0).all()
