@@ -17,13 +17,26 @@ from typing import Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# column-parallel (shard output dim 0 of torch [out,in] weights)
+# column-parallel (shard output dim 0 of torch [out,in] weights) — UNet
+# attention/GEGLU, FLUX fused qkv/mlp/single-stream linear1, Wan/MMDiT
+# q/k/v + ffn in-proj, T5 q/k/v + gated-FF in-projections
 _COL_PAT = re.compile(
-    r"(to_q|to_k|to_v|q_proj|k_proj|v_proj|ff\.net\.0\.proj|mlp\.fc1)\.weight$"
+    r"(to_q|to_k|to_v|q_proj|k_proj|v_proj|ff\.net\.0\.proj|mlp\.fc1"
+    r"|attn\.qkv|self_attn\.[qkv]|cross_attn\.(q|k|v|k_img|v_img)|ffn\.0"
+    r"|img_mlp\.0|txt_mlp\.0|linear1|SelfAttention\.[qkv]"
+    r"|DenseReluDense\.wi_0|DenseReluDense\.wi_1)\.weight$"
 )
-_COL_BIAS_PAT = re.compile(r"(q_proj|k_proj|v_proj|ff\.net\.0\.proj|mlp\.fc1)\.bias$")
+_COL_BIAS_PAT = re.compile(
+    r"(q_proj|k_proj|v_proj|ff\.net\.0\.proj|mlp\.fc1|attn\.qkv"
+    r"|self_attn\.[qkv]|cross_attn\.(q|k|v|k_img|v_img)|ffn\.0"
+    r"|img_mlp\.0|txt_mlp\.0|linear1)\.bias$"
+)
 # row-parallel (shard input dim 1; output gathered by psum)
-_ROW_PAT = re.compile(r"(to_out\.0|out_proj|ff\.net\.2|mlp\.fc2)\.weight$")
+_ROW_PAT = re.compile(
+    r"(to_out\.0|out_proj|ff\.net\.2|mlp\.fc2|attn\.proj|self_attn\.o"
+    r"|cross_attn\.o|ffn\.2|img_mlp\.2|txt_mlp\.2|linear2"
+    r"|SelfAttention\.o|DenseReluDense\.wo)\.weight$"
+)
 
 
 def unet_partition_specs(params: Dict[str, object], tp_axis: str = "tp") -> Dict[str, P]:

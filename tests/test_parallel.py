@@ -59,3 +59,67 @@ def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_ring_attention_matches_dense():
+    """Ring attention over an 8-way sequence shard == plain attention."""
+    from sdtpu.ops.attention import attention
+    from sdtpu.parallel import create_mesh, ring_attention
+
+    mesh = create_mesh((8,), ("sp",), devices=jax.devices("cpu"))
+    rng = np.random.default_rng(0)
+    b, h, l, d = 2, 4, 64, 16  # l divisible by 8
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), dtype=jnp.float32)
+
+    ref = np.asarray(attention(q, k, v, flash=False))
+    out = np.asarray(ring_attention(q, k, v, mesh, axis="sp"))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_single_device():
+    from sdtpu.ops.attention import attention
+    from sdtpu.parallel import create_mesh, ring_attention
+
+    mesh = create_mesh((1,), ("sp",), devices=jax.devices("cpu")[:1])
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 2, 16, 8)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 16, 8)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 16, 8)), dtype=jnp.float32)
+    ref = np.asarray(attention(q, k, v, flash=False))
+    out = np.asarray(ring_attention(q, k, v, mesh, axis="sp"))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_dit_partition_specs():
+    from jax.sharding import PartitionSpec as P
+
+    from sdtpu.parallel import partition_specs
+
+    params = {
+        "double_blocks.0.img_attn.qkv.weight": jnp.zeros((192, 64)),
+        "double_blocks.0.img_attn.proj.weight": jnp.zeros((64, 64)),
+        "double_blocks.0.img_mlp.0.weight": jnp.zeros((256, 64)),
+        "single_blocks.0.linear1.weight": jnp.zeros((448, 64)),
+        "single_blocks.0.linear2.weight": jnp.zeros((64, 320)),
+        "blocks.0.self_attn.q.weight": jnp.zeros((64, 64)),
+        "blocks.0.self_attn.o.weight": jnp.zeros((64, 64)),
+        "blocks.0.ffn.0.weight": jnp.zeros((256, 64)),
+        "blocks.0.ffn.2.weight": jnp.zeros((64, 256)),
+        "encoder.block.0.layer.0.SelfAttention.q.weight": jnp.zeros((64, 64)),
+        "encoder.block.0.layer.1.DenseReluDense.wo.weight": jnp.zeros((64, 128)),
+        "blocks.0.modulation": jnp.zeros((1, 6, 64)),
+    }
+    specs = partition_specs(params)
+    assert specs["double_blocks.0.img_attn.qkv.weight"] == P("tp", None)
+    assert specs["double_blocks.0.img_attn.proj.weight"] == P(None, "tp")
+    assert specs["single_blocks.0.linear1.weight"] == P("tp", None)
+    assert specs["single_blocks.0.linear2.weight"] == P(None, "tp")
+    assert specs["blocks.0.self_attn.q.weight"] == P("tp", None)
+    assert specs["blocks.0.self_attn.o.weight"] == P(None, "tp")
+    assert specs["blocks.0.ffn.0.weight"] == P("tp", None)
+    assert specs["blocks.0.ffn.2.weight"] == P(None, "tp")
+    assert specs["encoder.block.0.layer.0.SelfAttention.q.weight"] == P("tp", None)
+    assert specs["encoder.block.0.layer.1.DenseReluDense.wo.weight"] == P(None, "tp")
+    assert specs["blocks.0.modulation"] == P()
