@@ -43,10 +43,11 @@ def main():
                 shared[("b", o)] = jnp.zeros((o,), dtype=jnp.bfloat16)
             p[f"{name}.bias"] = shared[("b", o)]
 
-    def scale(name):
-        if "scale" not in shared:
-            shared["scale"] = jnp.ones((d_head,), dtype=jnp.bfloat16)
-        p[name] = shared["scale"]
+    def scale(name, dim=None):
+        key = ("scale", dim or d_head)
+        if key not in shared:
+            shared[key] = jnp.ones((dim or d_head,), dtype=jnp.bfloat16)
+        p[name] = shared[key]
 
     _flux_param_walk(cfg, lin, scale)
 

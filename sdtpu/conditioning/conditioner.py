@@ -303,3 +303,53 @@ class WanConditioner:
             jnp.asarray(np.asarray(w, dtype=np.float32)[None]),
         )
         return SDCondition(c_crossattn=h)
+
+
+class ChromaConditioner:
+    """Chroma: T5-XXL only; c_vector carries the float token mask (0 / -inf)
+    consumed by the DiT as an attention bias over txt tokens, with mask_pad
+    extra padding tokens kept attendable (reference T5CLIPEmbedder
+    constructed with use_mask=false, mask_pad=1 at stable-diffusion.cpp:1037,
+    modify_mask_to_attend_padding conditioner.hpp)."""
+
+    def __init__(self, t5_tokenizer, t5_params, t5_cfg, seq_len: int = 512,
+                 mask_pad: int = 1):
+        self.t5_tokenizer = t5_tokenizer
+        self.pt, self.ct = t5_params, t5_cfg
+        self.seq_len = seq_len
+        self.mask_pad = mask_pad
+
+        from sdtpu.models.t5 import t5_encoder_forward
+
+        def fwd(pt, ids, w):
+            h = t5_encoder_forward(pt, ids, self.ct)
+            return apply_token_weights(h, w)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        ids: List[int] = []
+        w: List[float] = []
+        if self.t5_tokenizer is not None:
+            for span, weight in parse_prompt_attention(text):
+                span_ids = self.t5_tokenizer.encode(span)
+                ids.extend(span_ids)
+                w.extend([weight] * len(span_ids))
+            ids.append(self.t5_tokenizer.eos_token_id)
+            w.append(1.0)
+            ids, mask01 = self.t5_tokenizer.pad(ids, self.seq_len)
+        else:
+            ids, mask01 = [0] * self.seq_len, [1] * self.seq_len
+        w = (w + [1.0] * self.seq_len)[: self.seq_len]
+        h = self._jit_forward(
+            self.pt,
+            jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(np.asarray(w, dtype=np.float32)[None]),
+        )
+        mask = np.where(np.asarray(mask01, dtype=np.float32) > 0, 0.0, -np.inf)
+        # keep mask_pad padding tokens attendable
+        pad_idx = np.where(np.isinf(mask))[0][: self.mask_pad]
+        mask[pad_idx] = 0.0
+        return SDCondition(
+            c_crossattn=h, c_vector=jnp.asarray(mask.astype(np.float32)[None])
+        )

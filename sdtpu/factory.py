@@ -82,9 +82,10 @@ def create_pipeline(
         return _create_sd3_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift
         )
-    if version in (SDVersion.FLUX, SDVersion.FLUX_FILL):
+    if version in (SDVersion.FLUX, SDVersion.FLUX_FILL, SDVersion.CHROMA):
         return _create_flux_pipeline(
-            params, rng_type, dtype, small, seed, t5_tokenizer
+            params, rng_type, dtype, small, seed, t5_tokenizer,
+            is_chroma=version == SDVersion.CHROMA,
         )
     if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
         return _create_wan_pipeline(
@@ -171,10 +172,11 @@ def create_pipeline(
     return pipe
 
 
-def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
+def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
+                          is_chroma: bool = False):
     import dataclasses
 
-    from sdtpu.conditioning.conditioner import FluxConditioner
+    from sdtpu.conditioning.conditioner import ChromaConditioner, FluxConditioner
     from sdtpu.diffusion.denoiser import FluxFlowDenoiser
     from sdtpu.models import flux as flux_mod
     from sdtpu.models import t5 as t5_mod
@@ -188,7 +190,9 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
             depth_single=2,
             axes_dim=(8, 12, 12),
             context_in_dim=96,
-            vec_in_dim=48,
+            vec_in_dim=0 if is_chroma else 48,
+            guidance_embed=not is_chroma,
+            is_chroma=is_chroma,
         )
         clip_l_cfg = dataclasses.replace(
             clip_mod.CLIP_L_CONFIG,
@@ -206,21 +210,26 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
         )
         t5_seq = 32
     else:
-        dit_cfg = flux_mod.FLUX_DEV_CONFIG
+        dit_cfg = flux_mod.CHROMA_CONFIG if is_chroma else flux_mod.FLUX_DEV_CONFIG
         clip_l_cfg = clip_mod.CLIP_L_CONFIG
         t5_cfg = t5_mod.T5_XXL_CONFIG
         vae_cfg = vae_mod.FLUX_VAE_CONFIG
         t5_seq = 256
 
     dit_params = params.get("diffusion") or flux_mod.init_flux_params(dit_cfg, seed, dtype=dtype)
-    clip_l_params = params.get("clip_l") or clip_mod.init_clip_params(clip_l_cfg, seed, dtype=dtype)
     t5_params = params.get("t5") or t5_mod.init_t5_params(t5_cfg, seed + 2, dtype=dtype)
     vae_params = params.get("vae") or vae_mod.init_vae_params(vae_cfg, seed=seed, dtype=dtype)
 
-    conditioner = FluxConditioner(
-        CLIPTokenizer(), t5_tokenizer, clip_l_params, clip_l_cfg, t5_params, t5_cfg,
-        t5_seq_len=t5_seq,
-    )
+    if is_chroma:
+        conditioner = ChromaConditioner(t5_tokenizer, t5_params, t5_cfg, seq_len=t5_seq)
+    else:
+        clip_l_params = params.get("clip_l") or clip_mod.init_clip_params(
+            clip_l_cfg, seed, dtype=dtype
+        )
+        conditioner = FluxConditioner(
+            CLIPTokenizer(), t5_tokenizer, clip_l_params, clip_l_cfg, t5_params, t5_cfg,
+            t5_seq_len=t5_seq,
+        )
 
     def diffusion_fn(p, x, t, ctx, y, guidance=None):
         return flux_mod.flux_forward(p, x, t, ctx, y, guidance=guidance, cfg=dit_cfg)
@@ -232,7 +241,7 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer):
         return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
 
     return DiffusionPipeline(
-        version=SDVersion.FLUX,
+        version=SDVersion.CHROMA if is_chroma else SDVersion.FLUX,
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
         conditioner=conditioner,

@@ -37,10 +37,44 @@ class FluxConfig:
     context_in_dim: int = 4096
     vec_in_dim: int = 768
     guidance_embed: bool = True  # dev; schnell = False
+    is_chroma: bool = False  # Chroma: distilled modulation + T5 mask
 
 
 FLUX_DEV_CONFIG = FluxConfig()
 FLUX_SCHNELL_CONFIG = FluxConfig(guidance_embed=False)
+CHROMA_CONFIG = FluxConfig(guidance_embed=False, vec_in_dim=0, is_chroma=True)
+
+# Chroma distilled-modulation table layout (reference flux.hpp:480-489,637,722):
+#   single block i      → 1 mod  at 3*i
+#   double block i, img → 2 mods at 6*i + 3*n_single
+#   double block i, txt → 2 mods at 6*i + 6*n_double + 3*n_single
+#   final layer         → (shift, scale) at the last 2 rows
+CHROMA_APPROX_DEPTH = 5
+CHROMA_APPROX_INNER = 5120
+
+
+def _chroma_mod_vectors(p, timesteps, guidance, cfg, dtype):
+    """→ [B, 344, hidden] modulation table from the ChromaApproximator
+    (reference flux.hpp:759,1029-1049)."""
+    n_mod = 3 * cfg.depth_single + 12 * cfg.depth + 2
+    b = timesteps.shape[0]
+    dt = timestep_embedding(timesteps * 1000.0, 16)  # [B,16]
+    dg = timestep_embedding(
+        (guidance if guidance is not None else jnp.zeros_like(timesteps)) * 1000.0, 16
+    )
+    idx = timestep_embedding(jnp.arange(n_mod, dtype=jnp.float32) * 1000.0, 32)  # [n,32]
+    tg = jnp.concatenate([dt, dg], axis=-1)  # [B,32]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(tg[:, None, :], (b, n_mod, 32)),
+         jnp.broadcast_to(idx[None], (b, n_mod, 32))],
+        axis=-1,
+    ).astype(dtype)  # [B, n_mod, 64]
+    pre = "distilled_guidance_layer"
+    h = linear(x, p[f"{pre}.in_proj.weight"], p[f"{pre}.in_proj.bias"])
+    for i in range(CHROMA_APPROX_DEPTH):
+        hn = rms_norm(h, p[f"{pre}.norms.{i}.scale"], eps=1e-6)
+        h = h + _mlp_embed(p, f"{pre}.layers.{i}", hn)
+    return linear(h, p[f"{pre}.out_proj.weight"], p[f"{pre}.out_proj.bias"])
 
 
 def rope_freqs(ids: np.ndarray, axes_dim, theta: int) -> np.ndarray:
@@ -117,12 +151,26 @@ def flux_forward(
     txt = linear(context.astype(x.dtype), p["txt_in.weight"], p["txt_in.bias"])
     l_txt = txt.shape[1]
 
-    t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
-    vec = _mlp_embed(p, "time_in", t_emb)
-    if cfg.guidance_embed and guidance is not None:
-        g_emb = timestep_embedding(guidance * 1000.0, 256).astype(x.dtype)
-        vec = vec + _mlp_embed(p, "guidance_in", g_emb)
-    vec = vec + _mlp_embed(p, "vector_in", y.astype(x.dtype))
+    attn_mask = None
+    if cfg.is_chroma:
+        # distilled modulation table replaces time/vector embeds; y carries
+        # the T5 token mask (0 / -inf) padded over the img tokens
+        # (reference flux.hpp:1029-1053)
+        modt = _chroma_mod_vectors(p, timesteps, guidance, cfg, x.dtype)
+        vec = None
+        if y is not None:
+            pad = jnp.zeros((b, hp * wp), dtype=y.dtype)
+            attn_mask = (
+                jnp.concatenate([y, pad], axis=1).astype(jnp.float32)[:, None, None, :]
+            )
+    else:
+        modt = None
+        t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
+        vec = _mlp_embed(p, "time_in", t_emb)
+        if cfg.guidance_embed and guidance is not None:
+            g_emb = timestep_embedding(guidance * 1000.0, 256).astype(x.dtype)
+            vec = vec + _mlp_embed(p, "guidance_in", g_emb)
+        vec = vec + _mlp_embed(p, "vector_in", y.astype(x.dtype))
 
     # RoPE ids: txt zeros; img (0, i, j) — static per shape
     ids = np.zeros((l_txt + hp * wp, 3), dtype=np.int64)
@@ -132,10 +180,19 @@ def flux_forward(
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
     nh = cfg.num_heads
+    ns, nd = cfg.depth_single, cfg.depth
+
+    def _mods(base, n):
+        return [modt[:, base + j] for j in range(n)]
+
     for i in range(cfg.depth):
         pre = f"double_blocks.{i}"
-        img_mods = _modulation(p, f"{pre}.img_mod", vec, 6)
-        txt_mods = _modulation(p, f"{pre}.txt_mod", vec, 6)
+        if cfg.is_chroma:
+            img_mods = _mods(6 * i + 3 * ns, 6)
+            txt_mods = _mods(6 * i + 6 * nd + 3 * ns, 6)
+        else:
+            img_mods = _modulation(p, f"{pre}.img_mod", vec, 6)
+            txt_mods = _modulation(p, f"{pre}.txt_mod", vec, 6)
         img_n = layer_norm(img, eps=1e-6) * (1 + img_mods[1][:, None]) + img_mods[0][:, None]
         txt_n = layer_norm(txt, eps=1e-6) * (1 + txt_mods[1][:, None]) + txt_mods[0][:, None]
         iq, ik, iv = _qkv_norm(p, f"{pre}.img_attn", img_n, nh)
@@ -145,7 +202,7 @@ def flux_forward(
         v = jnp.concatenate([tv, iv], axis=2)
         q = apply_rope(q, rot)
         k = apply_rope(k, rot)
-        att = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, -1, hidden)
+        att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, -1, hidden)
         txt_att, img_att = att[:, :l_txt], att[:, l_txt:]
         img = img + img_mods[2][:, None] * linear(
             img_att, p[f"{pre}.img_attn.proj.weight"], p[f"{pre}.img_attn.proj.bias"]
@@ -171,7 +228,7 @@ def flux_forward(
         if (i + cfg.depth) in skip_layers:
             continue
         pre = f"single_blocks.{i}"
-        mods = _modulation(p, f"{pre}.modulation", vec, 3)
+        mods = _mods(3 * i, 3) if cfg.is_chroma else _modulation(p, f"{pre}.modulation", vec, 3)
         xn = layer_norm(xx, eps=1e-6) * (1 + mods[1][:, None]) + mods[0][:, None]
         h1 = linear(xn, p[f"{pre}.linear1.weight"], p[f"{pre}.linear1.bias"])
         qkv, mlp = h1[..., : 3 * hidden], h1[..., 3 * hidden :]
@@ -184,7 +241,7 @@ def flux_forward(
         k = rms_norm(k, p[f"{pre}.norm.key_norm.scale"], eps=1e-6)
         q = apply_rope(q, rot)
         k = apply_rope(k, rot)
-        att = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, L, hidden)
+        att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, L, hidden)
         out = linear(
             jnp.concatenate([att, gelu_tanh(mlp)], axis=-1),
             p[f"{pre}.linear2.weight"],
@@ -193,12 +250,15 @@ def flux_forward(
         xx = xx + mods[2][:, None] * out
 
     img = xx[:, l_txt:]
-    mf = linear(
-        silu(vec),
-        p["final_layer.adaLN_modulation.1.weight"],
-        p["final_layer.adaLN_modulation.1.bias"],
-    )
-    shift, scale = jnp.split(mf, 2, axis=-1)
+    if cfg.is_chroma:
+        shift, scale = modt[:, -2], modt[:, -1]
+    else:
+        mf = linear(
+            silu(vec),
+            p["final_layer.adaLN_modulation.1.weight"],
+            p["final_layer.adaLN_modulation.1.bias"],
+        )
+        shift, scale = jnp.split(mf, 2, axis=-1)
     img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
     img = linear(img, p["final_layer.linear.weight"], p["final_layer.linear.bias"])
     img = img.reshape(b, hp, wp, 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
@@ -230,8 +290,8 @@ def init_flux_params_quantized(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0,
         if bias:
             p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
 
-    def scale(name):
-        p[name] = jnp.ones((d_head,), dtype=dtype)
+    def scale(name, dim=None):
+        p[name] = jnp.ones((dim or d_head,), dtype=dtype)
 
     _flux_param_walk(cfg, lin, scale)
     return p
@@ -242,17 +302,27 @@ def _flux_param_walk(cfg: FluxConfig, lin, scale):
     mlp_h = int(hid * cfg.mlp_ratio)
     lin("img_in", hid, cfg.in_channels)
     lin("txt_in", hid, cfg.context_in_dim)
-    lin("time_in.in_layer", hid, 256)
-    lin("time_in.out_layer", hid, hid)
-    lin("vector_in.in_layer", hid, cfg.vec_in_dim)
-    lin("vector_in.out_layer", hid, hid)
-    if cfg.guidance_embed:
-        lin("guidance_in.in_layer", hid, 256)
-        lin("guidance_in.out_layer", hid, hid)
+    if cfg.is_chroma:
+        pre = "distilled_guidance_layer"
+        lin(f"{pre}.in_proj", CHROMA_APPROX_INNER, 64)
+        for i in range(CHROMA_APPROX_DEPTH):
+            scale(f"{pre}.norms.{i}.scale", CHROMA_APPROX_INNER)
+            lin(f"{pre}.layers.{i}.in_layer", CHROMA_APPROX_INNER, CHROMA_APPROX_INNER)
+            lin(f"{pre}.layers.{i}.out_layer", CHROMA_APPROX_INNER, CHROMA_APPROX_INNER)
+        lin(f"{pre}.out_proj", hid, CHROMA_APPROX_INNER)
+    else:
+        lin("time_in.in_layer", hid, 256)
+        lin("time_in.out_layer", hid, hid)
+        lin("vector_in.in_layer", hid, cfg.vec_in_dim)
+        lin("vector_in.out_layer", hid, hid)
+        if cfg.guidance_embed:
+            lin("guidance_in.in_layer", hid, 256)
+            lin("guidance_in.out_layer", hid, hid)
     for i in range(cfg.depth):
         for s in ("img", "txt"):
             pre = f"double_blocks.{i}.{s}"
-            lin(f"{pre}_mod.lin", 6 * hid, hid)
+            if not cfg.is_chroma:
+                lin(f"{pre}_mod.lin", 6 * hid, hid)
             lin(f"{pre}_attn.qkv", 3 * hid, hid)
             scale(f"{pre}_attn.norm.query_norm.scale")
             scale(f"{pre}_attn.norm.key_norm.scale")
@@ -261,12 +331,14 @@ def _flux_param_walk(cfg: FluxConfig, lin, scale):
             lin(f"{pre}_mlp.2", hid, mlp_h)
     for i in range(cfg.depth_single):
         pre = f"single_blocks.{i}"
-        lin(f"{pre}.modulation.lin", 3 * hid, hid)
+        if not cfg.is_chroma:
+            lin(f"{pre}.modulation.lin", 3 * hid, hid)
         lin(f"{pre}.linear1", 3 * hid + mlp_h, hid)
         lin(f"{pre}.linear2", hid, hid + mlp_h)
         scale(f"{pre}.norm.query_norm.scale")
         scale(f"{pre}.norm.key_norm.scale")
-    lin("final_layer.adaLN_modulation.1", 2 * hid, hid)
+    if not cfg.is_chroma:
+        lin("final_layer.adaLN_modulation.1", 2 * hid, hid)
     lin("final_layer.linear", cfg.in_channels, hid)
 
 
@@ -282,8 +354,8 @@ def init_flux_params(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp
         if bias:
             p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
 
-    def scale(name):
-        p[name] = jnp.ones((d_head,), dtype=dtype)
+    def scale(name, dim=None):
+        p[name] = jnp.ones((dim or d_head,), dtype=dtype)
 
     _flux_param_walk(cfg, lin, scale)
     return p

@@ -100,3 +100,51 @@ def test_flux_txt2img_small():
     assert np.isfinite(res.latents).all()
     res2 = pipe.txt2img(gp)
     np.testing.assert_array_equal(res.images, res2.images)
+
+
+def test_chroma_forward_and_pipeline():
+    """Chroma variant: distilled modulation table (344 vectors), T5-mask
+    attention bias, pruned final-layer modulation (reference flux.hpp:759)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+    from sdtpu.models.flux import FluxConfig, flux_forward, init_flux_params
+
+    cfg = FluxConfig(
+        in_channels=16, hidden_size=64, num_heads=2, depth=2, depth_single=2,
+        axes_dim=(8, 12, 12), context_in_dim=96, vec_in_dim=0,
+        guidance_embed=False, is_chroma=True,
+    )
+    p = init_flux_params(cfg, seed=0)
+    assert "distilled_guidance_layer.in_proj.weight" in p
+    assert "double_blocks.0.img_mod.lin.weight" not in p
+    assert "final_layer.adaLN_modulation.1.weight" not in p
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 16, 96), dtype=np.float32))
+    mask = jnp.asarray(
+        np.concatenate([np.zeros(8), np.full(8, -np.inf)]).astype(np.float32)[None]
+    )
+    out = flux_forward(p, x, jnp.asarray([0.5]), ctx, mask, cfg=cfg)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # masked txt tokens must not influence the output
+    ctx2 = ctx.at[:, 12:].set(123.0)
+    out2 = flux_forward(p, x, jnp.asarray([0.5]), ctx2, mask, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+    # unmasked txt tokens must
+    ctx3 = ctx.at[:, :4].set(123.0)
+    out3 = flux_forward(p, x, jnp.asarray([0.5]), ctx3, mask, cfg=cfg)
+    assert not np.allclose(np.asarray(out), np.asarray(out3), atol=1e-4)
+
+    pipe = create_pipeline(SDVersion.CHROMA, small=True, seed=0)
+    gp = GenerationParams(
+        prompt="a cat", width=32, height=32, sample_steps=2, cfg_scale=3.0,
+        sample_method="euler", seed=5,
+    )
+    res = pipe.generate(gp)
+    assert res.images.shape == (1, 32, 32, 3)
