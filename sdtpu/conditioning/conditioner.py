@@ -353,3 +353,40 @@ class ChromaConditioner:
         return SDCondition(
             c_crossattn=h, c_vector=jnp.asarray(mask.astype(np.float32)[None])
         )
+
+
+class QwenImageConditioner:
+    """Qwen-Image: Qwen2.5-VL decoder LLM prompted with a chat template;
+    hidden states after the final norm with the template prefix dropped
+    (reference LLMEmbedder, conditioner.hpp:2213-2284,
+    prompt_template_encode_start_idx=34)."""
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, template: str = "qwen_image",
+                 max_len: int = 1024):
+        from sdtpu.models.llm import CHAT_TEMPLATES
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.template, self.drop_idx = CHAT_TEMPLATES[template]
+        self.max_len = max_len
+
+        from sdtpu.models.llm import llm_forward
+
+        def fwd(pl, ids, mask):
+            return llm_forward(pl, ids, self.cl, attention_mask=mask)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.template.format(text))[: self.max_len]
+            drop = self.drop_idx
+        else:  # tests without a tokenizer file
+            ids, drop = list(range(48)), 8
+        mask = [1] * len(ids)
+        h = self._jit_forward(
+            self.pl,
+            jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(np.asarray(mask, dtype=np.float32)[None]),
+        )
+        return SDCondition(c_crossattn=h[:, drop:])

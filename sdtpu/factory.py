@@ -74,9 +74,10 @@ def create_pipeline(
     v_prediction: bool = False,
     t5_tokenizer=None,
     flow_shift: Optional[float] = None,  # None → per-version default
+    **kwargs,
 ) -> DiffusionPipeline:
-    """params: dict with keys 'diffusion', 'clip_l' (+'clip_g', 't5'), 'vae';
-    any missing module is random-initialized (tests/benchmarks)."""
+    """params: dict with keys 'diffusion', 'clip_l' (+'clip_g', 't5', 'llm'),
+    'vae'; any missing module is random-initialized (tests/benchmarks)."""
     params = params or {}
     if version == SDVersion.SD3:
         return _create_sd3_pipeline(
@@ -90,6 +91,11 @@ def create_pipeline(
     if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
         return _create_wan_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift
+        )
+    if version == SDVersion.QWEN_IMAGE:
+        return _create_qwen_image_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
         )
     ucfg = unet_config_for(version, small)
 
@@ -253,6 +259,86 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         latent_channels=dit_cfg.in_channels // 4,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
+    )
+
+
+def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                                qwen_tokenizer=None):
+    """Qwen-Image (reference stable-diffusion.cpp qwen_image construction):
+    Qwen2.5-VL conditioner + joint-stream DiT + Wan 2.1 VAE in image mode."""
+    from sdtpu.conditioning.conditioner import QwenImageConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import qwen_image as qi_mod
+    from sdtpu.models import wan_vae as wan_vae_mod
+
+    if small:
+        dit_cfg = qi_mod.QwenImageConfig(
+            in_channels=16, out_channels=4, num_layers=2, head_dim=16,
+            num_heads=4, joint_attention_dim=48, axes_dim=(4, 6, 6),
+        )
+        llm_cfg = llm_mod.LLMConfig(
+            num_layers=2, hidden_size=48, intermediate_size=96, num_heads=4,
+            num_kv_heads=2, head_dim=12, vocab_size=256,
+        )
+        vae_cfg = wan_vae_mod.WanVAEConfig(dim=8, z_dim=4, num_res_blocks=1)
+    else:
+        dit_cfg = (
+            qi_mod.detect_qwen_image_config(params["diffusion"].keys())
+            if params.get("diffusion")
+            else qi_mod.QWEN_IMAGE_CONFIG
+        )
+        llm_cfg = (
+            llm_mod.detect_llm_config(
+                params["llm"].keys(),
+                {k: tuple(v.shape) for k, v in params["llm"].items()},
+            )
+            if params.get("llm")
+            else llm_mod.QWEN25_VL_7B_CONFIG
+        )
+        vae_cfg = (
+            _detect_wan_vae_config(params["vae"], wan_vae_mod)
+            if params.get("vae")
+            else wan_vae_mod.WAN21_VAE_CONFIG
+        )
+
+    dit_params = params.get("diffusion") or qi_mod.init_qwen_image_params(dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = QwenImageConditioner(qwen_tokenizer, llm_params, llm_cfg)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return qi_mod.qwen_image_forward(p, x, t, ctx, cfg=dit_cfg)
+
+    use_stats = vae_cfg.z_dim == 16
+
+    def vae_decode_fn(p, z):
+        zv = z[:, None] if z.ndim == 4 else z  # image → 1-frame video
+        if use_stats:
+            zv = wan_vae_mod.diffusion_to_vae_latents(zv)
+        out = wan_vae_mod.wan_vae_decode(p, zv, vae_cfg)
+        return out[:, 0]
+
+    def vae_encode_fn(p, x, noise=None):
+        zv = wan_vae_mod.wan_vae_encode(p, x[:, None], vae_cfg)
+        if use_stats:
+            zv = wan_vae_mod.vae_to_diffusion_latents(zv)
+        return zv[:, 0]
+
+    return DiffusionPipeline(
+        version=SDVersion.QWEN_IMAGE,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=3.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.out_channels,
+        scale_factor=8,
+        compute_dtype=dtype,
     )
 
 

@@ -1,0 +1,193 @@
+"""Qwen-Image — joint-stream rectified-flow DiT conditioned by Qwen2.5-VL
+hidden states.
+
+Reference analog: QwenImageModel/Runner (src/model/diffusion/qwen_image.hpp;
+upstream QwenLM/Qwen-Image).  Checkpoint naming: ``transformer_blocks.N.
+{attn.{to_q,to_k,to_v,to_out.0,add_{q,k,v}_proj,to_add_out,norm_q,norm_k,
+norm_added_q,norm_added_k}, img_mod.1, txt_mod.1, img_norm1/2, txt_norm1/2,
+img_mlp.net.{0.proj,2}, txt_mlp.net.{0.proj,2}}``, ``img_in``, ``txt_in``,
+``txt_norm``, ``time_text_embed.timestep_embedder.linear_{1,2}``,
+``norm_out.linear``, ``proj_out``.
+
+Position ids: text tokens lead with scalar ids starting at max(h,w)/2;
+image tokens use centered (h,w) grids (reference rope.hpp
+gen_qwen_image_ids).  Attention's kv_scale f16-overflow guard in the
+reference is an exact mathematical identity, omitted here (f32 softmax).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.models.flux import apply_rope, rope_freqs
+from sdtpu.ops import attention, layer_norm, linear, rms_norm, timestep_embedding
+from sdtpu.ops.basic import gelu_tanh, silu
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenImageConfig:
+    patch_size: int = 2
+    in_channels: int = 64  # packed 16ch × 2×2
+    out_channels: int = 16
+    num_layers: int = 60
+    head_dim: int = 128
+    num_heads: int = 24
+    joint_attention_dim: int = 3584
+    theta: int = 10000
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+
+
+QWEN_IMAGE_CONFIG = QwenImageConfig()
+
+
+def detect_qwen_image_config(names) -> QwenImageConfig:
+    num_layers = 0
+    for n in names:
+        if "transformer_blocks." in n:
+            idx = n.split("transformer_blocks.")[1].split(".")[0]
+            num_layers = max(num_layers, int(idx) + 1)
+    return dataclasses.replace(QWEN_IMAGE_CONFIG, num_layers=num_layers or 60)
+
+
+def _heads(x, nh, hd):
+    b, l, _ = x.shape
+    return x.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+
+
+def _joint_attention(p, pre, img, txt, rot, cfg):
+    """Separate img/txt projections, per-head RMS q/k norm, joint attention
+    over [txt; img] (reference QwenImageAttention, qwen_image.hpp:125)."""
+    b, li, inner = img.shape
+    lt = txt.shape[1]
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    iq = rms_norm(_heads(linear(img, p[f"{pre}.to_q.weight"], p[f"{pre}.to_q.bias"]), nh, hd),
+                  p[f"{pre}.norm_q.weight"], eps=1e-6)
+    ik = rms_norm(_heads(linear(img, p[f"{pre}.to_k.weight"], p[f"{pre}.to_k.bias"]), nh, hd),
+                  p[f"{pre}.norm_k.weight"], eps=1e-6)
+    iv = _heads(linear(img, p[f"{pre}.to_v.weight"], p[f"{pre}.to_v.bias"]), nh, hd)
+
+    tq = rms_norm(_heads(linear(txt, p[f"{pre}.add_q_proj.weight"], p[f"{pre}.add_q_proj.bias"]), nh, hd),
+                  p[f"{pre}.norm_added_q.weight"], eps=1e-6)
+    tk = rms_norm(_heads(linear(txt, p[f"{pre}.add_k_proj.weight"], p[f"{pre}.add_k_proj.bias"]), nh, hd),
+                  p[f"{pre}.norm_added_k.weight"], eps=1e-6)
+    tv = _heads(linear(txt, p[f"{pre}.add_v_proj.weight"], p[f"{pre}.add_v_proj.bias"]), nh, hd)
+
+    q = apply_rope(jnp.concatenate([tq, iq], axis=2), rot)
+    k = apply_rope(jnp.concatenate([tk, ik], axis=2), rot)
+    v = jnp.concatenate([tv, iv], axis=2)
+    att = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, lt + li, inner)
+    txt_out = linear(att[:, :lt], p[f"{pre}.to_add_out.weight"], p[f"{pre}.to_add_out.bias"])
+    img_out = linear(att[:, lt:], p[f"{pre}.to_out.0.weight"], p[f"{pre}.to_out.0.bias"])
+    return img_out, txt_out
+
+
+def _ff(p, pre, x):
+    """GELU(tanh) FeedForward: net.0.proj → gelu → net.2."""
+    h = linear(x, p[f"{pre}.net.0.proj.weight"], p[f"{pre}.net.0.proj.bias"])
+    return linear(gelu_tanh(h), p[f"{pre}.net.2.weight"], p[f"{pre}.net.2.bias"])
+
+
+def qwen_image_forward(
+    p,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context: jnp.ndarray,
+    cfg: QwenImageConfig = QWEN_IMAGE_CONFIG,
+) -> jnp.ndarray:
+    """x: [B, H, W, 16] latent NHWC; timesteps: [B] in [0,1]; context:
+    [B, L, 3584] Qwen2.5-VL hidden states → velocity [B, H, W, 16]."""
+    b, h, w, c = x.shape
+    ps = cfg.patch_size
+    hp, wp = h // ps, w // ps
+    inner = cfg.num_heads * cfg.head_dim
+
+    img = x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, hp * wp, ps * ps * c
+    )
+    img = linear(img, p["img_in.weight"], p["img_in.bias"])
+    txt = rms_norm(context.astype(x.dtype), p["txt_norm.weight"], eps=1e-6)
+    txt = linear(txt, p["txt_in.weight"], p["txt_in.bias"])
+    lt = txt.shape[1]
+
+    t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
+    pre = "time_text_embed.timestep_embedder"
+    temb = linear(t_emb, p[f"{pre}.linear_1.weight"], p[f"{pre}.linear_1.bias"])
+    temb = linear(silu(temb), p[f"{pre}.linear_2.weight"], p[f"{pre}.linear_2.bias"])
+
+    # position ids: txt scalar run starting at max(h,w)/2; img centered grid
+    # (reference gen_qwen_image_ids, rope.hpp)
+    txt_start = max(hp, wp) // 2
+    ids = np.zeros((lt + hp * wp, 3), dtype=np.float64)
+    ids[:lt] = (txt_start + np.arange(lt))[:, None]
+    hi, wi = np.meshgrid(
+        np.arange(hp) - hp // 2, np.arange(wp) - wp // 2, indexing="ij"
+    )
+    ids[lt:, 1] = hi.reshape(-1)
+    ids[lt:, 2] = wi.reshape(-1)
+    rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
+
+    for i in range(cfg.num_layers):
+        blk = f"transformer_blocks.{i}"
+        im = linear(silu(temb), p[f"{blk}.img_mod.1.weight"], p[f"{blk}.img_mod.1.bias"])
+        tm = linear(silu(temb), p[f"{blk}.txt_mod.1.weight"], p[f"{blk}.txt_mod.1.bias"])
+        im = [m[:, None] for m in jnp.split(im, 6, axis=-1)]
+        tm = [m[:, None] for m in jnp.split(tm, 6, axis=-1)]
+
+        img_n = layer_norm(img, eps=1e-6) * (1 + im[1]) + im[0]
+        txt_n = layer_norm(txt, eps=1e-6) * (1 + tm[1]) + tm[0]
+        img_att, txt_att = _joint_attention(p, f"{blk}.attn", img_n, txt_n, rot, cfg)
+        img = img + img_att * im[2]
+        txt = txt + txt_att * tm[2]
+
+        img_n = layer_norm(img, eps=1e-6) * (1 + im[4]) + im[3]
+        txt_n = layer_norm(txt, eps=1e-6) * (1 + tm[4]) + tm[3]
+        img = img + _ff(p, f"{blk}.img_mlp", img_n) * im[5]
+        txt = txt + _ff(p, f"{blk}.txt_mlp", txt_n) * tm[5]
+
+    # AdaLayerNormContinuous: note (scale, shift) chunk order
+    # (reference qwen_image.hpp:407-414)
+    m = linear(silu(temb), p["norm_out.linear.weight"], p["norm_out.linear.bias"])
+    sc, sh = jnp.split(m, 2, axis=-1)
+    img = layer_norm(img, eps=1e-6) * (1 + sc[:, None]) + sh[:, None]
+    img = linear(img, p["proj_out.weight"], p["proj_out.bias"])
+
+    out = img.reshape(b, hp, wp, ps, ps, cfg.out_channels)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, cfg.out_channels)
+
+
+def init_qwen_image_params(cfg: QwenImageConfig = QWEN_IMAGE_CONFIG, seed: int = 0,
+                           dtype=jnp.float32):
+    g = np.random.default_rng(seed)
+    inner = cfg.num_heads * cfg.head_dim
+    p = {}
+
+    def lin(name, o, i):
+        p[f"{name}.weight"] = jnp.asarray(
+            g.standard_normal((o, i), dtype=np.float32) * 0.02, dtype=dtype
+        )
+        p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
+
+    lin("img_in", inner, cfg.in_channels)
+    lin("txt_in", inner, cfg.joint_attention_dim)
+    p["txt_norm.weight"] = jnp.ones((cfg.joint_attention_dim,), dtype=dtype)
+    lin("time_text_embed.timestep_embedder.linear_1", inner, 256)
+    lin("time_text_embed.timestep_embedder.linear_2", inner, inner)
+    for i in range(cfg.num_layers):
+        blk = f"transformer_blocks.{i}"
+        lin(f"{blk}.img_mod.1", 6 * inner, inner)
+        lin(f"{blk}.txt_mod.1", 6 * inner, inner)
+        for ln in ("to_q", "to_k", "to_v", "to_out.0", "add_q_proj", "add_k_proj",
+                   "add_v_proj", "to_add_out"):
+            lin(f"{blk}.attn.{ln}", inner, inner)
+        for nn in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            p[f"{blk}.attn.{nn}.weight"] = jnp.ones((cfg.head_dim,), dtype=dtype)
+        for s in ("img_mlp", "txt_mlp"):
+            lin(f"{blk}.{s}.net.0.proj", 4 * inner, inner)
+            lin(f"{blk}.{s}.net.2", inner, 4 * inner)
+    lin("norm_out.linear", 2 * inner, inner)
+    lin("proj_out", cfg.patch_size * cfg.patch_size * cfg.out_channels, inner)
+    return p

@@ -715,9 +715,14 @@ def _match_context(cond: SDCondition, uncond: Optional[SDCondition], bc: int):
 
 
 def _pad_tokens_by_repeat(x: jnp.ndarray, target: int) -> jnp.ndarray:
-    """Repeat the last 77-token chunk until reaching target length."""
+    """Repeat the last 77-token chunk until reaching target length (CLIP
+    chunking); for non-77-aligned contexts (LLM hidden states) zero-pad
+    (reference zero_pad of LLM hidden states, conditioner.hpp:2028)."""
     if x.shape[1] == target:
         return x
-    last = x[:, -77:, :]
-    reps = (target - x.shape[1]) // 77
-    return jnp.concatenate([x] + [last] * reps, axis=1)
+    if (target - x.shape[1]) % 77 == 0 and x.shape[1] >= 77:
+        last = x[:, -77:, :]
+        reps = (target - x.shape[1]) // 77
+        return jnp.concatenate([x] + [last] * reps, axis=1)
+    pad = jnp.zeros((x.shape[0], target - x.shape[1], x.shape[2]), dtype=x.dtype)
+    return jnp.concatenate([x, pad], axis=1)
