@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--control-strength", type=float, default=0.9)
     ap.add_argument("--canny", action="store_true",
                     help="apply canny preprocessing to the control image")
+    ap.add_argument("--ip-adapter", help="ip-adapter checkpoint file")
+    ap.add_argument("--ip-image", help="ip-adapter reference image")
+    ap.add_argument("--ip-scale", type=float, default=1.0)
+    ap.add_argument("--clip-vision", help="CLIP vision encoder checkpoint (ip-adapter)")
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
     # video (vid_gen mode)
@@ -233,6 +237,24 @@ def _img_gen(args) -> int:
 
             control_image = canny(control_image)
 
+    ip_image = None
+    if args.ip_adapter and args.ip_image and args.clip_vision:
+        import jax.numpy as jnp
+
+        from sdtpu.factory import unet_config_for
+        from sdtpu.io.model_loader import read_checkpoint_file
+        from sdtpu.models.clip import CLIP_VIT_H_CONFIG, CLIP_VIT_L_CONFIG
+        from sdtpu.models.ip_adapter import load_ip_adapter
+
+        ucfg = unet_config_for(pipe.version)
+        proj, extra = load_ip_adapter(read_checkpoint_file(args.ip_adapter), ucfg)
+        vis_raw = read_checkpoint_file(args.clip_vision)
+        hid = vis_raw.get("vision_model.embeddings.class_embedding")
+        vis_cfg = CLIP_VIT_H_CONFIG if (hid is not None and hid.shape[-1] == 1280) else CLIP_VIT_L_CONFIG
+        cast = lambda d: {k: jnp.asarray(v, dtype=pipe.compute_dtype) for k, v in d.items()}
+        pipe.set_ip_adapter(cast(proj), cast(extra), cast(vis_raw), vis_cfg)
+        ip_image, _ = read_png(args.ip_image)
+
     t0 = time.time()
     res = pipe.generate(
         gp,
@@ -240,6 +262,8 @@ def _img_gen(args) -> int:
         mask_image=mask_image,
         control_image=control_image,
         control_strength=args.control_strength,
+        ip_image=ip_image,
+        ip_scale=args.ip_scale,
         progress_callback=_progress_cb(args),
     )
     print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")

@@ -142,10 +142,12 @@ def create_pipeline(
             tokenizer, clip_params, clip_cfg, is_sd2=sd_version_is_sd2(version)
         )
 
-    def diffusion_fn(p, x, t, ctx, y, controls=None, control_strength=1.0):
+    def diffusion_fn(p, x, t, ctx, y, controls=None, control_strength=1.0,
+                     ip_context=None, ip_scale=1.0):
         return unet_mod.unet_forward(
             p, x, t, ctx, y=y, cfg=ucfg, controls=controls,
-            control_strength=control_strength,
+            control_strength=control_strength, ip_context=ip_context,
+            ip_scale=ip_scale,
         )
 
     def controlnet_fn(p, x, hint, t, ctx, y):

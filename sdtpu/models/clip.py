@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from sdtpu.ops import attention, gelu, layer_norm, linear, quick_gelu
@@ -176,4 +177,128 @@ def init_clip_params(cfg: CLIPTextConfig, rng: "object", dtype=jnp.float32) -> d
         p[f"{pre}.mlp.fc2.bias"] = zeros(c)
     if cfg.projection_dim is not None:
         p["text_projection.weight"] = w(cfg.projection_dim, c)
+    return p
+
+
+# ------------------------------------------------------------- vision tower
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """ViT vision tower (reference CLIPVisionModelProjection, clip.hpp:426)."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1280  # ViT-H/14 (IP-Adapter / SD2.x image encoders)
+    intermediate_size: int = 5120
+    num_layers: int = 32
+    num_heads: int = 16
+    projection_dim: int = 1024
+    hidden_act: str = "gelu"
+
+
+CLIP_VIT_H_CONFIG = CLIPVisionConfig()
+CLIP_VIT_L_CONFIG = CLIPVisionConfig(
+    hidden_size=1024, intermediate_size=4096, num_layers=24, num_heads=16,
+    projection_dim=768, hidden_act="quick_gelu",
+)
+
+# OpenAI CLIP preprocessing stats
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def clip_preprocess(image, size: int = 224):
+    """uint8/float [H,W,3] → normalized [1,size,size,3] float32 (bilinear)."""
+    import numpy as np
+
+    img = np.asarray(image, dtype=np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    x = jax.image.resize(jnp.asarray(img), (size, size, 3), method="bilinear")
+    x = (x - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
+    return x[None]
+
+
+def clip_vision_forward(
+    p,
+    pixels: jnp.ndarray,
+    cfg: CLIPVisionConfig = CLIP_VIT_H_CONFIG,
+    return_hidden: bool = False,
+):
+    """pixels: [B, size, size, 3] preprocessed → (image_embeds [B, proj_dim],
+    penultimate hidden [B, 1+n_patches, hidden] if return_hidden).
+
+    HF naming: vision_model.embeddings.{class_embedding, patch_embedding,
+    position_embedding}, vision_model.pre_layrnorm (HF's typo preserved),
+    vision_model.encoder.layers.N…, vision_model.post_layernorm,
+    visual_projection."""
+    from sdtpu.ops import conv2d
+
+    b = pixels.shape[0]
+    vm = "vision_model"
+    h = conv2d(
+        pixels, p[f"{vm}.embeddings.patch_embedding.weight"], None,
+        stride=cfg.patch_size, padding=0,
+    )  # [B, g, g, hidden]
+    g2 = h.shape[1] * h.shape[2]
+    h = h.reshape(b, g2, cfg.hidden_size)
+    cls = jnp.broadcast_to(
+        p[f"{vm}.embeddings.class_embedding"].reshape(1, 1, -1), (b, 1, cfg.hidden_size)
+    ).astype(h.dtype)
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + p[f"{vm}.embeddings.position_embedding.weight"][None, : h.shape[1]]
+    h = layer_norm(h, p[f"{vm}.pre_layrnorm.weight"], p[f"{vm}.pre_layrnorm.bias"])
+
+    hidden_penultimate = None
+    vcfg = CLIPTextConfig(
+        hidden_size=cfg.hidden_size, intermediate_size=cfg.intermediate_size,
+        num_layers=cfg.num_layers, num_heads=cfg.num_heads, hidden_act=cfg.hidden_act,
+    )
+    for i in range(cfg.num_layers):
+        if i == cfg.num_layers - 1:
+            hidden_penultimate = h
+        h = clip_layer(p, f"{vm}.encoder.layers.{i}", h, None, vcfg)
+
+    pooled = layer_norm(
+        h[:, 0], p[f"{vm}.post_layernorm.weight"], p[f"{vm}.post_layernorm.bias"]
+    )
+    embeds = linear(pooled, p["visual_projection.weight"])
+    if return_hidden:
+        return embeds, hidden_penultimate
+    return embeds
+
+
+def init_clip_vision_params(cfg: CLIPVisionConfig, seed: int = 0, dtype=jnp.float32):
+    import numpy as np
+
+    g = np.random.default_rng(seed)
+    n_pos = (cfg.image_size // cfg.patch_size) ** 2 + 1
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(g.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype)
+
+    vm = "vision_model"
+    p = {
+        f"{vm}.embeddings.class_embedding": w(cfg.hidden_size),
+        f"{vm}.embeddings.patch_embedding.weight": w(
+            cfg.hidden_size, 3, cfg.patch_size, cfg.patch_size
+        ),
+        f"{vm}.embeddings.position_embedding.weight": w(n_pos, cfg.hidden_size),
+        "visual_projection.weight": w(cfg.projection_dim, cfg.hidden_size),
+    }
+    for ln in ("pre_layrnorm", "post_layernorm"):
+        p[f"{vm}.{ln}.weight"] = jnp.ones((cfg.hidden_size,), dtype=dtype)
+        p[f"{vm}.{ln}.bias"] = jnp.zeros((cfg.hidden_size,), dtype=dtype)
+    for i in range(cfg.num_layers):
+        pre = f"{vm}.encoder.layers.{i}"
+        for nn in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            p[f"{pre}.self_attn.{nn}.weight"] = w(cfg.hidden_size, cfg.hidden_size)
+            p[f"{pre}.self_attn.{nn}.bias"] = jnp.zeros((cfg.hidden_size,), dtype=dtype)
+        p[f"{pre}.mlp.fc1.weight"] = w(cfg.intermediate_size, cfg.hidden_size)
+        p[f"{pre}.mlp.fc1.bias"] = jnp.zeros((cfg.intermediate_size,), dtype=dtype)
+        p[f"{pre}.mlp.fc2.weight"] = w(cfg.hidden_size, cfg.intermediate_size)
+        p[f"{pre}.mlp.fc2.bias"] = jnp.zeros((cfg.hidden_size,), dtype=dtype)
+        for ln in ("layer_norm1", "layer_norm2"):
+            p[f"{pre}.{ln}.weight"] = jnp.ones((cfg.hidden_size,), dtype=dtype)
+            p[f"{pre}.{ln}.bias"] = jnp.zeros((cfg.hidden_size,), dtype=dtype)
     return p

@@ -87,9 +87,14 @@ def resblock(p, pre: str, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
 
 
 def cross_attention(
-    p, pre: str, x: jnp.ndarray, context: Optional[jnp.ndarray], num_heads: int
+    p, pre: str, x: jnp.ndarray, context: Optional[jnp.ndarray], num_heads: int,
+    ip_context: Optional[jnp.ndarray] = None, ip_scale: float = 1.0,
 ) -> jnp.ndarray:
-    """attn1 (self, context=None) / attn2 (cross). to_q/k/v have no bias."""
+    """attn1 (self, context=None) / attn2 (cross). to_q/k/v have no bias.
+
+    IP-Adapter decoupled cross-attention fires when the block carries
+    to_k_ip/to_v_ip weights and ip_context (image tokens) is given
+    (reference unet.hpp:779-857)."""
     b, l, c = x.shape
     ctx = x if context is None else context
     d = c // num_heads
@@ -105,6 +110,19 @@ def cross_attention(
         .transpose(0, 2, 1, 3)
     )
     o = attention(q, k, v)
+    if ip_context is not None and f"{pre}.to_k_ip.weight" in p:
+        li = ip_context.shape[1]
+        k_ip = (
+            linear(ip_context, p[f"{pre}.to_k_ip.weight"])
+            .reshape(b, li, num_heads, d)
+            .transpose(0, 2, 1, 3)
+        )
+        v_ip = (
+            linear(ip_context, p[f"{pre}.to_v_ip.weight"])
+            .reshape(b, li, num_heads, d)
+            .transpose(0, 2, 1, 3)
+        )
+        o = o + attention(q, k_ip, v_ip) * ip_scale
     o = o.transpose(0, 2, 1, 3).reshape(b, l, c)
     return linear(o, p[f"{pre}.to_out.0.weight"], p[f"{pre}.to_out.0.bias"])
 
@@ -117,20 +135,24 @@ def geglu_ff(p, pre: str, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def transformer_block(
-    p, pre: str, x: jnp.ndarray, context: jnp.ndarray, num_heads: int
+    p, pre: str, x: jnp.ndarray, context: jnp.ndarray, num_heads: int,
+    ip_context=None, ip_scale: float = 1.0,
 ) -> jnp.ndarray:
     from sdtpu.ops import layer_norm
 
     h = layer_norm(x, p[f"{pre}.norm1.weight"], p[f"{pre}.norm1.bias"])
     x = x + cross_attention(p, f"{pre}.attn1", h, None, num_heads)
     h = layer_norm(x, p[f"{pre}.norm2.weight"], p[f"{pre}.norm2.bias"])
-    x = x + cross_attention(p, f"{pre}.attn2", h, context, num_heads)
+    x = x + cross_attention(
+        p, f"{pre}.attn2", h, context, num_heads, ip_context=ip_context, ip_scale=ip_scale
+    )
     h = layer_norm(x, p[f"{pre}.norm3.weight"], p[f"{pre}.norm3.bias"])
     return x + geglu_ff(p, f"{pre}.ff", h)
 
 
 def spatial_transformer(
-    p, pre: str, x: jnp.ndarray, context: jnp.ndarray, cfg: UNetConfig, depth: int
+    p, pre: str, x: jnp.ndarray, context: jnp.ndarray, cfg: UNetConfig, depth: int,
+    ip_context=None, ip_scale: float = 1.0,
 ) -> jnp.ndarray:
     b, hh, ww, c = x.shape
     num_heads = _heads_for(cfg, c)
@@ -142,7 +164,10 @@ def spatial_transformer(
         h = conv2d(h, p[f"{pre}.proj_in.weight"], p[f"{pre}.proj_in.bias"], padding=0)
         h = h.reshape(b, hh * ww, c)
     for k in range(depth):
-        h = transformer_block(p, f"{pre}.transformer_blocks.{k}", h, context, num_heads)
+        h = transformer_block(
+            p, f"{pre}.transformer_blocks.{k}", h, context, num_heads,
+            ip_context=ip_context, ip_scale=ip_scale,
+        )
     if cfg.use_linear_in_transformer:
         h = linear(h, p[f"{pre}.proj_out.weight"], p[f"{pre}.proj_out.bias"])
         h = h.reshape(b, hh, ww, c)
@@ -199,6 +224,8 @@ def unet_forward(
     cfg: UNetConfig = SD1_UNET_CONFIG,
     controls=None,
     control_strength: float = 1.0,
+    ip_context=None,
+    ip_scale: float = 1.0,
 ) -> jnp.ndarray:
     """x: [B,H,W,C] latent (NHWC), timesteps: [B], context: [B,L,ctx],
     y: [B, adm_in_channels] (SDXL). Returns eps/v prediction [B,H,W,out].
@@ -226,12 +253,12 @@ def unet_forward(
             elif kind == "down":
                 h = conv2d(h, p[f"{pre}.op.weight"], p[f"{pre}.op.bias"], stride=2)
             elif isinstance(kind, tuple) and kind[0] == "attn":
-                h = spatial_transformer(p, pre, h, context, cfg, kind[1])
+                h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale)
         hs.append(h)
 
     h = resblock(p, "middle_block.0", h, emb)
     mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
-    h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth)
+    h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth, ip_context=ip_context, ip_scale=ip_scale)
     h = resblock(p, "middle_block.2", h, emb)
 
     if controls is not None:
@@ -248,7 +275,7 @@ def unet_forward(
             elif kind == "up":
                 h = upsample(p, pre, h)
             elif isinstance(kind, tuple) and kind[0] == "attn":
-                h = spatial_transformer(p, pre, h, context, cfg, kind[1])
+                h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale)
 
     h = group_norm(h, p["out.0.weight"], p["out.0.bias"], eps=1e-5)
     h = silu(h)

@@ -107,6 +107,9 @@ class DiffusionPipeline:
         self.temporal_scale = temporal_scale
         self.controlnet_fn = controlnet_fn
         self.controlnet_params = None
+        self._ip_proj = None
+        self._ip_clip_params = None
+        self._ip_clip_cfg = None
         self._program_cache: Dict[tuple, object] = {}
         self._stepwise_step_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
@@ -116,6 +119,20 @@ class DiffusionPipeline:
         sd_ctx_set_control_net, stable-diffusion.cpp:3819). Pass None to
         detach."""
         self.controlnet_params = params
+
+    def set_ip_adapter(self, proj_params, unet_extra, clip_vision_params,
+                       clip_vision_cfg) -> None:
+        """Attach IP-Adapter: decoupled to_k_ip/to_v_ip weights merge into the
+        diffusion params (activated per-block by key presence); proj + CLIP
+        vision produce the image tokens (reference ip_adapter.hpp +
+        unet.hpp:779)."""
+        if unet_extra:
+            self.diffusion_params = {**self.diffusion_params, **unet_extra}
+            self._program_cache.clear()
+            self._stepwise_step_cache.clear()
+        self._ip_proj = proj_params
+        self._ip_clip_params = clip_vision_params
+        self._ip_clip_cfg = clip_vision_cfg
 
     # ------------------------------------------------------------- programs
 
@@ -147,6 +164,9 @@ class DiffusionPipeline:
             cn_params=None,
             hint=None,
             control_strength=None,
+            ip_cond=None,
+            ip_uncond=None,
+            ip_scale=None,
             _stepwise_cb=None,
         ):
             b = x.shape[0]
@@ -168,6 +188,9 @@ class DiffusionPipeline:
                 "cn_params": cn_params,
                 "hint": hint,
                 "control_strength": control_strength,
+                "ip_cond": ip_cond,
+                "ip_uncond": ip_uncond,
+                "ip_scale": ip_scale,
             }
 
             def make_model_fn(mi):
@@ -183,6 +206,15 @@ class DiffusionPipeline:
 
                     def apply_model(x_full, x_core_full, tt, ctx, y, ex):
                         ckw = {}
+                        if mi["ip_cond"] is not None:
+                            n_rep = x_full.shape[0] // mi["ip_cond"].shape[0]
+                            ipc = (
+                                jnp.concatenate([mi["ip_cond"], mi["ip_uncond"]], axis=0)
+                                if n_rep == 2
+                                else mi["ip_cond"]
+                            )
+                            ckw["ip_context"] = ipc
+                            ckw["ip_scale"] = mi["ip_scale"]
                         if use_control:
                             # per-step ControlNet forward on the scaled model
                             # input (reference stable-diffusion.cpp:2605)
@@ -306,6 +338,9 @@ class DiffusionPipeline:
             cn_params=None,
             hint=None,
             control_strength=None,
+            ip_cond=None,
+            ip_uncond=None,
+            ip_scale=None,
         ):
             return program(
                 params,
@@ -324,6 +359,9 @@ class DiffusionPipeline:
                 cn_params=cn_params,
                 hint=hint,
                 control_strength=control_strength,
+                ip_cond=ip_cond,
+                ip_uncond=ip_uncond,
+                ip_scale=ip_scale,
             )
 
         self._program_cache[key] = run
@@ -496,6 +534,8 @@ class DiffusionPipeline:
         init_latent: Optional[np.ndarray] = None,
         control_image: Optional[np.ndarray] = None,
         control_strength: float = 0.9,
+        ip_image: Optional[np.ndarray] = None,
+        ip_scale: float = 1.0,
         progress_callback=None,
         preview_callback=None,
         preview_interval: int = 1,
@@ -643,6 +683,23 @@ class DiffusionPipeline:
                 gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control
             )
         kwargs = {}
+        if ip_image is not None and self._ip_proj is not None:
+            # IP-Adapter image tokens; uncond uses the zero-embedding tokens
+            # (reference conditioner semantics)
+            from sdtpu.models.clip import clip_preprocess, clip_vision_forward
+            from sdtpu.models.ip_adapter import image_proj_tokens
+
+            pixels = clip_preprocess(ip_image, self._ip_clip_cfg.image_size)
+            embeds = clip_vision_forward(
+                self._ip_clip_params, pixels.astype(self.compute_dtype),
+                self._ip_clip_cfg,
+            )
+            ctx_dim = self._ip_proj["norm.weight"].shape[0]
+            kwargs["ip_cond"] = image_proj_tokens(self._ip_proj, embeds, ctx_dim)
+            kwargs["ip_uncond"] = image_proj_tokens(
+                self._ip_proj, jnp.zeros_like(embeds), ctx_dim
+            )
+            kwargs["ip_scale"] = jnp.float32(ip_scale)
         if use_control:
             hint01 = np.asarray(control_image, dtype=np.float32)
             if hint01.max() > 1.5:
