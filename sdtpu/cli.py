@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ip-image", help="ip-adapter reference image")
     ap.add_argument("--ip-scale", type=float, default=1.0)
     ap.add_argument("--clip-vision", help="CLIP vision encoder checkpoint (ip-adapter)")
+    ap.add_argument("--cache", default=None,
+                    choices=["easycache", "ucache", "taylorseer", "spectrum"],
+                    help="step cache: skip diffusion forwards (reference docs/caching.md)")
+    ap.add_argument("--cache-option", default="",
+                    help="key=value,... options for the step cache")
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
     # video (vid_gen mode)
@@ -153,6 +158,20 @@ def _load_pipeline(args):
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift)
     return pipe, params
+
+
+def _parse_kv(spec: str) -> dict:
+    """key=value,... escape-hatch args (reference parse_key_value_args)."""
+    out = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        try:
+            out[k.strip()] = int(v) if v.strip().isdigit() else float(v)
+        except ValueError:
+            out[k.strip()] = v.strip()
+    return out
 
 
 def _progress_cb(args):
@@ -265,6 +284,8 @@ def _img_gen(args) -> int:
         ip_image=ip_image,
         ip_scale=args.ip_scale,
         progress_callback=_progress_cb(args),
+        step_cache=args.cache,
+        cache_options=_parse_kv(args.cache_option),
     )
     print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")
 

@@ -136,7 +136,170 @@ class UCache:
         return pred, uncond
 
 
-CACHE_TYPES = {"easycache": (EasyCache, EasyCacheConfig), "ucache": (UCache, UCacheConfig)}
+@dataclasses.dataclass
+class TaylorSeerConfig:
+    n_derivatives: int = 1
+    max_warmup_steps: int = 2
+    skip_interval_steps: int = 1
+
+
+class TaylorSeer:
+    """Taylor extrapolation of the model output across steps (reference
+    TaylorSeerState, cache_dit.hpp:44-130): every (interval+1)-th step runs
+    the real forward and updates finite-difference derivatives; the steps in
+    between are predicted as Y + Σ_d dY[d]·elapsed^d/d!."""
+
+    def __init__(self, model_fn: Callable, config: TaylorSeerConfig, denoiser=None,
+                 total_steps: int = 0):
+        self.model_fn = model_fn
+        self.config = config
+        self.reset()
+
+    def reset(self):
+        order = self.config.n_derivatives + 1
+        self.dY = [None] * order
+        self.last_computed_step = -1
+        self.steps_skipped = 0
+
+    def _can_approximate(self) -> bool:
+        return (
+            self.last_computed_step >= self.config.n_derivatives
+            and self.dY[0] is not None
+        )
+
+    def __call__(self, x, sigma, i):
+        i = int(i)
+        interval = max(self.config.skip_interval_steps, 1)
+        use_taylor = (
+            i >= self.config.max_warmup_steps
+            and i % (interval + 1) != 0
+            and self._can_approximate()
+        )
+        if use_taylor:
+            elapsed = i - self.last_computed_step
+            out = self.dY[0].copy()
+            fact = 1.0
+            for d in range(1, self.config.n_derivatives + 1):
+                if self.dY[d] is None:
+                    break
+                fact *= d
+                out += self.dY[d] * (float(elapsed) ** d) / fact
+            self.steps_skipped += 1
+            return out, out
+
+        pred, uncond = self.model_fn(x, sigma, i)
+        y = np.asarray(pred, dtype=np.float32)
+        window = max(i - self.last_computed_step, 1)
+        prev = self.dY
+        new = [None] * (self.config.n_derivatives + 1)
+        new[0] = y
+        for d in range(self.config.n_derivatives):
+            if prev[d] is not None and new[d] is not None:
+                new[d + 1] = (new[d] - prev[d]) / float(window)
+        self.dY = new
+        self.last_computed_step = i
+        return pred, uncond
+
+
+@dataclasses.dataclass
+class SpectrumConfig:
+    w: float = 0.40  # Chebyshev weight; (1-w) goes to the Taylor term
+    m: int = 3  # Chebyshev fit degree
+    lam: float = 1.0  # ridge regularizer
+    window_size: int = 2
+    flex_window: float = 0.50
+    warmup_steps: int = 4
+    stop_percent: float = 0.9
+
+
+class Spectrum:
+    """Chebyshev + Taylor output forecasting (reference spectrum.hpp:11):
+    fits a ridge-regularized degree-m Chebyshev polynomial over the last K
+    real outputs (in normalized step time τ) and blends its prediction with
+    a first-order Taylor term; a flexing window grows the skip run length."""
+
+    def __init__(self, model_fn: Callable, config: SpectrumConfig, denoiser=None,
+                 total_steps: int = 0):
+        self.model_fn = model_fn
+        self.config = config
+        self.total_steps = total_steps
+        self.reset()
+
+    def reset(self):
+        self.cnt = 0
+        self.num_cached = 0
+        self.curr_ws = float(self.config.window_size)
+        self.K = max(self.config.m + 1, 6)
+        self.stop_step = int(self.config.stop_percent * self.total_steps)
+        self.steps_skipped = 0
+        self.H: list = []
+        self.T: list = []
+
+    def _tau(self, step: int) -> float:
+        return (step / 50.0) * 2.0 - 1.0
+
+    def _should_predict(self) -> bool:
+        if self.cnt < self.config.warmup_steps:
+            return False
+        if self.stop_step > 0 and self.cnt >= self.stop_step:
+            return False
+        if len(self.H) < 2:
+            return False
+        ws = max(1, int(np.floor(self.curr_ws)))
+        return (self.num_cached + 1) % ws != 0
+
+    def _predict(self) -> np.ndarray:
+        K = len(self.H)
+        m1 = self.config.m + 1
+        tau_at = self._tau(self.cnt)
+        # Chebyshev design matrix over the buffered taus
+        X = np.ones((K, m1), dtype=np.float64)
+        if m1 > 1:
+            X[:, 1] = self.T
+        for j in range(2, m1):
+            X[:, j] = 2.0 * np.asarray(self.T) * X[:, j - 1] - X[:, j - 2]
+        x_star = np.ones(m1, dtype=np.float64)
+        if m1 > 1:
+            x_star[1] = tau_at
+        for j in range(2, m1):
+            x_star[j] = 2.0 * tau_at * x_star[j - 1] - x_star[j - 2]
+        XtX = X.T @ X + self.config.lam * np.eye(m1)
+        v = np.linalg.solve(XtX, x_star)
+        weights = X @ v  # [K]
+
+        pred_cheb = sum(w * h for w, h in zip(weights, self.H))
+        pred_taylor = self.H[-1] + 0.5 * (self.H[-1] - self.H[-2])
+        out = (1.0 - self.config.w) * pred_taylor + self.config.w * pred_cheb
+
+        self.num_cached += 1
+        self.steps_skipped += 1
+        self.cnt += 1
+        return out.astype(np.float32)
+
+    def __call__(self, x, sigma, i):
+        if self._should_predict():
+            out = self._predict()
+            return out, out
+        pred, uncond = self.model_fn(x, sigma, i)
+        y = np.asarray(pred, dtype=np.float32)
+        self.H.append(y)
+        self.T.append(self._tau(self.cnt))
+        while len(self.H) > self.K:
+            self.H.pop(0)
+            self.T.pop(0)
+        if self.cnt >= self.config.warmup_steps:
+            self.curr_ws += self.config.flex_window
+        self.num_cached = 0
+        self.cnt += 1
+        return pred, uncond
+
+
+CACHE_TYPES = {
+    "easycache": (EasyCache, EasyCacheConfig),
+    "ucache": (UCache, UCacheConfig),
+    "taylorseer": (TaylorSeer, TaylorSeerConfig),
+    "spectrum": (Spectrum, SpectrumConfig),
+}
 
 
 def make_step_cache(kind: str, model_fn, denoiser, total_steps: int, **kwargs):

@@ -168,6 +168,7 @@ class DiffusionPipeline:
             ip_uncond=None,
             ip_scale=None,
             _stepwise_cb=None,
+            _step_cache=None,  # (kind, options) → host-driven cached sampling
         ):
             b = x.shape[0]
             extras = extras or {}
@@ -265,6 +266,39 @@ class DiffusionPipeline:
                     return pred, den_uncond
 
                 return model_fn
+
+            if _step_cache is not None:
+                # step-cache mode (reference sample-cache.h dispatcher): the
+                # model forward is jitted (inputs as traced args), the cache
+                # wrapper decides host-side whether to skip it entirely, and
+                # the sampler update runs eagerly.
+                from sdtpu.diffusion.samplers import sample_stepwise
+                from sdtpu.diffusion.stepcache import make_step_cache
+
+                jit_model = self._stepwise_step_cache.get(("model",) + key)
+                if jit_model is None:
+                    jit_model = jax.jit(
+                        lambda mi, xt, sigma, i: make_model_fn(mi)(xt, sigma, i)
+                    )
+                    self._stepwise_step_cache[("model",) + key] = jit_model
+
+                kind, options = _step_cache
+                cached = make_step_cache(
+                    kind,
+                    lambda xt, sigma, i: jit_model(mi, xt, sigma, i),
+                    denoiser,
+                    steps,
+                    **options,
+                )
+                out = sample_stepwise(
+                    cached, x, sigmas, method=method, noises=noises, eta=eta,
+                    is_flow=denoiser.is_flow, step_callback=_stepwise_cb,
+                )
+                log_info(
+                    f"step cache '{kind}': skipped "
+                    f"{cached.steps_skipped}/{steps} forwards"
+                )
+                return out
 
             if _stepwise_cb is not None:
                 # host-driven loop: one compiled step + per-step callback
@@ -540,6 +574,8 @@ class DiffusionPipeline:
         preview_callback=None,
         preview_interval: int = 1,
         cancel_check=None,
+        step_cache: Optional[str] = None,
+        cache_options: Optional[dict] = None,
     ) -> GenerationResult:
         """progress_callback(step, steps, x) → False cancels (reference
         sd_set_progress_callback); preview_callback(step, latent_np) receives
@@ -657,6 +693,7 @@ class DiffusionPipeline:
             progress_callback is not None
             or preview_callback is not None
             or cancel_check is not None
+            or step_cache is not None
         )
         if stepwise:
             program = self._sample_program(
@@ -673,10 +710,12 @@ class DiffusionPipeline:
                     preview_callback(i + 1, np.asarray(xi, dtype=np.float32))
                 return True
 
+            sc = (step_cache, cache_options or {}) if step_cache else None
+
             def run(params, x, noises, ctx_c, ctx_u, yc, yu, cfgs, **kw):
                 return program(
                     params, x, sigmas, noises, ctx_c, ctx_u, yc, yu, cfgs,
-                    _stepwise_cb=_cb, **kw,
+                    _stepwise_cb=_cb, _step_cache=sc, **kw,
                 )
         else:
             run = self._jit_sampler(

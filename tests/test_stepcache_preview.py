@@ -96,3 +96,63 @@ def test_latent_family_mapping():
     assert latent_family_for_version(SDVersion.SD3) == "sd3"
     assert latent_family_for_version(SDVersion.FLUX) == "flux"
     assert latent_family_for_version(SDVersion.WAN2) == "wan21"
+
+
+def test_taylorseer_skips_and_approximates():
+    from sdtpu.diffusion.stepcache import make_step_cache
+
+    calls = []
+
+    def model(x, sigma, i):
+        calls.append(int(i))
+        out = np.asarray(x) * 0.9
+        return out, out
+
+    cached = make_step_cache("taylorseer", model, None, 10, n_derivatives=1,
+                             max_warmup_steps=2, skip_interval_steps=1)
+    x = np.ones((1, 4, 4, 4), np.float32)
+    sigmas = np.linspace(1.0, 0.1, 11).astype(np.float32)
+    out = sample_stepwise(cached, jnp.asarray(x), sigmas, method="euler")
+    assert cached.steps_skipped > 0
+    assert calls != list(range(10))  # some steps skipped
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spectrum_warmup_then_skips():
+    from sdtpu.diffusion.stepcache import make_step_cache
+
+    calls = []
+
+    def model(x, sigma, i):
+        calls.append(int(i))
+        out = np.asarray(x) * 0.95
+        return out, out
+
+    cached = make_step_cache("spectrum", model, None, 20, warmup_steps=4,
+                             window_size=2)
+    x = np.ones((1, 4, 4, 4), np.float32)
+    sigmas = np.linspace(1.0, 0.05, 21).astype(np.float32)
+    out = sample_stepwise(cached, jnp.asarray(x), sigmas, method="euler")
+    # warmup steps always computed
+    assert calls[:4] == [0, 1, 2, 3]
+    assert cached.steps_skipped > 0
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_step_cache_integration():
+    """step_cache through pipeline.generate (reference --cache-option wiring,
+    stable-diffusion.cpp:2484)."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    gp = GenerationParams(prompt="x", width=64, height=64, sample_steps=8,
+                          cfg_scale=3.0, sample_method="euler", seed=7)
+    full = pipe.generate(gp)
+    cached = pipe.generate(gp, step_cache="taylorseer",
+                           cache_options={"max_warmup_steps": 2})
+    assert cached.images.shape == full.images.shape
+    assert np.isfinite(cached.latents).all()
+    # identical toy model outputs → the approximation stays close
+    rel = np.abs(cached.latents - full.latents).mean() / (np.abs(full.latents).mean() + 1e-6)
+    assert rel < 1.0  # sanity: same scale, no blow-up
