@@ -19,7 +19,7 @@ from typing import Optional
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="sdtpu", description="TPU-native stable diffusion")
     ap.add_argument("mode", nargs="?", default="img_gen",
-                    choices=["img_gen", "vid_gen", "convert", "metadata"])
+                    choices=["img_gen", "vid_gen", "adetailer", "convert", "metadata"])
     # model files (reference sd_ctx_params)
     ap.add_argument("-m", "--model", help="full checkpoint (safetensors/gguf/ckpt)")
     ap.add_argument("--diffusion-model", help="standalone diffusion model file")
@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="step cache: skip diffusion forwards (reference docs/caching.md)")
     ap.add_argument("--cache-option", default="",
                     help="key=value,... options for the step cache")
+    # adetailer mode
+    ap.add_argument("--detector", help="yolov8 detector checkpoint (adetailer)")
+    ap.add_argument("--ad-prompt", default=None, help="adetailer inpaint prompt")
+    ap.add_argument("--ad-confidence", type=float, default=0.3)
+    ap.add_argument("--ad-strength", type=float, default=0.4)
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
     # video (vid_gen mode)
@@ -113,6 +118,8 @@ def main(argv=None) -> int:
         return _convert(args)
     if args.mode == "vid_gen":
         return _vid_gen(args)
+    if args.mode == "adetailer":
+        return _adetailer(args)
 
     return _img_gen(args)
 
@@ -331,6 +338,40 @@ def _vid_gen(args) -> int:
     out = args.output if args.output != "output.png" else "output.avi"
     write_video(out, res.frames[0], fps=args.fps)
     print(f"saved {out}")
+    return 0
+
+
+def _adetailer(args) -> int:
+    """Detect faces/objects in -i and inpaint them (reference sd-cli
+    adetailer mode)."""
+    import jax.numpy as jnp
+
+    from sdtpu.config import GenerationParams
+    from sdtpu.detailer import ADetailerParams, adetail_image
+    from sdtpu.io.model_loader import read_checkpoint_file
+    from sdtpu.models.yolov8 import detect_yolov8_config
+    from sdtpu.utils.image import read_png, write_png
+
+    if not (args.init_img and args.detector):
+        raise SystemExit("error: adetailer needs -i <image> and --detector <yolov8>")
+    pipe, _ = _load_pipeline(args)
+    raw = read_checkpoint_file(args.detector)
+    det_cfg = detect_yolov8_config({k: tuple(v.shape) for k, v in raw.items()})
+    det_params = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in raw.items()}
+    image, _ = read_png(args.init_img)
+    gp = GenerationParams(
+        prompt=args.prompt, negative_prompt=args.negative_prompt,
+        sample_steps=args.steps, cfg_scale=args.cfg_scale,
+        sample_method=args.sampling_method, schedule=args.schedule, seed=args.seed,
+    )
+    out, dets = adetail_image(
+        pipe, det_params, det_cfg, image[..., :3], gp,
+        ADetailerParams(confidence=args.ad_confidence, strength=args.ad_strength,
+                        prompt=args.ad_prompt),
+    )
+    print(f"adetailer: {len(dets)} detection(s)")
+    write_png(args.output, out)
+    print(f"saved {args.output}")
     return 0
 
 

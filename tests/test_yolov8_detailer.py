@@ -1,0 +1,106 @@
+"""YOLOv8 detector + ADetailer loop (reference src/model/detector/yolov8.h,
+src/detailer.cpp)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.models.yolov8 import (
+    YOLOv8Config,
+    decode_detections,
+    detect_objects,
+    detect_yolov8_config,
+    init_yolov8_params,
+    yolov8_forward,
+)
+
+SMALL = YOLOv8Config(
+    out_channels=(8, 16, 16, 32, 32, 48, 48, 64, 64, 64, 0, 0, 48, 0, 0, 32,
+                  32, 0, 48, 48, 0, 64),
+    hidden={2: 8, 4: 16, 6: 24, 8: 32, 12: 24, 15: 16, 18: 24, 21: 32},
+    repeats={2: 1, 4: 1, 6: 1, 8: 1, 12: 1, 15: 1, 18: 1, 21: 1},
+    reg_max=4,
+    num_classes=1,
+)
+
+
+def test_yolo_forward_anchor_count():
+    p = init_yolov8_params(SMALL, seed=0)
+    size = 128
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, size, size, 3)).astype(np.float32))
+    out = jax.jit(lambda p, x: yolov8_forward(p, x, SMALL))(p, x)
+    n_anchors = (size // 8) ** 2 + (size // 16) ** 2 + (size // 32) ** 2
+    assert out.shape == (1, n_anchors, 4 * SMALL.reg_max + SMALL.num_classes)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decode_synthetic_detection():
+    """Hand-built raw output with one confident anchor decodes to the right
+    box and survives NMS."""
+    size = 64
+    n_anchors = (size // 8) ** 2 + (size // 16) ** 2 + (size // 32) ** 2
+    rm, nc = 4, 1
+    raw = np.zeros((1, n_anchors, 4 * rm + nc), dtype=np.float32)
+    raw[..., 4 * rm:] = -10.0  # all background
+    # anchor 9 on the stride-8 grid: center ((9%8)+0.5, (9//8)+0.5) * 8
+    a = 9
+    raw[0, a, 4 * rm:] = 5.0  # confident
+    # DFL logits peaking at bin 2 → distance 2 per side
+    for side in range(4):
+        raw[0, a, side * rm + 2] = 10.0
+    cfg = YOLOv8Config(reg_max=rm, num_classes=nc)
+    dets = decode_detections(raw, size, cfg, conf_threshold=0.5)
+    assert len(dets) == 1
+    x1, y1, x2, y2, score, cls = dets[0]
+    cx, cy = ((a % 8) + 0.5) * 8, ((a // 8) + 0.5) * 8
+    assert abs(x1 - (cx - 16)) < 1e-3 and abs(x2 - (cx + 16)) < 1e-3
+    assert abs(y1 - (cy - 16)) < 1e-3 and abs(y2 - (cy + 16)) < 1e-3
+    assert score > 0.99 and cls == 0
+    # two overlapping confident anchors → NMS keeps one
+    raw[0, a + 1, 4 * rm:] = 4.0
+    for side in range(4):
+        raw[0, a + 1, side * rm + 2] = 10.0
+    dets = decode_detections(raw, size, cfg, conf_threshold=0.5, iou_threshold=0.5)
+    assert len(dets) == 1
+
+
+def test_config_detection_roundtrip():
+    p = init_yolov8_params(SMALL, seed=0)
+    shapes = {k: tuple(v.shape) for k, v in p.items()}
+    cfg = detect_yolov8_config(shapes)
+    assert cfg.reg_max == SMALL.reg_max
+    assert cfg.num_classes == SMALL.num_classes
+    assert cfg.hidden == SMALL.hidden
+    assert cfg.repeats == SMALL.repeats
+
+
+def test_adetail_image_end_to_end(monkeypatch):
+    """ADetailer loop with a stubbed detector: inpaints only the detected
+    region."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.detailer import ADetailerParams, adetail_image
+    from sdtpu.factory import create_pipeline
+
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    image = (np.random.default_rng(0).uniform(0, 255, (128, 128, 3))).astype(np.uint8)
+
+    import sdtpu.models.yolov8 as ymod
+
+    monkeypatch.setattr(
+        ymod, "detect_objects",
+        lambda *a, **k: [(40.0, 40.0, 88.0, 88.0, 0.9, 0)],
+    )
+    # detailer imports detect_objects lazily from the module — patch there too
+    import sdtpu.detailer as dmod
+
+    gp = GenerationParams(prompt="a face", width=64, height=64, sample_steps=2,
+                          cfg_scale=3.0, sample_method="euler", seed=5)
+    out, dets = adetail_image(pipe, None, SMALL, image, gp,
+                              ADetailerParams(crop_size=64, mask_padding=8,
+                                              mask_dilation=2, strength=0.5))
+    assert out.shape == image.shape
+    assert len(dets) == 1
+    # region inside the detection changed; far corner untouched
+    assert not np.array_equal(out[44:84, 44:84], image[44:84, 44:84])
+    np.testing.assert_array_equal(out[:20, :20], image[:20, :20])
