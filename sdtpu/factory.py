@@ -117,6 +117,15 @@ def create_pipeline(
         vae_cfg = vae_mod.SDXL_VAE_CONFIG if sd_version_is_sdxl(version) else vae_mod.SD_VAE_CONFIG
 
     unet_params = params.get("diffusion") or unet_mod.init_unet_params(ucfg, seed=seed, dtype=dtype)
+    if params.get("motion"):
+        # AnimateDiff motion modules merge under the motion_module. prefix
+        unet_params = {
+            **unet_params,
+            **{
+                (k if k.startswith("motion_module.") else f"motion_module.{k}"): v
+                for k, v in params["motion"].items()
+            },
+        }
     clip_params = params.get("clip_l") or clip_mod.init_clip_params(clip_cfg, seed, dtype=dtype)
     vae_params = params.get("vae") or vae_mod.init_vae_params(vae_cfg, seed=seed, dtype=dtype)
 
@@ -144,6 +153,18 @@ def create_pipeline(
 
     def diffusion_fn(p, x, t, ctx, y, controls=None, control_strength=1.0,
                      ip_context=None, ip_scale=1.0):
+        if x.ndim == 5:
+            # AnimateDiff video: frames fold into the batch; temporal
+            # attention regroups them (reference unet.hpp num_video_frames)
+            b, f, hh, ww, c = x.shape
+            ctx_f = jnp.repeat(ctx, f, axis=0)
+            y_f = jnp.repeat(y, f, axis=0) if y is not None else None
+            t_f = jnp.repeat(t, f, axis=0)
+            out = unet_mod.unet_forward(
+                p, x.reshape(b * f, hh, ww, c), t_f, ctx_f, y=y_f, cfg=ucfg,
+                num_frames=f,
+            )
+            return out.reshape(b, f, hh, ww, out.shape[-1])
         return unet_mod.unet_forward(
             p, x, t, ctx, y=y, cfg=ucfg, controls=controls,
             control_strength=control_strength, ip_context=ip_context,
@@ -156,6 +177,10 @@ def create_pipeline(
         return controlnet_forward(p, x, hint, t, ctx, y=y, cfg=ucfg)
 
     def vae_decode_fn(p, z):
+        if z.ndim == 5:  # video latents → frame-wise decode
+            b, f = z.shape[:2]
+            img = vae_mod.vae_decode(p, z.reshape((b * f,) + z.shape[2:]), vae_cfg)
+            return img.reshape((b, f) + img.shape[1:])
         return vae_mod.vae_decode(p, z, vae_cfg)
 
     def vae_encode_fn(p, x, noise=None):

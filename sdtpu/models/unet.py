@@ -226,6 +226,7 @@ def unet_forward(
     control_strength: float = 1.0,
     ip_context=None,
     ip_scale: float = 1.0,
+    num_frames: int = 1,
 ) -> jnp.ndarray:
     """x: [B,H,W,C] latent (NHWC), timesteps: [B], context: [B,L,ctx],
     y: [B, adm_in_channels] (SDXL). Returns eps/v prediction [B,H,W,out].
@@ -241,41 +242,68 @@ def unet_forward(
         emb = emb + linear(silu(lemb), p["label_emb.0.2.weight"], p["label_emb.0.2.bias"])
 
     inputs, outputs = _block_layout(cfg)
+
+    def motion(h, key):
+        # AnimateDiff temporal transformer, by key presence
+        # (reference unet.hpp:603-630)
+        full = f"motion_module.{key}.temporal_transformer.proj_in.weight"
+        if num_frames > 1 and full in p:
+            from sdtpu.models.animatediff import motion_module_forward
+
+            return motion_module_forward(p, f"motion_module.{key}", h, num_frames)
+        return h
+
     hs = []
     h = x
+    level = 0
+    res_j = 0
     for i, blk in enumerate(inputs):
+        is_res = False
         for j, kind in enumerate(blk):
             pre = f"input_blocks.{i}.{j}"
             if kind == "conv":
                 h = conv2d(h, p[f"{pre}.weight"], p[f"{pre}.bias"])
             elif kind == "res":
                 h = resblock(p, pre, h, emb)
+                is_res = True
             elif kind == "down":
                 h = conv2d(h, p[f"{pre}.op.weight"], p[f"{pre}.op.bias"], stride=2)
+                level += 1
+                res_j = 0
             elif isinstance(kind, tuple) and kind[0] == "attn":
                 h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale)
+        if is_res:
+            h = motion(h, f"down_blocks.{level}.motion_modules.{res_j}")
+            res_j += 1
         hs.append(h)
 
     h = resblock(p, "middle_block.0", h, emb)
     mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
     h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth, ip_context=ip_context, ip_scale=ip_scale)
     h = resblock(p, "middle_block.2", h, emb)
+    h = motion(h, "mid_block.motion_modules.0")
 
     if controls is not None:
         block_controls, middle_control = controls
         h = h + middle_control.astype(h.dtype) * control_strength
         hs = [s + c.astype(s.dtype) * control_strength for s, c in zip(hs, block_controls)]
 
+    n_out_per_level = cfg.num_res_blocks + 1
     for i, blk in enumerate(outputs):
         h = jnp.concatenate([h, hs.pop()], axis=-1)
+        did_up = False
         for j, kind in enumerate(blk):
             pre = f"output_blocks.{i}.{j}"
             if kind == "res":
                 h = resblock(p, pre, h, emb)
             elif kind == "up":
-                h = upsample(p, pre, h)
+                did_up = True
             elif isinstance(kind, tuple) and kind[0] == "attn":
                 h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale)
+        h = motion(h, f"up_blocks.{i // n_out_per_level}.motion_modules.{i % n_out_per_level}")
+        if did_up:
+            up_j = len(blk) - 1
+            h = upsample(p, f"output_blocks.{i}.{up_j}", h)
 
     h = group_norm(h, p["out.0.weight"], p["out.0.bias"], eps=1e-5)
     h = silu(h)

@@ -143,3 +143,33 @@ def test_wan_pipeline_t2v_end_to_end():
     # deterministic across runs
     res2 = pipe.generate_video(gp, frames=9)
     np.testing.assert_array_equal(res.frames, res2.frames)
+
+
+def test_animatediff_motion_modules():
+    """AnimateDiff temporal transformers in the SD1 UNet (reference
+    animatediff.hpp + unet.hpp:603-630)."""
+    import dataclasses
+
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline, unet_config_for
+    from sdtpu.models.animatediff import default_motion_channel_map, init_motion_params
+
+    ucfg = unet_config_for(SDVersion.SD1, small=True)
+    motion = init_motion_params(default_motion_channel_map(ucfg), seed=1)
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0,
+                           params={"motion": motion})
+    gp = GenerationParams(prompt="a cat walking", width=64, height=64,
+                          sample_steps=2, cfg_scale=3.0, sample_method="euler",
+                          seed=6)
+    res = pipe.generate_video(gp, frames=4)
+    assert res.frames.shape == (1, 4, 64, 64, 3)
+    assert np.isfinite(res.latents).all()
+    # motion modules couple the frames: perturbing nothing but comparing
+    # frame-wise to a no-motion pipeline shows temporal mixing
+    pipe2 = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    res2 = pipe2.generate_video(gp, frames=4)
+    assert not np.allclose(res.latents, res2.latents, atol=1e-4)
+    # single-image generation through the motion pipeline is unaffected
+    img_a = pipe.generate(gp)
+    img_b = pipe2.generate(gp)
+    np.testing.assert_allclose(img_a.latents, img_b.latents, atol=1e-5)
