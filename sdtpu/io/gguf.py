@@ -9,6 +9,7 @@ Load-time dequant targets the host; the on-device dequant-matmul Pallas path
 """
 from __future__ import annotations
 
+import os
 import struct
 from typing import Any, Dict, Optional, Tuple
 
@@ -158,7 +159,9 @@ def dequant_q3_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
                 is_ += 1
                 dl = d_all * sc
                 qseg = (q[:, sub * 16 : sub * 16 + 16] >> shift) & 3
-                hseg = hmask[:, sub * 16 + (0 if half == 0 else 16) :][:, :16]
+                # hmask bytes are shared across both 128-halves; the bit
+                # plane m advances through all 8 (half, j) combinations
+                hseg = hmask[:, sub * 16 : sub * 16 + 16]
                 hm = (hseg & m) == 0
                 qv = qseg.astype(np.int16) - np.where(hm, 4, 0)
                 y[:, half * 128 + j * 32 + sub * 16 : half * 128 + j * 32 + sub * 16 + 16] = (
@@ -262,7 +265,30 @@ DEQUANT_FNS = {
 
 
 def dequantize(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
-    """raw uint8 buffer of one tensor → float32[n_elems]."""
+    """raw uint8 buffer of one tensor → float32[n_elems].
+
+    Uses the threaded C kernels (sdtpu/native/dequant.c) when available —
+    ~2 orders of magnitude faster than the numpy fallback on k-quants —
+    matching the reference's multi-threaded dequantizing loader
+    (src/model_loader.cpp)."""
+    native_types = {GGML_F16, GGML_BF16, GGML_Q4_0, GGML_Q4_1, GGML_Q5_0,
+                    GGML_Q5_1, GGML_Q8_0, GGML_Q2_K, GGML_Q3_K, GGML_Q4_K,
+                    GGML_Q5_K, GGML_Q6_K}
+    if ggml_type in native_types:
+        from sdtpu.native import get_native
+
+        nat = get_native()
+        if nat is not None:
+            out = np.empty(n_elems, dtype=np.float32)
+            n = n_elems
+            if ggml_type in BLOCK_INFO:
+                be = BLOCK_INFO[ggml_type][0]
+                n = (n_elems // be) * be
+            nat.dequant(int(ggml_type), np.ascontiguousarray(raw), out[:n], int(n),
+                        min(os.cpu_count() or 8, 16))
+            if n < n_elems:
+                out[n:] = 0.0
+            return out
     if ggml_type == GGML_F32:
         return raw.view(np.float32)[:n_elems].copy()
     if ggml_type == GGML_F16:

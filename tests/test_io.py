@@ -155,3 +155,59 @@ def test_quant_block_sizes(gtype, d_offsets):
     out = dequantize(raw.reshape(-1), gtype, 4 * be)
     assert out.shape == (4 * be,)
     assert np.isfinite(out).all()
+
+
+def test_native_dequant_matches_numpy():
+    """The threaded C kernels (sdtpu/native/dequant.c) must agree with the
+    numpy reference for every quant type, f16, and bf16."""
+    import numpy as np
+
+    import sdtpu.io.gguf as gg
+    from sdtpu.native import get_native
+
+    nat = get_native()
+    if nat is None:
+        pytest.skip("native extension unavailable (no compiler)")
+
+    rng = np.random.default_rng(0)
+    for t in (gg.GGML_Q4_0, gg.GGML_Q4_1, gg.GGML_Q5_0, gg.GGML_Q5_1,
+              gg.GGML_Q8_0, gg.GGML_Q2_K, gg.GGML_Q3_K, gg.GGML_Q4_K,
+              gg.GGML_Q5_K, gg.GGML_Q6_K):
+        be, bb = gg.BLOCK_INFO[t]
+        nblk = 32
+        raw = rng.integers(0, 256, size=(nblk * bb,), dtype=np.uint8)
+        n = nblk * be
+        with np.errstate(invalid="ignore", over="ignore"):
+            ref = gg.DEQUANT_FNS[t](raw[: nblk * bb], nblk)[:n]
+        out = np.empty(n, dtype=np.float32)
+        nat.dequant(int(t), np.ascontiguousarray(raw), out, int(n), 4)
+        nan = np.isnan(ref) & np.isnan(out)
+        np.testing.assert_allclose(
+            np.where(nan, 0, ref), np.where(nan, 0, out), rtol=1e-5, atol=1e-5,
+            err_msg=gg.TYPE_NAMES[t],
+        )
+    # f16 / bf16 conversion paths
+    h = rng.integers(0, 0x7C00, size=1024, dtype=np.uint16)
+    out = np.empty(1024, dtype=np.float32)
+    nat.dequant(int(gg.GGML_F16), h.view(np.uint8).copy(), out, 1024, 2)
+    np.testing.assert_allclose(out, h.view(np.float16).astype(np.float32))
+    nat.dequant(int(gg.GGML_BF16), h.view(np.uint8).copy(), out, 1024, 2)
+    np.testing.assert_allclose(
+        out, (h.astype(np.uint32) << 16).view(np.float32)
+    )
+
+
+def test_native_dequant_bad_inputs():
+    import numpy as np
+
+    import sdtpu.io.gguf as gg
+    from sdtpu.native import get_native
+
+    nat = get_native()
+    if nat is None:
+        pytest.skip("native extension unavailable")
+    out = np.empty(32, dtype=np.float32)
+    with pytest.raises(ValueError):
+        nat.dequant(99, b"\x00" * 64, out, 32, 2)  # unknown type
+    with pytest.raises(ValueError):
+        nat.dequant(int(gg.GGML_Q8_0), b"\x00" * 8, out, 32, 2)  # src too small
