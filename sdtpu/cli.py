@@ -376,16 +376,33 @@ def _adetailer(args) -> int:
 
 
 def _convert(args) -> int:
+    """Convert/quantize a checkpoint (reference convert.cpp): output format
+    from the -o extension (.gguf → quantizing GGUF writer, else safetensors)."""
     import numpy as np
 
     from sdtpu.io.model_loader import read_checkpoint_file
-    from sdtpu.io.safetensors import save_safetensors
 
     tensors = read_checkpoint_file(args.model)
     out_type = args.output_type
+    print(f"writing {len(tensors)} tensors to {args.output} ({out_type})")
+    if args.output.lower().endswith(".gguf"):
+        from sdtpu.io.gguf import save_gguf
+
+        save_gguf(args.output, tensors, out_type=out_type,
+                  metadata={"converter": "sdtpu"})
+        return 0
+    from sdtpu.io.safetensors import save_safetensors
+
     if out_type == "f16":
         tensors = {k: v.astype(np.float16) if v.dtype == np.float32 else v for k, v in tensors.items()}
-    print(f"writing {len(tensors)} tensors to {args.output} ({out_type})")
+    elif out_type == "bf16":
+        import jax.numpy as jnp
+
+        tensors = {
+            k: np.asarray(jnp.asarray(v, dtype=jnp.bfloat16))
+            if v.dtype == np.float32 else v
+            for k, v in tensors.items()
+        }
     save_safetensors(args.output, tensors, metadata={"format": "pt", "converter": "sdtpu"})
     return 0
 

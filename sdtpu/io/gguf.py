@@ -408,3 +408,139 @@ def load_gguf(path: str, filter_fn=None) -> Dict[str, np.ndarray]:
             continue
         out[name] = f.tensor(name)
     return out
+
+
+# ----------------------------------------------------------------- quantizers
+
+
+def quantize_q8_0(x: np.ndarray) -> np.ndarray:
+    """f32 [..., k] (k % 32 == 0) → q8_0 blocks (ggml quantize_row_q8_0)."""
+    flat = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    amax = np.abs(flat).max(axis=1, keepdims=True)
+    d = amax / 127.0
+    q = np.where(d > 0, np.round(flat / np.where(d == 0, 1, d)), 0.0)
+    q = np.clip(q, -128, 127).astype(np.int8)
+    out = np.empty((flat.shape[0], 34), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def quantize_q4_0(x: np.ndarray) -> np.ndarray:
+    """f32 → q4_0 blocks (ggml quantize_row_q4_0: scale by the signed max)."""
+    flat = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    idx = np.abs(flat).argmax(axis=1)
+    maxv = flat[np.arange(flat.shape[0]), idx]  # signed value of the abs max
+    d = maxv / -8.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip((flat * inv[:, None] + 8.5).astype(np.int32), 0, 15).astype(np.uint8)
+    out = np.empty((flat.shape[0], 18), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def quantize_q4_1(x: np.ndarray) -> np.ndarray:
+    flat = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    vmin = flat.min(axis=1)
+    vmax = flat.max(axis=1)
+    d = (vmax - vmin) / 15.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(((flat - vmin[:, None]) * inv[:, None] + 0.5).astype(np.int32), 0, 15).astype(np.uint8)
+    out = np.empty((flat.shape[0], 20), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = vmin.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 4:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+QUANTIZE_FNS = {
+    GGML_Q8_0: quantize_q8_0,
+    GGML_Q4_0: quantize_q4_0,
+    GGML_Q4_1: quantize_q4_1,
+}
+
+
+# --------------------------------------------------------------- GGUF writer
+
+
+def save_gguf(path: str, tensors: Dict[str, np.ndarray], out_type: str = "f16",
+              metadata: Optional[Dict[str, str]] = None, min_quant_size: int = 1024):
+    """Write a GGUF v3 file (reference: src/model_io/gguf_io.cpp writer +
+    src/convert.cpp quantizing conversion).
+
+    out_type: f32/f16/bf16/q8_0/q4_0/q4_1.  2-D tensors whose inner dim is a
+    multiple of the block size and with ≥ min_quant_size elements are
+    quantized; everything else falls back to f16/f32."""
+    name_to_type = {v: k for k, v in TYPE_NAMES.items()}
+    target = name_to_type[out_type]
+    align = 32
+
+    entries = []  # (name, type_id, shape, payload bytes)
+    for name, arr in tensors.items():
+        arr = np.asarray(arr)
+        t = target
+        if str(arr.dtype) == "bfloat16":
+            arr = arr.astype(np.float32)
+        if arr.dtype not in (np.float32, np.float16) or arr.ndim == 0:
+            payload = np.ascontiguousarray(arr).tobytes()
+            t = {np.dtype(np.int32): GGML_I32, np.dtype(np.int64): GGML_I64,
+                 np.dtype(np.int8): GGML_I8}.get(arr.dtype, GGML_F32)
+            if t == GGML_F32:
+                payload = np.ascontiguousarray(arr, dtype=np.float32).tobytes()
+            entries.append((name, t, arr.shape, payload))
+            continue
+        arr32 = np.ascontiguousarray(arr, dtype=np.float32)
+        quantizable = (
+            t in QUANTIZE_FNS
+            and arr.ndim >= 2
+            and arr.shape[-1] % BLOCK_INFO[t][0] == 0
+            and arr.size >= min_quant_size
+        )
+        if quantizable:
+            payload = QUANTIZE_FNS[t](arr32).tobytes()
+        elif t == GGML_BF16:
+            payload = (
+                (arr32.view(np.uint32) >> 16).astype(np.uint16).tobytes()
+            )
+        elif t == GGML_F32:
+            payload = arr32.tobytes()
+        else:  # f16 fallback (also for non-quantizable tensors)
+            t = GGML_F16
+            payload = arr32.astype(np.float16).tobytes()
+        entries.append((name, t, arr.shape, payload))
+
+    kv = {"general.architecture": "sdtpu", **(metadata or {})}
+    buf = bytearray()
+    buf += GGUF_MAGIC
+    buf += struct.pack("<IQQ", 3, len(entries), len(kv))
+
+    def w_str(s):
+        b = s.encode("utf-8")
+        buf.extend(struct.pack("<Q", len(b)))
+        buf.extend(b)
+
+    for k, v in kv.items():
+        w_str(k)
+        buf.extend(struct.pack("<I", 8))  # string type
+        w_str(str(v))
+
+    offset = 0
+    for name, t, shape, payload in entries:
+        w_str(name)
+        dims = list(reversed(shape))  # gguf dims are innermost-first
+        buf.extend(struct.pack("<I", len(dims)))
+        for dname in dims:
+            buf.extend(struct.pack("<Q", dname))
+        buf.extend(struct.pack("<I", t))
+        buf.extend(struct.pack("<Q", offset))
+        offset += (len(payload) + align - 1) // align * align
+
+    pad = (align - (len(buf) % align)) % align
+    buf.extend(b"\x00" * pad)
+    for _, _, _, payload in entries:
+        buf.extend(payload)
+        pad = (align - (len(payload) % align)) % align
+        buf.extend(b"\x00" * pad)
+    with open(path, "wb") as f:
+        f.write(bytes(buf))

@@ -211,3 +211,46 @@ def test_native_dequant_bad_inputs():
         nat.dequant(99, b"\x00" * 64, out, 32, 2)  # unknown type
     with pytest.raises(ValueError):
         nat.dequant(int(gg.GGML_Q8_0), b"\x00" * 8, out, 32, 2)  # src too small
+
+
+def test_gguf_writer_roundtrip(tmp_path):
+    """save_gguf → load_gguf roundtrip at every output type (reference
+    convert.cpp + gguf_io.cpp writer)."""
+    import numpy as np
+
+    from sdtpu.io.gguf import load_gguf, save_gguf
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "w.weight": rng.standard_normal((64, 64)).astype(np.float32),
+        "b.bias": rng.standard_normal((64,)).astype(np.float32),
+        "small": rng.standard_normal((4, 4)).astype(np.float32),
+    }
+    for out_type, tol in [("f32", 0), ("f16", 1e-3), ("bf16", 1e-2),
+                          ("q8_0", 2e-2), ("q4_0", 0.2), ("q4_1", 0.1)]:
+        path = str(tmp_path / f"m_{out_type}.gguf")
+        save_gguf(path, tensors, out_type=out_type, min_quant_size=256)
+        back = load_gguf(path)
+        assert set(back) == set(tensors)
+        for k, v in tensors.items():
+            ref = v
+            scale = np.abs(ref).mean() + 1e-6
+            err = np.abs(back[k] - ref).mean() / scale
+            limit = tol if (k == "w.weight" or out_type in ("f32", "f16", "bf16")) else 1e-3
+            assert err <= max(limit, 1e-6) or np.allclose(back[k], ref, atol=0.3), (
+                out_type, k, err
+            )
+        assert back["w.weight"].shape == (64, 64)
+
+
+def test_gguf_quantize_matches_dequant_identity():
+    """quantize_q8_0 → dequant recovers values within q8 precision."""
+    import numpy as np
+
+    from sdtpu.io.gguf import GGML_Q8_0, dequantize, quantize_q8_0
+
+    x = np.random.default_rng(1).standard_normal(1024).astype(np.float32)
+    blob = quantize_q8_0(x)
+    back = dequantize(np.frombuffer(blob.tobytes(), np.uint8), GGML_Q8_0, 1024)
+    rel = np.abs(back - x).mean() / np.abs(x).mean()
+    assert rel < 0.01, rel
