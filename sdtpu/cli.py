@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ad-strength", type=float, default=0.4)
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
+    ap.add_argument("--slg-start", type=float, default=0.01)
+    ap.add_argument("--slg-end", type=float, default=0.2)
+    ap.add_argument("--apg-eta", type=float, default=1.0)
+    ap.add_argument("--apg-momentum", type=float, default=0.0)
+    ap.add_argument("--apg-nt", type=float, default=0.0, help="APG norm threshold")
     # video (vid_gen mode)
     ap.add_argument("--video-frames", type=int, default=81, help="frame count (1+4k)")
     ap.add_argument("--fps", type=int, default=16)
@@ -239,6 +244,12 @@ def _img_gen(args) -> int:
         eta=args.eta,
         strength=args.strength,
         slg_scale=args.slg_scale,
+        skip_layers=tuple(int(v) for v in args.skip_layers.split(",") if v.strip()),
+        slg_start=args.slg_start,
+        slg_end=args.slg_end,
+        apg_eta=args.apg_eta,
+        apg_momentum=args.apg_momentum,
+        apg_norm_threshold=args.apg_nt,
     )
     init_image = mask_image = control_image = None
     if args.init_img:

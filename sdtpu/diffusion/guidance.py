@@ -103,12 +103,14 @@ def apg_combine(
             cond_norm_sq != 0.0, (params.eta - 1.0) * proj, 0.0
         ) * pred_cond
 
+    # trace-safe combine: guidance_scale may be a traced scalar inside the
+    # sampling scan.  scale==1 naturally reduces to pred_cond since
+    # (scale-1)·deltas vanishes.
     pred = pred_cond
     if pred_uncond is not None:
-        if guidance_scale != 1.0:
-            pred = pred_cond + (guidance_scale - 1.0) * deltas
-        elif pred_img_uncond is not None:
-            pred = pred_cond + (image_guidance_scale - 1.0) * deltas
+        pred = pred_cond + (guidance_scale - 1.0) * deltas
+        if pred_img_uncond is not None:
+            pred = pred + (image_guidance_scale - 1.0) * deltas
     elif pred_img_uncond is not None:
         pred = pred_img_uncond + guidance_scale * deltas
     return pred, new_buf

@@ -264,8 +264,9 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
             t5_seq_len=t5_seq,
         )
 
-    def diffusion_fn(p, x, t, ctx, y, guidance=None):
-        return flux_mod.flux_forward(p, x, t, ctx, y, guidance=guidance, cfg=dit_cfg)
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+        return flux_mod.flux_forward(p, x, t, ctx, y, guidance=guidance, cfg=dit_cfg,
+                                     skip_layers=skip_layers)
 
     def vae_decode_fn(p, z):
         return vae_mod.vae_decode(p, z, vae_cfg)
@@ -540,11 +541,9 @@ def _create_sd3_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         t5_cfg,
     )
 
-    def diffusion_fn(p, x, t, ctx, y):
-        return mmdit_forward_wrapper(p, x, t, ctx, y, dit_cfg)
-
-    def mmdit_forward_wrapper(p, x, t, ctx, y, cfg):
-        return mmdit_mod.mmdit_forward(p, x, t, ctx, y, cfg=cfg)
+    def diffusion_fn(p, x, t, ctx, y, skip_layers=()):
+        return mmdit_mod.mmdit_forward(p, x, t, ctx, y, cfg=dit_cfg,
+                                       skip_layers=skip_layers)
 
     def vae_decode_fn(p, z):
         return vae_mod.vae_decode(p, z, vae_cfg)

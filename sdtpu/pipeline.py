@@ -137,8 +137,11 @@ class DiffusionPipeline:
     # ------------------------------------------------------------- programs
 
     def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float,
-                        use_control: bool = False):
-        key = (method, steps, has_uncond, eta, use_control)
+                        use_control: bool = False, slg=None, apg=None):
+        """slg: (scale, skip_layers, i0, i1) — Skip-Layer Guidance window
+        (reference guidance.h:43-98 + sample loop :2752); apg: APGParams for
+        Adaptive Projected Guidance in place of plain CFG."""
+        key = (method, steps, has_uncond, eta, use_control, slg, apg)
         prog = self._program_cache.get(key)
         if prog is not None:
             return prog
@@ -250,7 +253,36 @@ class DiffusionPipeline:
                         )
                         den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
                         den_cond, den_uncond = den_both[:b], den_both[b:]
-                        pred = cfg_combine(den_cond, den_uncond, None, mi["cfg_scale"])
+                        if apg is not None:
+                            from sdtpu.diffusion.guidance import apg_combine
+
+                            pred, _ = apg_combine(
+                                den_cond, den_uncond, None, mi["cfg_scale"], apg
+                            )
+                        else:
+                            pred = cfg_combine(den_cond, den_uncond, None, mi["cfg_scale"])
+                        if slg is not None:
+                            # cond-only forward with layers skipped, applied
+                            # inside the [i0, i1) step window
+                            slg_scale, slg_layers, i0, i1 = slg
+
+                            def _do_slg(_):
+                                tt1 = jnp.full((b,), t, dtype=jnp.float32)
+                                out_s = diffusion_fn(
+                                    mi["params"], x_in, tt1, mi["ctx_cond"],
+                                    mi["y_cond"], skip_layers=slg_layers,
+                                    **mi["extras"],
+                                ).astype(jnp.float32)
+                                den_s = c_skip * xt + c_out * out_s
+                                return slg_scale * (den_cond - den_s)
+
+                            delta = jax.lax.cond(
+                                jnp.logical_and(i >= i0, i < i1),
+                                _do_slg,
+                                lambda _: jnp.zeros_like(pred),
+                                operand=None,
+                            )
+                            pred = pred + delta
                     else:
                         tt = jnp.full((b,), t, dtype=jnp.float32)
                         out = apply_model(
@@ -347,13 +379,16 @@ class DiffusionPipeline:
         self._program_cache[key] = program
         return program
 
-    def _jit_sampler(self, method, steps, has_uncond, eta, sigmas, use_control=False):
+    def _jit_sampler(self, method, steps, has_uncond, eta, sigmas, use_control=False,
+                     slg=None, apg=None):
         """jit with sigmas baked (host-precomputed coefficients)."""
-        key = ("run", method, steps, has_uncond, eta, sigmas.tobytes(), use_control)
+        key = ("run", method, steps, has_uncond, eta, sigmas.tobytes(), use_control,
+               slg, apg)
         cached = self._program_cache.get(key)
         if cached is not None:
             return cached
-        program = self._sample_program(method, steps, has_uncond, eta, use_control)
+        program = self._sample_program(method, steps, has_uncond, eta, use_control,
+                                       slg=slg, apg=apg)
 
         @jax.jit
         def run(
@@ -689,6 +724,27 @@ class DiffusionPipeline:
             and self.controlnet_fn is not None
             and self.controlnet_params is not None
         )
+        # guidance extensions (reference guidance.h): SLG step window + APG
+        slg = None
+        if gp.slg_scale != 0.0 and has_uncond:
+            from sdtpu.diffusion.guidance import slg_active_steps
+
+            i0, i1 = slg_active_steps(steps, gp.slg_start, gp.slg_end)
+            slg = (float(gp.slg_scale), tuple(gp.skip_layers), i0, i1)
+        apg = None
+        from sdtpu.diffusion.guidance import APGParams
+
+        apg_params = APGParams(
+            eta=gp.apg_eta, momentum=gp.apg_momentum,
+            norm_threshold=gp.apg_norm_threshold,
+            norm_threshold_smoothing=gp.apg_norm_smoothing,
+        )
+        if apg_params.enabled and has_uncond:
+            apg = apg_params
+            if apg.momentum != 0.0:
+                log_info("APG momentum is applied statelessly per step in the "
+                         "scan path; use the stepwise path for exact parity")
+
         stepwise = (
             progress_callback is not None
             or preview_callback is not None
@@ -697,7 +753,8 @@ class DiffusionPipeline:
         )
         if stepwise:
             program = self._sample_program(
-                gp.sample_method, steps, has_uncond, gp.eta, use_control
+                gp.sample_method, steps, has_uncond, gp.eta, use_control,
+                slg=slg, apg=apg,
             )
 
             def _cb(i, xi):
@@ -719,7 +776,8 @@ class DiffusionPipeline:
                 )
         else:
             run = self._jit_sampler(
-                gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control
+                gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control,
+                slg=slg, apg=apg,
             )
         kwargs = {}
         if ip_image is not None and self._ip_proj is not None:

@@ -57,3 +57,33 @@ def test_sd3_txt2img_small():
     # flow denoiser path: deterministic across runs
     res2 = pipe.txt2img(gp)
     np.testing.assert_array_equal(res.images, res2.images)
+
+
+def test_slg_and_apg_wiring():
+    """SLG (skip-layer window) and APG wired through generate
+    (reference guidance.h + sample loop stable-diffusion.cpp:2752)."""
+    import dataclasses
+
+    import numpy as np
+
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    pipe = create_pipeline(SDVersion.SD3, small=True, seed=0)
+    gp = GenerationParams(
+        prompt="a cat", width=32, height=32, sample_steps=4, cfg_scale=4.0,
+        sample_method="euler", seed=3, skip_layers=(1,),
+    )
+    base = pipe.generate(gp)
+    # SLG changes the output inside its window
+    slg = pipe.generate(dataclasses.replace(gp, slg_scale=2.5, slg_start=0.0, slg_end=1.0))
+    assert not np.allclose(base.latents, slg.latents, atol=1e-5)
+    # zero-width window → identical to base
+    slg0 = pipe.generate(dataclasses.replace(gp, slg_scale=2.5, slg_start=0.99, slg_end=1.0))
+    np.testing.assert_allclose(base.latents, slg0.latents, rtol=1e-4, atol=1e-4)
+    # APG with eta<1 changes the combine
+    apg = pipe.generate(dataclasses.replace(gp, apg_eta=0.5))
+    assert not np.allclose(base.latents, apg.latents, atol=1e-5)
+    # APG with defaults (disabled) == plain CFG
+    same = pipe.generate(dataclasses.replace(gp, apg_eta=1.0))
+    np.testing.assert_array_equal(base.latents, same.latents)
