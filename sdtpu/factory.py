@@ -97,6 +97,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
         )
+    if version == SDVersion.HUNYUAN_VIDEO:
+        return _create_hunyuan_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -367,6 +372,98 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
         latent_channels=dit_cfg.out_channels,
         scale_factor=8,
         compute_dtype=dtype,
+    )
+
+
+def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                             qwen_tokenizer=None):
+    """Hunyuan Video 1.5 (reference stable-diffusion.cpp:1086): Qwen2.5-VL
+    conditioner (video chat template), FLUX-style double-stream DiT with the
+    token refiner, 16×/4× causal VAE, flow shift 7."""
+    from sdtpu.conditioning.conditioner import QwenImageConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import hunyuan as hy_mod
+    from sdtpu.models import hunyuan_vae as hyvae_mod
+    from sdtpu.models import llm as llm_mod
+
+    if small:
+        dit_cfg = hy_mod.HunyuanVideoConfig(
+            in_channels=9, out_channels=4, hidden_size=64, context_in_dim=48,
+            num_heads=2, depth=2, axes_dim=(8, 12, 12), refiner_depth=1,
+        )
+        llm_cfg = llm_mod.LLMConfig(
+            num_layers=2, hidden_size=48, intermediate_size=96, num_heads=4,
+            num_kv_heads=2, head_dim=12, vocab_size=256,
+        )
+        vae_cfg = hyvae_mod.HunyuanVAEConfig(
+            z_channels=4, block_out_channels=(8, 8, 16, 16, 16), layers_per_block=1,
+        )
+    else:
+        dit_cfg = (
+            hy_mod.detect_hunyuan_config(
+                params["diffusion"].keys(),
+                {k: tuple(v.shape) for k, v in params["diffusion"].items()},
+            )
+            if params.get("diffusion")
+            else hy_mod.HUNYUAN_VIDEO_15_CONFIG
+        )
+        llm_cfg = (
+            llm_mod.detect_llm_config(
+                params["llm"].keys(),
+                {k: tuple(v.shape) for k, v in params["llm"].items()},
+            )
+            if params.get("llm")
+            else llm_mod.QWEN25_VL_7B_CONFIG
+        )
+        vae_cfg = hyvae_mod.HUNYUAN_VAE_CONFIG
+
+    dit_params = params.get("diffusion") or hy_mod.init_hunyuan_params(dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or hyvae_mod.init_hunyuan_vae_params(vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = QwenImageConditioner(
+        qwen_tokenizer, llm_params, llm_cfg, template="hunyuan_video"
+    )
+    latent_ch = vae_cfg.z_channels
+    extra_in = dit_cfg.in_channels - latent_ch
+
+    def diffusion_fn(p, x, t, ctx, y):
+        single = x.ndim == 4
+        if single:
+            x = x[:, None]  # image → 1-frame video
+        if extra_in > 0:
+            # t2v: the i2v conditioning channels (cond latents + mask) are
+            # zero (reference HunyuanVideoRunner c_concat handling)
+            pad = jnp.zeros(x.shape[:-1] + (extra_in,), dtype=x.dtype)
+            x = jnp.concatenate([x, pad], axis=-1)
+        out = hy_mod.hunyuan_forward(p, x, t, ctx, cfg=dit_cfg)
+        return out[:, 0] if single else out
+
+    def vae_decode_fn(p, z):
+        zv = z[:, None] if z.ndim == 4 else z
+        zv = zv / hyvae_mod.HUNYUAN_LATENT_SCALE
+        out = hyvae_mod.hunyuan_vae_decode(p, zv, vae_cfg)
+        return out[:, 0] if z.ndim == 4 else out
+
+    def vae_encode_fn(p, x, noise=None):
+        xv = x[:, None] if x.ndim == 4 else x
+        zv = hyvae_mod.hunyuan_vae_encode(p, xv, vae_cfg) * hyvae_mod.HUNYUAN_LATENT_SCALE
+        return zv[:, 0] if x.ndim == 4 else zv
+
+    return DiffusionPipeline(
+        version=SDVersion.HUNYUAN_VIDEO,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=7.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=latent_ch,
+        scale_factor=vae_cfg.spatial_ratio,
+        compute_dtype=dtype,
+        temporal_scale=vae_cfg.temporal_ratio,
     )
 
 

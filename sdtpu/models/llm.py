@@ -171,6 +171,19 @@ CHAT_TEMPLATES = {
         34,  # drop_idx: template prefix tokens removed from the hidden states
     ),
     "qwen2.5vl": ("<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n", 0),
+    "hunyuan_video": (
+        "<|im_start|>system\nYou are a helpful assistant. Describe the video by "
+        "detailing the following aspects:\n"
+        "1. The main content and theme of the video.\n"
+        "2. The color, shape, size, texture, quantity, text, and spatial "
+        "relationships of the objects.\n"
+        "3. Actions, events, behaviors temporal relationships, physical movement "
+        "changes of the objects.\n"
+        "4. background environment, light, style and atmosphere.\n"
+        "5. camera angles, movements, and transitions used in the "
+        "video.<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n",
+        98,
+    ),
 }
 
 
