@@ -30,6 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--vae", help="vae file")
     ap.add_argument("--taesd", help="taesd file (fast decode)")
     ap.add_argument("--lora-model-dir", default="", help="dir for <lora:name:mult>")
+    ap.add_argument("--embd-dir", default="", help="textual-inversion embeddings dir")
     # generation
     ap.add_argument("-p", "--prompt", default="")
     ap.add_argument("-n", "--negative-prompt", default="")
@@ -169,6 +170,20 @@ def _load_pipeline(args):
     params = {k: v for k, v in params.items() if v}
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift)
+    if args.embd_dir and os.path.isdir(args.embd_dir) and hasattr(pipe.conditioner, "load_embedding"):
+        from sdtpu.io.model_loader import read_checkpoint_file
+
+        for fn in sorted(os.listdir(args.embd_dir)):
+            stem, ext = os.path.splitext(fn)
+            if ext.lower() not in (".safetensors", ".pt", ".ckpt", ".bin"):
+                continue
+            try:
+                pipe.conditioner.load_embedding(
+                    stem, read_checkpoint_file(os.path.join(args.embd_dir, fn))
+                )
+                print(f"loaded embedding '{stem}'")
+            except Exception as e:  # noqa: BLE001 — per-file error surface
+                print(f"warning: embedding {fn}: {e}")
     return pipe, params
 
 

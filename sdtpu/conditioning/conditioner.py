@@ -29,9 +29,10 @@ RAW_CHUNK = 75
 
 
 def tokenize_with_weights(
-    tokenizer, text: str, pad_token_id: int
+    tokenizer, text: str, pad_token_id: int, encode=None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """→ (tokens [n_chunks*77], weights [n_chunks*77]) int32/float32."""
+    encode = encode or tokenizer.encode
     raw_tokens: List[int] = []
     raw_weights: List[float] = []
     for span, weight in parse_prompt_attention(text):
@@ -40,7 +41,7 @@ def tokenize_with_weights(
             raw_tokens.extend([tokenizer.eos_token_id] * pad)
             raw_weights.extend([1.0] * pad)
             continue
-        ids = tokenizer.encode(span)
+        ids = encode(span)
         raw_tokens.extend(ids)
         raw_weights.extend([weight] * len(ids))
 
@@ -79,7 +80,59 @@ class SDCondition:
     c_concat: Optional[jnp.ndarray] = None  # [B, H, W, C] (inpaint)
 
 
-class SD1Conditioner:
+class EmbeddingMixin:
+    """Textual-inversion embeddings (reference
+    FrozenCLIPEmbedderWithCustomWords, conditioner.hpp:133): trigger words map
+    to rows appended to the token-embedding matrix; prompts are pre-split on
+    trigger words before BPE."""
+
+    def init_embeddings(self):
+        self._embeddings = {}  # name → list[token_id]
+
+    def load_embedding(self, name: str, vectors, key: str = "params"):
+        """vectors: [n, hidden] (or {'emb_params': ...} / {'string_to_param':
+        {'*': ...}} checkpoint dicts)."""
+        import numpy as np
+
+        if isinstance(vectors, dict):
+            if "emb_params" in vectors:
+                vectors = vectors["emb_params"]
+            elif "string_to_param" in vectors:
+                vectors = list(vectors["string_to_param"].values())[0]
+            else:  # single-tensor file
+                vectors = list(vectors.values())[0]
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        params = getattr(self, key)
+        emb_key = "text_model.embeddings.token_embedding.weight"
+        table = params[emb_key]
+        if vectors.shape[1] != table.shape[1]:
+            raise ValueError(
+                f"embedding '{name}' dim {vectors.shape[1]} != {table.shape[1]}"
+            )
+        start = table.shape[0]
+        params = dict(params)
+        params[emb_key] = jnp.concatenate([table, jnp.asarray(vectors, table.dtype)], 0)
+        setattr(self, key, params)
+        self._embeddings[name.lower()] = list(range(start, start + vectors.shape[0]))
+
+    def _encode_with_embeddings(self, tokenizer, span: str):
+        if not getattr(self, "_embeddings", None):
+            return tokenizer.encode(span)
+        import re as _re
+
+        pat = "|".join(_re.escape(n) for n in sorted(self._embeddings, key=len, reverse=True))
+        ids = []
+        for part in _re.split(f"({pat})", span, flags=_re.IGNORECASE):
+            if not part:
+                continue
+            if part.lower() in self._embeddings:
+                ids.extend(self._embeddings[part.lower()])
+            else:
+                ids.extend(tokenizer.encode(part))
+        return ids
+
+
+class SD1Conditioner(EmbeddingMixin):
     """SD1.x/2.x single-CLIP conditioner."""
 
     def __init__(self, tokenizer, clip_params, clip_cfg: CLIPTextConfig, is_sd2: bool = False):
@@ -88,6 +141,7 @@ class SD1Conditioner:
         self.cfg = clip_cfg
         self.is_sd2 = is_sd2
         self.pad_token_id = 0 if is_sd2 else tokenizer.eos_token_id
+        self.init_embeddings()
         self._jit_forward = jax.jit(
             lambda p, ids, w, skip: apply_token_weights(
                 clip_text_forward(p, ids, self.cfg, clip_skip=skip)[0], w
@@ -98,7 +152,10 @@ class SD1Conditioner:
     def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
         if clip_skip <= 0:
             clip_skip = 2 if self.is_sd2 else 1
-        tokens, weights = tokenize_with_weights(self.tokenizer, text, self.pad_token_id)
+        tokens, weights = tokenize_with_weights(
+            self.tokenizer, text, self.pad_token_id,
+            encode=lambda span: self._encode_with_embeddings(self.tokenizer, span),
+        )
         n_chunks = len(tokens) // CHUNK_LEN
         ids = jnp.asarray(tokens.reshape(n_chunks, CHUNK_LEN))
         w = jnp.asarray(weights.reshape(n_chunks, CHUNK_LEN))
