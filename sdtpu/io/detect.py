@@ -24,9 +24,12 @@ def detect_version(
     if has_prefix("model.diffusion_model.joint_blocks") or has_prefix("joint_blocks"):
         return SDVersion.SD3
     if has_prefix("model.diffusion_model.double_blocks") or has_prefix("double_blocks"):
-        # flux family; chroma/flux2 refined by sub-keys in later rounds
         if any("distilled_guidance_layer" in n for n in names):
             return SDVersion.CHROMA
+        if any("double_stream_modulation_img" in n for n in names):
+            return SDVersion.FLUX2
+        if any("txt_in.individual_token_refiner" in n for n in names):
+            return SDVersion.HUNYUAN_VIDEO
         return SDVersion.FLUX
     if any(".vace_blocks." in n for n in names):
         return SDVersion.WAN2

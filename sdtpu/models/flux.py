@@ -38,10 +38,21 @@ class FluxConfig:
     vec_in_dim: int = 768
     guidance_embed: bool = True  # dev; schnell = False
     is_chroma: bool = False  # Chroma: distilled modulation + T5 mask
+    # FLUX.2 variants (reference flux.hpp:83-95)
+    share_modulation: bool = False  # global per-stream modulation blocks
+    disable_bias: bool = False  # all linears bias-less
+    mlp_silu: bool = False  # SwiGLU MLPs (silu(gate)·x) instead of GELU
+    qkv_bias: bool = True
+    txt_arange_axis: Optional[int] = None  # txt RoPE ids: arange on this axis
 
 
 FLUX_DEV_CONFIG = FluxConfig()
 FLUX_SCHNELL_CONFIG = FluxConfig(guidance_embed=False)
+FLUX2_DEV_CONFIG = FluxConfig(
+    in_channels=128, mlp_ratio=3.0, theta=2000, axes_dim=(32, 32, 32, 32),
+    vec_in_dim=0, guidance_embed=True, share_modulation=True, disable_bias=True,
+    mlp_silu=True, qkv_bias=False, txt_arange_axis=3, depth=8, depth_single=38,
+)
 CHROMA_CONFIG = FluxConfig(guidance_embed=False, vec_in_dim=0, is_chroma=True)
 
 # Chroma distilled-modulation table layout (reference flux.hpp:480-489,637,722):
@@ -107,14 +118,23 @@ def apply_rope(x: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mlp_embed(p, pre, x):
-    h = linear(x, p[f"{pre}.in_layer.weight"], p[f"{pre}.in_layer.bias"])
-    return linear(silu(h), p[f"{pre}.out_layer.weight"], p[f"{pre}.out_layer.bias"])
+    h = linear(x, p[f"{pre}.in_layer.weight"], p.get(f"{pre}.in_layer.bias"))
+    return linear(silu(h), p[f"{pre}.out_layer.weight"], p.get(f"{pre}.out_layer.bias"))
+
+
+def _mlp_act(h, cfg):
+    """GELU-tanh, or SwiGLU when cfg.mlp_silu (in-proj emits 2× hidden:
+    [gate, x] → silu(gate)·x, reference ggml_ext_silu_act)."""
+    if cfg.mlp_silu:
+        gate, val = jnp.split(h, 2, axis=-1)
+        return silu(gate) * val
+    return gelu_tanh(h)
 
 
 def _qkv_norm(p, pre, x, num_heads):
     b, l, c = x.shape
     d = c // num_heads
-    qkv = linear(x, p[f"{pre}.qkv.weight"], p[f"{pre}.qkv.bias"])
+    qkv = linear(x, p[f"{pre}.qkv.weight"], p.get(f"{pre}.qkv.bias"))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
@@ -125,7 +145,7 @@ def _qkv_norm(p, pre, x, num_heads):
 
 
 def _modulation(p, pre, vec, n: int):
-    m = linear(silu(vec), p[f"{pre}.lin.weight"], p[f"{pre}.lin.bias"])
+    m = linear(silu(vec), p[f"{pre}.lin.weight"], p.get(f"{pre}.lin.bias"))
     return jnp.split(m, n, axis=-1)
 
 
@@ -147,8 +167,8 @@ def flux_forward(
     hidden = cfg.hidden_size
 
     img = x.reshape(b, hp, 2, wp, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * wp, 4 * c)
-    img = linear(img, p["img_in.weight"], p["img_in.bias"])
-    txt = linear(context.astype(x.dtype), p["txt_in.weight"], p["txt_in.bias"])
+    img = linear(img, p["img_in.weight"], p.get("img_in.bias"))
+    txt = linear(context.astype(x.dtype), p["txt_in.weight"], p.get("txt_in.bias"))
     l_txt = txt.shape[1]
 
     attn_mask = None
@@ -170,13 +190,18 @@ def flux_forward(
         if cfg.guidance_embed and guidance is not None:
             g_emb = timestep_embedding(guidance * 1000.0, 256).astype(x.dtype)
             vec = vec + _mlp_embed(p, "guidance_in", g_emb)
-        vec = vec + _mlp_embed(p, "vector_in", y.astype(x.dtype))
+        if cfg.vec_in_dim > 0 and y is not None:
+            vec = vec + _mlp_embed(p, "vector_in", y.astype(x.dtype))
 
-    # RoPE ids: txt zeros; img (0, i, j) — static per shape
-    ids = np.zeros((l_txt + hp * wp, 3), dtype=np.int64)
+    # RoPE ids: txt zeros (or arange on txt_arange_axis — FLUX.2);
+    # img (…, i, j, …) — static per shape
+    n_axes = len(cfg.axes_dim)
+    ids = np.zeros((l_txt + hp * wp, n_axes), dtype=np.int64)
     ii, jj = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
     ids[l_txt:, 1] = ii.reshape(-1)
     ids[l_txt:, 2] = jj.reshape(-1)
+    if cfg.txt_arange_axis is not None:
+        ids[:l_txt, cfg.txt_arange_axis] = np.arange(l_txt)
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
     nh = cfg.num_heads
@@ -185,9 +210,19 @@ def flux_forward(
     def _mods(base, n):
         return [modt[:, base + j] for j in range(n)]
 
+    shared_img = shared_txt = shared_ss = None
+    if cfg.share_modulation:
+        # one modulation per stream, shared across ALL blocks
+        # (reference flux.hpp:987-990)
+        shared_img = _modulation(p, "double_stream_modulation_img", vec, 6)
+        shared_txt = _modulation(p, "double_stream_modulation_txt", vec, 6)
+        shared_ss = _modulation(p, "single_stream_modulation", vec, 3)
+
     for i in range(cfg.depth):
         pre = f"double_blocks.{i}"
-        if cfg.is_chroma:
+        if cfg.share_modulation:
+            img_mods, txt_mods = shared_img, shared_txt
+        elif cfg.is_chroma:
             img_mods = _mods(6 * i + 3 * ns, 6)
             txt_mods = _mods(6 * i + 6 * nd + 3 * ns, 6)
         else:
@@ -205,20 +240,20 @@ def flux_forward(
         att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, -1, hidden)
         txt_att, img_att = att[:, :l_txt], att[:, l_txt:]
         img = img + img_mods[2][:, None] * linear(
-            img_att, p[f"{pre}.img_attn.proj.weight"], p[f"{pre}.img_attn.proj.bias"]
+            img_att, p[f"{pre}.img_attn.proj.weight"], p.get(f"{pre}.img_attn.proj.bias")
         )
         img_m = layer_norm(img, eps=1e-6) * (1 + img_mods[4][:, None]) + img_mods[3][:, None]
-        img_mlp = linear(img_m, p[f"{pre}.img_mlp.0.weight"], p[f"{pre}.img_mlp.0.bias"])
+        img_mlp = linear(img_m, p[f"{pre}.img_mlp.0.weight"], p.get(f"{pre}.img_mlp.0.bias"))
         img = img + img_mods[5][:, None] * linear(
-            gelu_tanh(img_mlp), p[f"{pre}.img_mlp.2.weight"], p[f"{pre}.img_mlp.2.bias"]
+            _mlp_act(img_mlp, cfg), p[f"{pre}.img_mlp.2.weight"], p.get(f"{pre}.img_mlp.2.bias")
         )
         txt = txt + txt_mods[2][:, None] * linear(
-            txt_att, p[f"{pre}.txt_attn.proj.weight"], p[f"{pre}.txt_attn.proj.bias"]
+            txt_att, p[f"{pre}.txt_attn.proj.weight"], p.get(f"{pre}.txt_attn.proj.bias")
         )
         txt_m = layer_norm(txt, eps=1e-6) * (1 + txt_mods[4][:, None]) + txt_mods[3][:, None]
-        txt_mlp = linear(txt_m, p[f"{pre}.txt_mlp.0.weight"], p[f"{pre}.txt_mlp.0.bias"])
+        txt_mlp = linear(txt_m, p[f"{pre}.txt_mlp.0.weight"], p.get(f"{pre}.txt_mlp.0.bias"))
         txt = txt + txt_mods[5][:, None] * linear(
-            gelu_tanh(txt_mlp), p[f"{pre}.txt_mlp.2.weight"], p[f"{pre}.txt_mlp.2.bias"]
+            _mlp_act(txt_mlp, cfg), p[f"{pre}.txt_mlp.2.weight"], p.get(f"{pre}.txt_mlp.2.bias")
         )
 
     xx = jnp.concatenate([txt, img], axis=1)
@@ -228,9 +263,14 @@ def flux_forward(
         if (i + cfg.depth) in skip_layers:
             continue
         pre = f"single_blocks.{i}"
-        mods = _mods(3 * i, 3) if cfg.is_chroma else _modulation(p, f"{pre}.modulation", vec, 3)
+        if cfg.share_modulation:
+            mods = shared_ss
+        elif cfg.is_chroma:
+            mods = _mods(3 * i, 3)
+        else:
+            mods = _modulation(p, f"{pre}.modulation", vec, 3)
         xn = layer_norm(xx, eps=1e-6) * (1 + mods[1][:, None]) + mods[0][:, None]
-        h1 = linear(xn, p[f"{pre}.linear1.weight"], p[f"{pre}.linear1.bias"])
+        h1 = linear(xn, p[f"{pre}.linear1.weight"], p.get(f"{pre}.linear1.bias"))
         qkv, mlp = h1[..., : 3 * hidden], h1[..., 3 * hidden :]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         L = xx.shape[1]
@@ -243,9 +283,9 @@ def flux_forward(
         k = apply_rope(k, rot)
         att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, L, hidden)
         out = linear(
-            jnp.concatenate([att, gelu_tanh(mlp)], axis=-1),
+            jnp.concatenate([att, _mlp_act(mlp, cfg)], axis=-1),
             p[f"{pre}.linear2.weight"],
-            p[f"{pre}.linear2.bias"],
+            p.get(f"{pre}.linear2.bias"),
         )
         xx = xx + mods[2][:, None] * out
 
@@ -256,11 +296,11 @@ def flux_forward(
         mf = linear(
             silu(vec),
             p["final_layer.adaLN_modulation.1.weight"],
-            p["final_layer.adaLN_modulation.1.bias"],
+            p.get("final_layer.adaLN_modulation.1.bias"),
         )
         shift, scale = jnp.split(mf, 2, axis=-1)
     img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
-    img = linear(img, p["final_layer.linear.weight"], p["final_layer.linear.bias"])
+    img = linear(img, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
     img = img.reshape(b, hp, wp, 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
     return img
 
@@ -297,9 +337,15 @@ def init_flux_params_quantized(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0,
     return p
 
 
-def _flux_param_walk(cfg: FluxConfig, lin, scale):
+def _flux_param_walk(cfg: FluxConfig, lin0, scale):
     hid = cfg.hidden_size
     mlp_h = int(hid * cfg.mlp_ratio)
+    mlp_mult = 2 if cfg.mlp_silu else 1
+    bias = not cfg.disable_bias
+
+    def lin(name, o, i, bias=bias):
+        lin0(name, o, i, bias=bias)
+
     lin("img_in", hid, cfg.in_channels)
     lin("txt_in", hid, cfg.context_in_dim)
     if cfg.is_chroma:
@@ -313,27 +359,32 @@ def _flux_param_walk(cfg: FluxConfig, lin, scale):
     else:
         lin("time_in.in_layer", hid, 256)
         lin("time_in.out_layer", hid, hid)
-        lin("vector_in.in_layer", hid, cfg.vec_in_dim)
-        lin("vector_in.out_layer", hid, hid)
+        if cfg.vec_in_dim > 0:
+            lin("vector_in.in_layer", hid, cfg.vec_in_dim)
+            lin("vector_in.out_layer", hid, hid)
         if cfg.guidance_embed:
             lin("guidance_in.in_layer", hid, 256)
             lin("guidance_in.out_layer", hid, hid)
+    if cfg.share_modulation:
+        lin("double_stream_modulation_img.lin", 6 * hid, hid)
+        lin("double_stream_modulation_txt.lin", 6 * hid, hid)
+        lin("single_stream_modulation.lin", 3 * hid, hid)
     for i in range(cfg.depth):
         for s in ("img", "txt"):
             pre = f"double_blocks.{i}.{s}"
-            if not cfg.is_chroma:
+            if not (cfg.is_chroma or cfg.share_modulation):
                 lin(f"{pre}_mod.lin", 6 * hid, hid)
-            lin(f"{pre}_attn.qkv", 3 * hid, hid)
+            lin(f"{pre}_attn.qkv", 3 * hid, hid, bias=cfg.qkv_bias and bias)
             scale(f"{pre}_attn.norm.query_norm.scale")
             scale(f"{pre}_attn.norm.key_norm.scale")
             lin(f"{pre}_attn.proj", hid, hid)
-            lin(f"{pre}_mlp.0", mlp_h, hid)
+            lin(f"{pre}_mlp.0", mlp_h * mlp_mult, hid)
             lin(f"{pre}_mlp.2", hid, mlp_h)
     for i in range(cfg.depth_single):
         pre = f"single_blocks.{i}"
-        if not cfg.is_chroma:
+        if not (cfg.is_chroma or cfg.share_modulation):
             lin(f"{pre}.modulation.lin", 3 * hid, hid)
-        lin(f"{pre}.linear1", 3 * hid + mlp_h, hid)
+        lin(f"{pre}.linear1", 3 * hid + mlp_h * mlp_mult, hid)
         lin(f"{pre}.linear2", hid, hid + mlp_h)
         scale(f"{pre}.norm.query_norm.scale")
         scale(f"{pre}.norm.key_norm.scale")

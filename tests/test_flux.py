@@ -148,3 +148,38 @@ def test_chroma_forward_and_pipeline():
     )
     res = pipe.generate(gp)
     assert res.images.shape == (1, 32, 32, 3)
+
+
+def test_flux2_variant_forward():
+    """FLUX.2 config: shared modulation, SwiGLU MLPs, bias-less linears,
+    4-axis RoPE with txt arange (reference flux.hpp:83-95, 987-990)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sdtpu.models.flux import FluxConfig, flux_forward, init_flux_params
+
+    cfg = FluxConfig(
+        in_channels=16, hidden_size=64, num_heads=2, depth=2, depth_single=2,
+        axes_dim=(8, 8, 8, 8), context_in_dim=96, vec_in_dim=0,
+        guidance_embed=True, share_modulation=True, disable_bias=True,
+        mlp_silu=True, qkv_bias=False, txt_arange_axis=3, theta=2000,
+    )
+    p = init_flux_params(cfg, seed=0)
+    assert "double_stream_modulation_img.lin.weight" in p
+    assert "double_blocks.0.img_mod.lin.weight" not in p
+    assert "img_in.bias" not in p
+    # SwiGLU in-proj emits 2× hidden
+    assert p["double_blocks.0.img_mlp.0.weight"].shape[0] == 2 * int(64 * 4.0)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 12, 96), dtype=np.float32))
+    out = flux_forward(p, x, jnp.asarray([0.5]), ctx, None,
+                       guidance=jnp.asarray([3.0]), cfg=cfg)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # guidance embed is active
+    out2 = flux_forward(p, x, jnp.asarray([0.5]), ctx, None,
+                        guidance=jnp.asarray([1.0]), cfg=cfg)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
