@@ -492,11 +492,17 @@ class DiffusionPipeline:
         gp: GenerationParams,
         frames: int = 81,
         init_image: Optional[np.ndarray] = None,
+        high_noise_params=None,
+        moe_boundary: float = 0.875,
     ) -> VideoResult:
         """txt2vid / img2vid (reference generate_video,
         stable-diffusion.cpp:6374).  frames must satisfy 1+4k for the causal
         VAE; it is rounded down otherwise.  init_image ([H,W,3]) enables i2v
-        via first-frame latent replacement for TI2V-style models."""
+        via first-frame latent replacement for TI2V-style models.
+
+        high_noise_params: Wan2.2 MoE — a second diffusion param set used
+        while sigma >= moe_boundary, switching to self.diffusion_params below
+        it (reference two-phase sampling, stable-diffusion.cpp:6460-6505)."""
         t0 = time.time()
         w, h = gp.width, gp.height
         lh, lw = h // self.scale_factor, w // self.scale_factor
@@ -552,17 +558,44 @@ class DiffusionPipeline:
             self.denoiser.noise_scaling(np.float32(sigmas[0]), init_noise, x0)
         )
 
-        run = self._jit_sampler(gp.sample_method, steps, has_uncond, gp.eta, sigmas)
-        latents = run(
-            self.diffusion_params,
-            jnp.asarray(x),
-            jnp.asarray(step_noise) if step_noise is not None else None,
-            ctx_c,
-            ctx_u,
-            y_c,
-            y_u,
-            jnp.float32(gp.cfg_scale),
-        )
+        # phase plan: (params, sigma window) — one phase normally, two for
+        # Wan2.2 MoE (high-noise model while sigma >= moe_boundary)
+        phases = [(self.diffusion_params, sigmas)]
+        if high_noise_params is not None:
+            switch = next(
+                (i for i, s in enumerate(sigmas) if s < moe_boundary), len(sigmas) - 1
+            )
+            if 0 < switch < len(sigmas) - 1:
+                phases = [
+                    (high_noise_params, sigmas[: switch + 1]),
+                    (self.diffusion_params, sigmas[switch:]),
+                ]
+                log_info(f"Wan MoE: high-noise model for steps 0..{switch}")
+
+        xt = jnp.asarray(x)
+        done = 0
+        for phase_params, phase_sigmas in phases:
+            n_phase = len(phase_sigmas) - 1
+            run = self._jit_sampler(
+                gp.sample_method, n_phase, has_uncond, gp.eta, phase_sigmas
+            )
+            noises = (
+                jnp.asarray(step_noise[done : done + n_phase])
+                if step_noise is not None
+                else None
+            )
+            xt = run(
+                phase_params,
+                xt,
+                noises,
+                ctx_c,
+                ctx_u,
+                y_c,
+                y_u,
+                jnp.float32(gp.cfg_scale),
+            )
+            done += n_phase
+        latents = xt
         latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
         latents = np.asarray(latents, dtype=np.float32)
         t1 = time.time()

@@ -130,6 +130,26 @@ def run_generation(pipeline, data: dict, job: Optional[Job] = None):
         init_image = base64_png_to_image(init_b64)
     if data.get("mask"):
         mask_image = base64_png_to_image(data["mask"])[..., 0]
+    if data.get("video_frames") or data.get("frames"):
+        # vid_gen: result is one base64 animated WebP per batch item
+        # (reference POST /sdcpp/v1/vid_gen, routes_sdcpp.cpp)
+        import base64
+        import io as _io
+
+        frames = int(data.get("video_frames", data.get("frames", 81)))
+        fps = int(data.get("fps", 16))
+        vres = pipeline.generate_video(gp, frames=frames)
+        out = []
+        for clip in vres.frames:
+            from PIL import Image
+
+            imgs = [Image.fromarray(f) for f in clip]
+            buf = _io.BytesIO()
+            imgs[0].save(buf, format="WEBP", save_all=True, append_images=imgs[1:],
+                         duration=max(1, round(1000 / fps)), loop=0)
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return out
+
     kw = {}
     if job is not None:
         # per-step progress + mid-run cancellation (reference
@@ -183,7 +203,7 @@ def make_handler(manager: JobManager):
             if p == "/sdcpp/v1/capabilities":
                 self._json(
                     {
-                        "modes": ["img_gen"],
+                        "modes": ["img_gen", "vid_gen"],
                         "samplers": SAMPLE_METHODS,
                         "schedulers": sorted(SCHEDULERS),
                         "version": "sdtpu-0.1",
@@ -237,10 +257,12 @@ def make_handler(manager: JobManager):
         # ---------------------------------------------------------- POST
         def do_POST(self):
             p = self.path.split("?")[0]
-            if p == "/sdcpp/v1/img_gen":
+            if p in ("/sdcpp/v1/img_gen", "/sdcpp/v1/vid_gen"):
                 data = self._read_json()
                 if data is None:
                     return
+                if p.endswith("vid_gen"):
+                    data.setdefault("video_frames", 81)
                 job = manager.submit(data)
                 self._json({"id": job.id, "status": job.status}, 202)
             elif p.startswith("/sdcpp/v1/jobs/") and p.endswith("/cancel"):

@@ -173,3 +173,28 @@ def test_animatediff_motion_modules():
     img_a = pipe.generate(gp)
     img_b = pipe2.generate(gp)
     np.testing.assert_allclose(img_a.latents, img_b.latents, atol=1e-5)
+
+
+def test_wan22_moe_two_phase():
+    """Wan2.2 MoE: high-noise model above the sigma boundary, low-noise below
+    (reference two-phase sampling, stable-diffusion.cpp:6460-6505)."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+    from sdtpu.models.wan import WanConfig, init_wan_params
+
+    pipe = create_pipeline(SDVersion.WAN2, small=True, seed=0)
+    cfg = WanConfig(
+        in_dim=4, dim=64, ffn_dim=128, freq_dim=32, text_dim=96, out_dim=4,
+        num_heads=2, num_layers=2, axes_dim=(8, 12, 12),
+    )
+    hn = init_wan_params(cfg, seed=99)  # a different "expert"
+    gp = GenerationParams(prompt="a cat", width=32, height=32, sample_steps=6,
+                          cfg_scale=3.0, sample_method="euler", schedule="simple",
+                          seed=4)
+    single = pipe.generate_video(gp, frames=5)
+    moe = pipe.generate_video(gp, frames=5, high_noise_params=hn, moe_boundary=0.8)
+    assert moe.frames.shape == single.frames.shape
+    assert not np.allclose(single.latents, moe.latents, atol=1e-5)
+    # boundary above all sigmas → high-noise model never used → identical
+    same = pipe.generate_video(gp, frames=5, high_noise_params=hn, moe_boundary=2.0)
+    np.testing.assert_allclose(single.latents, same.latents, rtol=1e-4, atol=1e-4)
