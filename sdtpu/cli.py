@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--t5-tokenizer", help="t5 tokenizer.json path")
     ap.add_argument("--vae", help="vae file")
     ap.add_argument("--taesd", help="taesd file (fast decode)")
+    ap.add_argument("--vae-tiling", action="store_true",
+                    help="tile VAE encode/decode (low-memory hires)")
+    ap.add_argument("--vae-tile-size", type=int, default=64, help="latent units")
+    ap.add_argument("--vae-tile-overlap", type=int, default=8)
     ap.add_argument("--lora-model-dir", default="", help="dir for <lora:name:mult>")
     ap.add_argument("--embd-dir", default="", help="textual-inversion embeddings dir")
     # generation
@@ -170,6 +174,8 @@ def _load_pipeline(args):
     params = {k: v for k, v in params.items() if v}
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift)
+    if args.vae_tiling:
+        pipe.set_vae_tiling(True, args.vae_tile_size, args.vae_tile_overlap)
     if args.embd_dir and os.path.isdir(args.embd_dir) and hasattr(pipe.conditioner, "load_embedding"):
         from sdtpu.io.model_loader import read_checkpoint_file
 

@@ -110,6 +110,9 @@ class DiffusionPipeline:
         self._ip_proj = None
         self._ip_clip_params = None
         self._ip_clip_cfg = None
+        self._vae_tiling = False
+        self._vae_tile = 64
+        self._vae_overlap = 8
         self._program_cache: Dict[tuple, object] = {}
         self._stepwise_step_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
@@ -119,6 +122,17 @@ class DiffusionPipeline:
         sd_ctx_set_control_net, stable-diffusion.cpp:3819). Pass None to
         detach."""
         self.controlnet_params = params
+
+    def set_vae_tiling(self, enabled: bool = True, tile_size: int = 64,
+                       overlap: int = 8) -> None:
+        """Spatial VAE tiling (reference sd_tiling_params_t /
+        process_tiles_2d): decode/encode run tile-wise with feathered
+        blending; tile/overlap in latent units (pixels ×scale_factor for
+        encode)."""
+        self._vae_tiling = enabled
+        self._vae_tile = tile_size
+        self._vae_overlap = overlap
+        self._decode_cache.clear()
 
     def set_ip_adapter(self, proj_params, unet_extra, clip_vision_params,
                        clip_vision_cfg) -> None:
@@ -438,9 +452,23 @@ class DiffusionPipeline:
 
     def _decode_program(self):
         if "decode" not in self._decode_cache:
-            self._decode_cache["decode"] = jax.jit(
-                lambda p, z: self.vae_decode_fn(p, z)
-            )
+            jit_decode = jax.jit(lambda p, z: self.vae_decode_fn(p, z))
+            if self._vae_tiling:
+                from sdtpu.models.tiling import tiled_decode
+
+                def decode(params, z):
+                    return tiled_decode(
+                        lambda t: jit_decode(params, t),
+                        z,
+                        tile=self._vae_tile,
+                        overlap=self._vae_overlap,
+                        scale_factor=self.scale_factor,
+                        out_channels=3,
+                    )
+
+                self._decode_cache["decode"] = decode
+            else:
+                self._decode_cache["decode"] = jit_decode
         return self._decode_cache["decode"]
 
     # ------------------------------------------------------------------ API
@@ -624,7 +652,23 @@ class DiffusionPipeline:
         """[H,W,3] → scaled latent [1,h,w,zc] (deterministic: posterior mean)."""
         x = _to_pm1(image)[None]
         if "encode" not in self._decode_cache:
-            self._decode_cache["encode"] = jax.jit(lambda p, x: self.vae_encode_fn(p, x))
+            jit_encode = jax.jit(lambda p, x: self.vae_encode_fn(p, x))
+            if self._vae_tiling:
+                from sdtpu.models.tiling import tiled_encode
+
+                def encode(params, xx):
+                    return tiled_encode(
+                        lambda t: jit_encode(params, t),
+                        xx,
+                        tile=self._vae_tile * self.scale_factor,
+                        overlap=self._vae_overlap * self.scale_factor,
+                        scale_factor=self.scale_factor,
+                        out_channels=self.latent_channels,
+                    )
+
+                self._decode_cache["encode"] = encode
+            else:
+                self._decode_cache["encode"] = jit_encode
         z = self._decode_cache["encode"](self.vae_params, jnp.asarray(x))
         return np.asarray(z, dtype=np.float32)
 

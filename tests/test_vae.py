@@ -62,3 +62,38 @@ def test_encode_scaling(models):
     mean = moments[..., :4]
     z = np.asarray(jax.jit(lambda p, x: vae_encode(p, x, noise=None, cfg=SMALL))(p, jnp.asarray(x)))
     np.testing.assert_allclose(z, mean * SMALL.scale_factor, rtol=1e-5, atol=1e-6)
+
+
+def test_vae_tiling_matches_full_decode():
+    """Tiled decode ≈ full decode away from tile seams; pipeline wiring
+    (reference process_tiles_2d, ggml_extend.hpp:824)."""
+    import numpy as np
+
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+    from sdtpu.models.tiling import tiled_decode
+
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    import jax
+
+    jit_dec = jax.jit(lambda p, z: pipe.vae_decode_fn(p, z))
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((1, 24, 24, 4)).astype(np.float32)
+    full = np.asarray(jit_dec(pipe.vae_params, z))
+    tiled = tiled_decode(lambda t: jit_dec(pipe.vae_params, t), z,
+                         tile=16, overlap=4, scale_factor=8)
+    assert tiled.shape == full.shape
+    # interiors agree; seams blend (convolution halo → not bit-equal)
+    err = np.abs(tiled - full).mean()
+    assert err < 0.12, err
+
+    # pipeline end-to-end with tiling on
+    pipe.set_vae_tiling(True, tile_size=4, overlap=2)
+    gp = GenerationParams(prompt="x", width=64, height=64, sample_steps=1,
+                          cfg_scale=1.0, sample_method="euler", seed=3)
+    res = pipe.generate(gp)
+    assert res.images.shape == (1, 64, 64, 3)
+    pipe.set_vae_tiling(False)
+    base = pipe.generate(gp)
+    d = np.abs(res.images.astype(int) - base.images.astype(int)).mean()
+    assert d < 30, d  # same content, modest seam differences
