@@ -9,6 +9,7 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from sdtpu.config import (
@@ -90,7 +91,8 @@ def create_pipeline(
         )
     if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
         return _create_wan_pipeline(
-            params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift
+            params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift,
+            version=version,
         )
     if version == SDVersion.QWEN_IMAGE:
         return _create_qwen_image_pipeline(
@@ -501,7 +503,8 @@ def _detect_wan_vae_config(p, wan_vae_mod):
     return wan_vae_mod.WanVAEConfig(dim=dim, z_dim=z_dim, num_res_blocks=n_res - 1)
 
 
-def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift):
+def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift,
+                         version=SDVersion.WAN2):
     """Wan 2.1 T2V (reference construction stable-diffusion.cpp:1098-1135;
     default flow shift 5.0, :1714)."""
     from sdtpu.conditioning.conditioner import WanConditioner
@@ -511,8 +514,11 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
     from sdtpu.models import wan_vae as wan_vae_mod
 
     if small:
+        is_i2v = version == SDVersion.WAN2_2_I2V
         dit_cfg = wan_mod.WanConfig(
-            in_dim=4, dim=64, ffn_dim=128, freq_dim=32, text_dim=96, out_dim=4,
+            model_type="i2v" if is_i2v else "t2v",
+            in_dim=12 if is_i2v else 4,  # i2v: 4 latent + 4 mask + 4 cond latent
+            dim=64, ffn_dim=128, freq_dim=32, text_dim=96, out_dim=4,
             num_heads=2, num_layers=2, axes_dim=(8, 12, 12),
         )
         t5_cfg = t5_mod.T5Config(
@@ -563,8 +569,55 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
             z = wan_vae_mod.vae_to_diffusion_latents(z)
         return z
 
+    video_condition_fn = None
+    if dit_cfg.model_type == "i2v":
+        import numpy as np
+
+        clip_vision_params = params.get("clip_vision")
+        cv_cfg = None
+        if clip_vision_params is not None:
+            from sdtpu.models.clip import CLIP_VIT_H_CONFIG
+
+            cv_cfg = CLIP_VIT_H_CONFIG
+        enc = jax.jit(lambda p, x: vae_encode_fn(p, x))
+
+        def video_condition_fn(init_image, frames, w, h):
+            """→ (c_concat [1,Tl,lh,lw,4+16], clip_fea [1,257,1280]) —
+            reference wan i2v prep (stable-diffusion.cpp:5855-5911).
+            init_image=None → zero conditioning (the i2v model still needs
+            its conditioning channels)."""
+            from sdtpu.pipeline import _to_pm1
+            from sdtpu.utils.image import resize_image
+
+            seq = np.zeros((1, frames, h, w, 3), dtype=np.float32)  # 0.5 grey → 0 in [-1,1]
+            img = None
+            if init_image is not None:
+                img = resize_image(np.asarray(init_image)[..., :3], w, h)
+                seq[0, 0] = _to_pm1(img)
+            z = np.asarray(enc(vae_params, jnp.asarray(seq)), dtype=np.float32)
+            mask = np.zeros(z.shape[:-1] + (4,), dtype=np.float32)
+            if img is not None:
+                mask[:, 0] = 1.0
+            c_concat = np.concatenate([mask, z], axis=-1)
+
+            if img is not None and clip_vision_params is not None:
+                from sdtpu.models.clip import clip_preprocess, clip_vision_forward
+
+                _, hidden = clip_vision_forward(
+                    clip_vision_params,
+                    clip_preprocess(img, cv_cfg.image_size).astype(dtype),
+                    cv_cfg, return_hidden=True,
+                )
+                clip_fea = np.asarray(hidden, dtype=np.float32)
+            else:
+                from sdtpu.utils import log_warn
+
+                log_warn("wan i2v: no clip_vision weights; using zero image features")
+                clip_fea = np.zeros((1, 257, 1280), dtype=np.float32)
+            return c_concat, clip_fea
+
     return DiffusionPipeline(
-        version=SDVersion.WAN2,
+        version=version,
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
         conditioner=conditioner,
@@ -573,10 +626,11 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         vae_encode_fn=vae_encode_fn,
         denoiser=DiscreteFlowDenoiser(shift=5.0 if flow_shift is None else flow_shift),
         rng_type=rng_type,
-        latent_channels=dit_cfg.in_dim,
+        latent_channels=vae_cfg.z_dim,
         scale_factor=8,
         compute_dtype=dtype,
         temporal_scale=4,
+        video_condition_fn=video_condition_fn,
     )
 
 

@@ -90,6 +90,7 @@ class DiffusionPipeline:
         uses_distilled_guidance: bool = False,
         controlnet_fn=None,
         temporal_scale: int = 1,
+        video_condition_fn=None,
     ):
         self.version = version
         self.diffusion_params = diffusion_params
@@ -105,6 +106,7 @@ class DiffusionPipeline:
         self.compute_dtype = compute_dtype
         self.uses_distilled_guidance = uses_distilled_guidance
         self.temporal_scale = temporal_scale
+        self.video_condition_fn = video_condition_fn
         self.controlnet_fn = controlnet_fn
         self.controlnet_params = None
         self._ip_proj = None
@@ -600,6 +602,19 @@ class DiffusionPipeline:
                 ]
                 log_info(f"Wan MoE: high-noise model for steps 0..{switch}")
 
+        vkw = {}
+        if self.video_condition_fn is not None:
+            # i2v: first-frame conditioning (reference wan i2v concat_latent +
+            # clip_vision_output, stable-diffusion.cpp:5855-5911)
+            c_concat, clip_fea = self.video_condition_fn(init_image, frames, w, h)
+            if c_concat is not None:
+                vkw["c_concat"] = jnp.asarray(
+                    np.broadcast_to(c_concat, (bc,) + c_concat.shape[1:])
+                )
+            if clip_fea is not None:
+                y_c = jnp.asarray(np.broadcast_to(clip_fea, (bc,) + clip_fea.shape[1:]))
+                y_u = y_c if has_uncond else None
+
         xt = jnp.asarray(x)
         done = 0
         for phase_params, phase_sigmas in phases:
@@ -621,6 +636,7 @@ class DiffusionPipeline:
                 y_c,
                 y_u,
                 jnp.float32(gp.cfg_scale),
+                **vkw,
             )
             done += n_phase
         latents = xt

@@ -198,3 +198,27 @@ def test_wan22_moe_two_phase():
     # boundary above all sigmas → high-noise model never used → identical
     same = pipe.generate_video(gp, frames=5, high_noise_params=hn, moe_boundary=2.0)
     np.testing.assert_allclose(single.latents, same.latents, rtol=1e-4, atol=1e-4)
+
+
+def test_wan_i2v_conditioning():
+    """Wan i2v: first-frame VAE latent + 4ch mask concat + CLIP-vision
+    features (reference stable-diffusion.cpp:5855-5911)."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    pipe = create_pipeline(SDVersion.WAN2_2_I2V, small=True, seed=0)
+    assert pipe.video_condition_fn is not None
+    gp = GenerationParams(prompt="a cat", width=32, height=32, sample_steps=2,
+                          cfg_scale=3.0, sample_method="euler", schedule="simple",
+                          seed=4)
+    img_a = (np.random.default_rng(1).uniform(0, 255, (32, 32, 3))).astype(np.uint8)
+    img_b = (np.random.default_rng(2).uniform(0, 255, (32, 32, 3))).astype(np.uint8)
+    ra = pipe.generate_video(gp, frames=5, init_image=img_a)
+    rb = pipe.generate_video(gp, frames=5, init_image=img_b)
+    assert ra.frames.shape == (1, 5, 32, 32, 3)
+    assert not np.allclose(ra.latents, rb.latents, atol=1e-5)
+    # the conditioning tensor has mask(4) + latent(4) channels
+    cc, fea = pipe.video_condition_fn(img_a, 5, 32, 32)
+    assert cc.shape == (1, 2, 4, 4, 8)
+    assert (cc[:, 0, :, :, :4] == 1.0).all() and (cc[:, 1:, :, :, :4] == 0.0).all()
+    assert fea.shape == (1, 257, 1280)
