@@ -133,10 +133,40 @@ def apply_lora(
         if target is None:
             continue
         module, pname = target
+        w = params_by_module[module][pname]
+        if type(w).__name__ in ("QuantTensor", "QuantLoraTensor"):
+            # quantized base: attach runtime low-rank factors instead of
+            # merging (reference at_runtime mode for quantized weights,
+            # stable-diffusion.cpp:928-957)
+            from sdtpu.ops.quant import QuantLoraTensor
+
+            if "down" not in g or "up" not in g:
+                continue
+            down = np.asarray(g["down"], dtype=np.float32).reshape(
+                g["down"].shape[0], -1
+            )
+            up = np.asarray(g["up"], dtype=np.float32).reshape(g["up"].shape[0], -1)
+            rank = down.shape[0]
+            scale = multiplier * (g.get("alpha", rank) / rank)
+            up = up * scale
+            if down.shape[1] != w.shape[1] or up.shape[0] != w.shape[0]:
+                continue
+            if type(w).__name__ == "QuantLoraTensor":  # stack ranks
+                down = np.concatenate([np.asarray(w.lora_down), down], axis=0)
+                up = np.concatenate([np.asarray(w.lora_up), up], axis=1)
+                base_q, base_s = w.q, w.scale
+            else:
+                up = up.copy()
+                base_q, base_s = w.q, w.scale
+            params_by_module[module][pname] = QuantLoraTensor(
+                q=base_q, scale=base_s,
+                lora_down=jnp.asarray(down), lora_up=jnp.asarray(up),
+            )
+            applied += 1
+            continue
         delta = lora_delta(g, multiplier)
         if delta is None:
             continue
-        w = params_by_module[module][pname]
         if tuple(delta.shape) != tuple(w.shape):
             if delta.ndim == 2 and w.ndim == 4 and delta.shape == tuple(w.shape[:2]):
                 delta = delta.reshape(delta.shape + (1, 1))

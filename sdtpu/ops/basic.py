@@ -27,10 +27,20 @@ def matmul_precision(dtype) -> jax.lax.Precision:
 
 def linear(x: jnp.ndarray, weight, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x: [..., in], weight: [out, in] (dense or int8 QuantTensor) → [..., out]."""
-    if type(weight).__name__ == "QuantTensor":
+    if type(weight).__name__ in ("QuantTensor", "QuantLoraTensor"):
         from .quant import quant_matmul
 
         y = quant_matmul(x, weight)
+        if type(weight).__name__ == "QuantLoraTensor":
+            # runtime LoRA on a quantized base (never merged into int8)
+            h = jax.lax.dot_general(
+                x, weight.lora_down.astype(x.dtype),
+                (((x.ndim - 1,), (1,)), ((), ())),
+            )
+            y = y + jax.lax.dot_general(
+                h, weight.lora_up.astype(x.dtype),
+                (((h.ndim - 1,), (1,)), ((), ())),
+            ).astype(y.dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

@@ -37,6 +37,26 @@ class QuantTensor(NamedTuple):
         return jnp.int8
 
 
+class QuantLoraTensor(NamedTuple):
+    """Quantized weight with runtime LoRA factors (the reference's
+    at_runtime apply mode for quantized weights, lora.hpp:897): the int8 base
+    stays untouched in HBM; y += (x · downᵀ) · upᵀ · mult rides alongside.
+    down: [r, in], up: [out, r] (ranks concatenated across stacked LoRAs)."""
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+    lora_down: jnp.ndarray
+    lora_up: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return jnp.int8
+
+
 def quantize_per_channel(w: np.ndarray) -> "QuantTensor":
     """f32/bf16 [out, in] → symmetric int8 with per-row scale."""
     w = np.asarray(w, dtype=np.float32)

@@ -123,3 +123,49 @@ def test_dit_partition_specs():
     assert specs["encoder.block.0.layer.0.SelfAttention.q.weight"] == P("tp", None)
     assert specs["encoder.block.0.layer.1.DenseReluDense.wo.weight"] == P(None, "tp")
     assert specs["blocks.0.modulation"] == P()
+
+
+def test_tp_sharded_flux_matches_replicated():
+    """TP-sharded FLUX forward == unsharded (GSPMD inserts the collectives)."""
+    from sdtpu.models.flux import FluxConfig, flux_forward, init_flux_params
+    from sdtpu.parallel import create_mesh, shard_params
+
+    cfg = FluxConfig(
+        in_channels=16, hidden_size=64, num_heads=2, depth=2, depth_single=2,
+        axes_dim=(8, 12, 12), context_in_dim=96, vec_in_dim=48,
+        guidance_embed=False,
+    )
+    p = init_flux_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 12, 96), dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 48), dtype=np.float32))
+    t = jnp.asarray([0.5, 0.7])
+
+    ref = np.asarray(flux_forward(p, x, t, ctx, y, cfg=cfg))
+
+    mesh = create_mesh((2, 4), ("dp", "tp"), devices=jax.devices("cpu"))
+    with mesh:
+        ps = shard_params(p, mesh)
+        fn = jax.jit(lambda p, x, t, c, y: flux_forward(p, x, t, c, y, cfg=cfg))
+        out = np.asarray(fn(ps, x, t, ctx, y))
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_tp_sharded_wan_matches_replicated():
+    from sdtpu.models.wan import WanConfig, init_wan_params, wan_forward
+    from sdtpu.parallel import create_mesh, shard_params
+
+    cfg = WanConfig(in_dim=4, dim=64, ffn_dim=128, freq_dim=32, text_dim=96,
+                    out_dim=4, num_heads=2, num_layers=2, axes_dim=(8, 12, 12))
+    p = init_wan_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 8, 4), dtype=np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 12, 96), dtype=np.float32))
+    t = jnp.asarray([500.0])
+    ref = np.asarray(wan_forward(p, x, t, ctx, cfg=cfg))
+    mesh = create_mesh((1, 8), ("dp", "tp"), devices=jax.devices("cpu"))
+    with mesh:
+        ps = shard_params(p, mesh)
+        out = np.asarray(jax.jit(lambda p, x, t, c: wan_forward(p, x, t, c, cfg=cfg))(ps, x, t, ctx))
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)

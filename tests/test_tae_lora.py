@@ -116,3 +116,47 @@ def test_apply_lora_te():
     }
     applied, _ = apply_lora(params, lora)
     assert applied == 1
+
+
+def test_runtime_lora_on_quantized_weights():
+    """LoRA over int8 weights attaches runtime factors (never merged into the
+    quantized base) and matches the dense-merge result within quantization
+    error (reference at_runtime mode, lora.hpp:897)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sdtpu.ops import linear
+    from sdtpu.ops.quant import QuantLoraTensor, quantize_per_channel
+    from sdtpu.models.lora import apply_lora
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 96)).astype(np.float32) * 0.05
+    down = rng.standard_normal((4, 96)).astype(np.float32) * 0.1
+    up = rng.standard_normal((64, 4)).astype(np.float32) * 0.1
+    lora = {
+        "lora_unet_blk_proj.lora_down.weight": down,
+        "lora_unet_blk_proj.lora_up.weight": up,
+        "lora_unet_blk_proj.alpha": np.asarray([4.0], np.float32),
+    }
+
+    params = {"diffusion": {"blk.proj.weight": quantize_per_channel(w)}}
+    applied, total = apply_lora(params, lora, multiplier=0.7)
+    assert applied == 1
+    qt = params["diffusion"]["blk.proj.weight"]
+    assert isinstance(qt, QuantLoraTensor)
+
+    x = jnp.asarray(rng.standard_normal((8, 96)), dtype=jnp.float32)
+    got = np.asarray(linear(x, qt))
+    ref = np.asarray(x) @ (w + 0.7 * up @ down).T
+    rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+    # stacking a second LoRA concatenates ranks
+    applied, _ = apply_lora(params, lora, multiplier=0.3)
+    qt2 = params["diffusion"]["blk.proj.weight"]
+    assert qt2.lora_down.shape[0] == 8
+    got2 = np.asarray(linear(x, qt2))
+    ref2 = np.asarray(x) @ (w + 1.0 * up @ down).T
+    rel2 = np.abs(got2 - ref2).mean() / np.abs(ref2).mean()
+    assert rel2 < 0.02, rel2
