@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "the whole sigma schedule runs as one on-device scan)")
     # convert mode
     ap.add_argument("--output-type", default="f16", help="convert: f32/f16/bf16/q8_0")
+    ap.add_argument("--imatrix-out", help="collect an importance matrix during img_gen")
+    ap.add_argument("--imatrix", help="importance matrix .dat for quantizing conversion")
     return ap
 
 
@@ -326,6 +328,27 @@ def _img_gen(args) -> int:
         step_cache=args.cache,
         cache_options=_parse_kv(args.cache_option),
     )
+    if args.imatrix_out:
+        # one representative EAGER mid-sigma forward per sample (reference
+        # collects across generation via the backend eval callback)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sdtpu.io.imatrix import IMatrixCollector
+
+        cond = pipe.conditioner.get_learned_condition(gp.prompt)
+        sig = pipe.denoiser.sigma_to_t_jnp(jnp.float32(0.5))
+        col = IMatrixCollector()
+        with col.capture(pipe.diffusion_params):
+            pipe.diffusion_fn(
+                pipe.diffusion_params,
+                jnp.asarray(res.latents),
+                jnp.full((res.latents.shape[0],), sig, dtype=jnp.float32),
+                jnp.tile(cond.c_crossattn, (res.latents.shape[0], 1, 1)),
+                None,
+            )
+        col.save(args.imatrix_out)
+        print(f"imatrix: {len(col.values)} entries -> {args.imatrix_out}")
     print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")
 
     base, ext = os.path.splitext(args.output)
@@ -420,8 +443,15 @@ def _convert(args) -> int:
     if args.output.lower().endswith(".gguf"):
         from sdtpu.io.gguf import save_gguf
 
+        imatrix = None
+        if args.imatrix:
+            from sdtpu.io.imatrix import IMatrixCollector
+
+            col = IMatrixCollector().load(args.imatrix)
+            imatrix = {n: col.get(n) for n in col.values}
+            print(f"using imatrix with {len(imatrix)} entries")
         save_gguf(args.output, tensors, out_type=out_type,
-                  metadata={"converter": "sdtpu"})
+                  metadata={"converter": "sdtpu"}, imatrix=imatrix)
         return 0
     from sdtpu.io.safetensors import save_safetensors
 

@@ -465,7 +465,8 @@ QUANTIZE_FNS = {
 
 
 def save_gguf(path: str, tensors: Dict[str, np.ndarray], out_type: str = "f16",
-              metadata: Optional[Dict[str, str]] = None, min_quant_size: int = 1024):
+              metadata: Optional[Dict[str, str]] = None, min_quant_size: int = 1024,
+              imatrix: Optional[Dict[str, np.ndarray]] = None):
     """Write a GGUF v3 file (reference: src/model_io/gguf_io.cpp writer +
     src/convert.cpp quantizing conversion).
 
@@ -498,7 +499,13 @@ def save_gguf(path: str, tensors: Dict[str, np.ndarray], out_type: str = "f16",
             and arr.size >= min_quant_size
         )
         if quantizable:
-            payload = QUANTIZE_FNS[t](arr32).tobytes()
+            imp = imatrix.get(name) if imatrix else None
+            if t == GGML_Q4_0 and imp is not None and imp.size == arr.shape[-1]:
+                from sdtpu.io.imatrix import quantize_q4_0_weighted
+
+                payload = quantize_q4_0_weighted(arr32, imp).tobytes()
+            else:
+                payload = QUANTIZE_FNS[t](arr32).tobytes()
         elif t == GGML_BF16:
             payload = (
                 (arr32.view(np.uint32) >> 16).astype(np.uint16).tobytes()

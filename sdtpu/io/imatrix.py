@@ -1,0 +1,159 @@
+"""Importance-matrix (imatrix) collection, llama.cpp-compatible .dat IO, and
+importance-weighted quantization.
+
+Reference analog: src/runtime/imatrix.{h,cpp} (adapted there from llama.cpp):
+per-matmul mean-squared input activations guide quantization.  In the
+reference, collection hooks the backend's eval callback on MUL_MAT nodes; in
+this functional stack the collector intercepts `sdtpu.ops.basic.linear`
+during an EAGER (un-jitted) forward — activations are concrete arrays there,
+which is exactly the one-time calibration use case.
+"""
+from __future__ import annotations
+
+import contextlib
+import struct
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class IMatrixCollector:
+    def __init__(self):
+        self.values: Dict[str, np.ndarray] = {}  # name → Σ x² per in-channel
+        self.counts: Dict[str, int] = {}  # name → rows accumulated
+        self.ncall: Dict[str, int] = {}
+        self.last_call = 0
+
+    # ------------------------------------------------------------ collection
+
+    @contextlib.contextmanager
+    def capture(self, params: Dict[str, object]):
+        """Intercept linear() calls whose weight belongs to `params`; run the
+        model EAGERLY inside this context (jit would trace, not execute)."""
+        import sdtpu.ops.basic as basic
+
+        id_to_name = {}
+        for name, w in params.items():
+            q = getattr(w, "q", None)
+            id_to_name[id(q if q is not None else w)] = name
+
+        orig = basic.linear
+        collector = self
+
+        def hooked(x, weight, bias=None):
+            q = getattr(weight, "q", None)
+            name = id_to_name.get(id(q if q is not None else weight))
+            if name is not None:
+                collector._accumulate(name, np.asarray(x, dtype=np.float32))
+            return orig(x, weight, bias)
+
+        basic.linear = hooked
+        # modules that imported the symbol directly also need patching
+        patched = []
+        import sys
+
+        for mod in list(sys.modules.values()):
+            if mod is None or not getattr(mod, "__name__", "").startswith("sdtpu"):
+                continue
+            if getattr(mod, "linear", None) is orig:
+                mod.linear = hooked
+                patched.append(mod)
+        try:
+            yield self
+        finally:
+            basic.linear = orig
+            for mod in patched:
+                mod.linear = orig
+
+    def _accumulate(self, name: str, x: np.ndarray):
+        x2 = (x.reshape(-1, x.shape[-1]) ** 2).sum(axis=0)
+        if name in self.values:
+            self.values[name] += x2
+            self.counts[name] += x.reshape(-1, x.shape[-1]).shape[0]
+            self.ncall[name] += 1
+        else:
+            self.values[name] = x2
+            self.counts[name] = x.reshape(-1, x.shape[-1]).shape[0]
+            self.ncall[name] = 1
+        self.last_call += 1
+
+    def get(self, name: str) -> Optional[np.ndarray]:
+        """Mean squared activation per input channel."""
+        if name not in self.values:
+            return None
+        return self.values[name] / max(self.counts[name], 1)
+
+    # ------------------------------------------------------------------- IO
+
+    def save(self, path: str):
+        """llama.cpp/.dat layout (reference imatrix.cpp:187): n_entries, then
+        per entry {len, name, ncall, nval, f32 values·ncall/count}, then
+        last_call."""
+        names = [n for n in self.values if self.counts[n] > 0]
+        with open(path, "wb") as f:
+            f.write(struct.pack("<i", len(names)))
+            for name in names:
+                nb = name.encode("utf-8")
+                f.write(struct.pack("<i", len(nb)))
+                f.write(nb)
+                f.write(struct.pack("<i", self.ncall[name]))
+                vals = (
+                    self.values[name] / float(self.counts[name]) * float(self.ncall[name])
+                ).astype(np.float32)
+                f.write(struct.pack("<i", vals.size))
+                f.write(vals.tobytes())
+            f.write(struct.pack("<i", self.last_call))
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            (n_entries,) = struct.unpack("<i", f.read(4))
+            for _ in range(n_entries):
+                (ln,) = struct.unpack("<i", f.read(4))
+                name = f.read(ln).decode("utf-8")
+                (ncall,) = struct.unpack("<i", f.read(4))
+                (nval,) = struct.unpack("<i", f.read(4))
+                vals = np.frombuffer(f.read(4 * nval), dtype=np.float32).copy()
+                # stored as mean·ncall; merge additively like the reference
+                if name in self.values:
+                    self.values[name] += vals
+                    self.ncall[name] += ncall
+                else:
+                    self.values[name] = vals
+                    self.ncall[name] = ncall
+                self.counts[name] = self.ncall[name]
+            tail = f.read(4)
+            if len(tail) == 4:
+                self.last_call = struct.unpack("<i", tail)[0]
+        return self
+
+
+def quantize_q4_0_weighted(w: np.ndarray, importance: np.ndarray) -> np.ndarray:
+    """Importance-weighted q4_0: per 32-block scale chosen by weighted
+    least-squares search over candidate scales (ggml make_qx_quants
+    semantics, simplified)."""
+    flat = np.ascontiguousarray(w, dtype=np.float32).reshape(-1, 32)
+    imp = np.broadcast_to(
+        np.asarray(importance, dtype=np.float32).reshape(1, -1), w.shape
+    ).reshape(-1, 32)
+    imp = imp + 1e-8
+    n = flat.shape[0]
+    idx = np.abs(flat).argmax(axis=1)
+    maxv = flat[np.arange(n), idx]
+    out = np.empty((n, 18), dtype=np.uint8)
+    best_d = np.zeros(n, dtype=np.float32)
+    best_err = np.full(n, np.inf, dtype=np.float32)
+    best_q = np.zeros((n, 32), dtype=np.int32)
+    # candidate scales around the amax heuristic (ggml searches -9..9 steps)
+    for step in range(-4, 5):
+        d = maxv / (-8.0 + 0.25 * step)
+        d = np.where(d == 0, 1e-12, d)
+        q = np.clip(np.round(flat / d[:, None]), -8, 7)
+        err = (imp * (flat - q * d[:, None]) ** 2).sum(axis=1)
+        better = err < best_err
+        best_err = np.where(better, err, best_err)
+        best_d = np.where(better, d, best_d)
+        best_q = np.where(better[:, None], q.astype(np.int32), best_q)
+    qu = (best_q + 8).astype(np.uint8)
+    out[:, :2] = best_d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = qu[:, :16] | (qu[:, 16:] << 4)
+    return out.reshape(-1)
