@@ -151,3 +151,51 @@ def test_detect_config_from_shapes():
     assert cfg.audio_hidden_size == TINY.audio_hidden_size
     assert cfg.cross_attention_dim == TINY.cross_attention_dim
     assert not cfg.cross_attention_adaln
+
+
+def test_latent_upsampler_spatial():
+    from sdtpu.models.ltx_latent_upsampler import (
+        LatentUpsamplerConfig, detect_upsampler_config, init_upsampler_params,
+        latent_upsample)
+
+    cfg = LatentUpsamplerConfig(in_channels=8, mid_channels=32,
+                                num_blocks_per_stage=1)
+    p = init_upsampler_params(cfg, seed=0)
+    shapes = {k: tuple(v.shape) for k, v in p.items()}
+    det = detect_upsampler_config(set(p.keys()), shapes)
+    assert det.mid_channels == 32 and det.in_channels == 8
+    assert det.spatial_upsample and not det.temporal_upsample
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 2, 4, 4, 8), dtype=np.float32))
+    y = latent_upsample(p, x, cfg)
+    assert y.shape == (1, 2, 8, 8, 8)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_latent_upsampler_temporal():
+    from sdtpu.models.ltx_latent_upsampler import (
+        LatentUpsamplerConfig, init_upsampler_params, latent_upsample)
+
+    cfg = LatentUpsamplerConfig(in_channels=8, mid_channels=32,
+                                num_blocks_per_stage=1, spatial_upsample=False,
+                                temporal_upsample=True, temporal_up_factor=2)
+    p = init_upsampler_params(cfg, seed=0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 3, 4, 4, 8), dtype=np.float32))
+    y = latent_upsample(p, x, cfg)
+    assert y.shape == (1, 5, 4, 4, 8)
+
+
+def test_latent_upsampler_rational():
+    from sdtpu.models.ltx_latent_upsampler import (
+        LatentUpsamplerConfig, init_upsampler_params, latent_upsample)
+
+    cfg = LatentUpsamplerConfig(in_channels=8, mid_channels=32,
+                                num_blocks_per_stage=1,
+                                rational_resampler=True, spatial_up_num=3,
+                                spatial_down_den=2)
+    p = init_upsampler_params(cfg, seed=0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 2, 4, 4, 8), dtype=np.float32))
+    y = latent_upsample(p, x, cfg)
+    assert y.shape == (1, 2, 6, 6, 8)
