@@ -447,3 +447,97 @@ class QwenImageConditioner:
             jnp.asarray(np.asarray(mask, dtype=np.float32)[None]),
         )
         return SDCondition(c_crossattn=h[:, drop:])
+
+
+class LTXAVConditioner:
+    """LTX-2: Gemma3-12B with ALL hidden states (49 x 3840 per token), a
+    per-state normalization, and a projection to the DiT context — either a
+    single 49*3840 -> 3840 linear, or dual video/audio projections producing
+    a concatenated 4096+2048 context (reference LTXAVEmbedder /
+    LTXAVTextProjection, src/conditioning/conditioner.hpp:2797,2725).
+
+    Prompts are webui-weight parsed, BOS-prefixed and LEFT-padded to 1024
+    tokens with a causal+pad additive mask."""
+
+    MIN_LEN = 1024
+
+    def __init__(self, gemma_tokenizer, llm_params, llm_cfg, proj_params,
+                 dual_projection: Optional[bool] = None):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = gemma_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.pp = proj_params
+        if dual_projection is None:
+            dual_projection = "video_aggregate_embed.weight" in proj_params
+        self.dual = dual_projection
+        self.num_states = llm_cfg.num_layers + 1
+        self.hidden = llm_cfg.hidden_size
+
+        def fwd(pl, ids, bias):
+            return llm_forward(pl, ids, self.cl, attention_mask=bias,
+                               all_hidden_states=True)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def _normalize_states(self, h: np.ndarray) -> np.ndarray:
+        """h: [valid, states, hidden].  Dual: per-(state, token) RMS.
+        Single: per-state (x - mean) * 8/(max - min) over all tokens
+        (conditioner.hpp:2947-2994)."""
+        if self.dual:
+            rms = np.sqrt(np.mean(np.square(h), axis=-1, keepdims=True) + 1e-6)
+            return h / rms
+        mean = h.mean(axis=(0, 2), keepdims=True)
+        span = (h.max(axis=(0, 2), keepdims=True)
+                - h.min(axis=(0, 2), keepdims=True) + 1e-6)
+        return (h - mean) * (8.0 / span)
+
+    def _project(self, flat: jnp.ndarray) -> jnp.ndarray:
+        from sdtpu.ops import linear
+
+        if not self.dual:
+            return linear(flat, self.pp["projection.weight"])
+        video_in = flat * float(np.sqrt(4096.0 / self.hidden))
+        audio_in = flat * float(np.sqrt(2048.0 / self.hidden))
+        video = linear(video_in, self.pp["video_aggregate_embed.weight"],
+                       self.pp.get("video_aggregate_embed.bias"))
+        audio = linear(audio_in, self.pp["audio_aggregate_embed.weight"],
+                       self.pp.get("audio_aggregate_embed.bias"))
+        return jnp.concatenate([video, audio], axis=-1)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        ids: List[int] = []
+        w: List[float] = []
+        if self.tokenizer is not None:
+            for span, weight in parse_prompt_attention(text):
+                span_ids = self.tokenizer.encode(span)
+                ids.extend(span_ids)
+                w.extend([weight] * len(span_ids))
+            ids, mask = self.tokenizer.pad(ids, self.MIN_LEN)
+            w = [1.0] * (len(ids) - len(w)) + w  # BOS + left pads weight 1
+        else:  # tests without a tokenizer file
+            n_valid = 9
+            ids = [0] * (self.MIN_LEN - n_valid) + list(range(1, n_valid + 1))
+            mask = [0.0] * (self.MIN_LEN - n_valid) + [1.0] * n_valid
+            w = [1.0] * self.MIN_LEN
+
+        n = len(ids)
+        m = np.asarray(mask, dtype=np.float32)
+        # additive causal + pad bias (conditioner.hpp:2913-2926)
+        bias = np.where(m[None, :] > 0, 0.0, -1e9).astype(np.float32)
+        bias = bias + np.triu(np.full((n, n), -1e9, dtype=np.float32), k=1)
+
+        h = self._jit_forward(
+            self.pl,
+            jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(bias),
+        )
+        h = apply_token_weights(h, jnp.asarray(np.asarray(w, np.float32)[None]))
+
+        valid = int(m.sum())
+        hs = np.asarray(h[0, n - valid:], dtype=np.float32)  # [valid, S*H]
+        hs = hs.reshape(valid, self.num_states, self.hidden)
+        hs = self._normalize_states(hs)
+        flat = jnp.asarray(hs.reshape(valid, self.num_states * self.hidden))
+        ctx = self._project(flat)
+        return SDCondition(c_crossattn=ctx[None])

@@ -39,6 +39,13 @@ class LLMConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1e6
     mlp_activation: str = "silu"  # "silu" (SwiGLU) | "gelu_tanh"
+    # gemma-family extras (reference llm.hpp:134-157)
+    norm_add: bool = False          # RMS scale is (1 + weight)
+    normalize_input: bool = False   # embeddings scaled by sqrt(hidden)
+    gemma_norms: bool = False       # post-attn + pre/post-FFN norm structure
+    sliding_attention: Tuple[int, ...] = ()   # per-layer window pattern
+    rope_thetas: Tuple[float, ...] = ()       # (global, local); () -> rope_theta
+    rope_scales: Tuple[float, ...] = ()       # linear position scaling per theta
 
 
 QWEN25_VL_7B_CONFIG = LLMConfig()
@@ -51,6 +58,18 @@ GEMMA2_2B_CONFIG = LLMConfig(
     arch="gemma2_2b", num_layers=26, hidden_size=2304, intermediate_size=9216,
     num_heads=8, num_kv_heads=4, head_dim=256, qkv_bias=False,
     vocab_size=256000, rope_theta=1e4, mlp_activation="gelu_tanh",
+    norm_add=True, normalize_input=True, gemma_norms=True,
+)
+# Gemma3-12B — the LTX-2 text tower (reference llm.hpp:134-147): qk-norm,
+# dual RoPE (1e6 with 8x linear scaling on global layers, 1e4 on sliding
+# layers), 1024-token sliding window on 5 of every 6 layers.
+GEMMA3_12B_CONFIG = LLMConfig(
+    arch="gemma3_12b", num_layers=48, hidden_size=3840,
+    intermediate_size=15360, num_heads=16, num_kv_heads=8, head_dim=256,
+    qkv_bias=False, qk_norm=True, vocab_size=262208,
+    mlp_activation="gelu_tanh", normalize_input=True, gemma_norms=True,
+    sliding_attention=(1024, 1024, 1024, 1024, 1024, 0),
+    rope_thetas=(1e6, 1e4), rope_scales=(8.0, 1.0),
 )
 
 
@@ -61,6 +80,7 @@ def detect_llm_config(names, shapes, arch: str = "qwen2.5vl") -> LLMConfig:
         "qwen2.5vl": QWEN25_VL_7B_CONFIG,
         "qwen3": QWEN3_8B_CONFIG,
         "gemma2_2b": GEMMA2_2B_CONFIG,
+        "gemma3_12b": GEMMA3_12B_CONFIG,
     }.get(arch, QWEN25_VL_7B_CONFIG)
     num_layers = 0
     for n in names:
@@ -84,19 +104,29 @@ def detect_llm_config(names, shapes, arch: str = "qwen2.5vl") -> LLMConfig:
     return dataclasses.replace(base, **kw)
 
 
-def _neox_rope(x: jnp.ndarray, pos: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """NEOX-style RoPE: rotate (i, i+d/2) pairs. x: [B, H, L, D], pos: [L]."""
+def _neox_rope(x: jnp.ndarray, pos: jnp.ndarray, theta: float,
+               pos_scale: float = 1.0) -> jnp.ndarray:
+    """NEOX-style RoPE: rotate (i, i+d/2) pairs. x: [B, H, L, D], pos: [L].
+    pos_scale implements linear RoPE scaling (angle *= 1/scale)."""
     b, h, l, d = x.shape
     half = d // 2
     freq = 1.0 / (theta ** (np.arange(0, half, dtype=np.float64) / half))
-    ang = jnp.asarray(pos, dtype=jnp.float32)[:, None] * jnp.asarray(
-        freq, dtype=jnp.float32
-    )[None, :]  # [L, half]
+    ang = (jnp.asarray(pos, dtype=jnp.float32)[:, None] / jnp.float32(pos_scale)
+           ) * jnp.asarray(freq, dtype=jnp.float32)[None, :]  # [L, half]
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
     o1 = x1 * cos - x2 * sin
     o2 = x2 * cos + x1 * sin
     return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+
+def _llm_rms(p, name: str, x: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+    """RMS norm with the gemma (1 + weight) convention when cfg.norm_add
+    (LLMRMSNorm, llm.hpp:272)."""
+    w = p[name]
+    if cfg.norm_add:
+        w = w + 1.0
+    return rms_norm(x, w, eps=cfg.rms_norm_eps)
 
 
 def llm_forward(
@@ -105,28 +135,60 @@ def llm_forward(
     cfg: LLMConfig = QWEN25_VL_7B_CONFIG,
     attention_mask: Optional[jnp.ndarray] = None,
     output_layer: int = -1,
+    all_hidden_states: bool = False,
 ) -> jnp.ndarray:
     """input_ids: [B, L] → hidden states [B, L, hidden] after `output_layer`
     decoder layers (-1 = final norm output, as the reference's per-model
-    hidden-state picks, llm.hpp LLMEmbedder)."""
+    hidden-state picks, llm.hpp LLMEmbedder).
+
+    attention_mask: [B, L] 0/1 padding mask, or a pre-built additive
+    [B, L, L] / [L, L] bias (used by LTXAV's left-padded causal mask).
+    all_hidden_states=True returns every state concatenated on the feature
+    axis — [B, L, (num_layers+1)*hidden]: scaled embeddings, each layer
+    output except the last, final-norm output (TextModel::forward_embeds,
+    llm.hpp:1283)."""
     b, l = input_ids.shape
     h = p["model.embed_tokens.weight"][input_ids]
-    if cfg.arch.startswith("gemma"):
+    if cfg.normalize_input or cfg.arch.startswith("gemma"):
         h = h * jnp.asarray(cfg.hidden_size**0.5, h.dtype)
+    states = [h] if all_hidden_states else None
 
     # causal + padding mask, additive [B, 1, L, L]
     causal = jnp.tril(jnp.ones((l, l), dtype=bool))
     mask = jnp.where(causal, 0.0, -1e9).astype(jnp.float32)[None, None]
     if attention_mask is not None:
-        pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
-        mask = mask + pad.astype(jnp.float32)
+        if attention_mask.ndim == 1:
+            attention_mask = attention_mask[None]
+        if attention_mask.ndim == 2 and attention_mask.shape[-1] == l and \
+                attention_mask.shape[0] != l:
+            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+            mask = mask + pad.astype(jnp.float32)
+        else:  # pre-built additive [L, L] or [B, L, L] bias replaces the mask
+            bias = attention_mask.astype(jnp.float32)
+            while bias.ndim < 4:
+                bias = bias[None]
+            mask = bias
+    sliding_mask = None
+    if cfg.sliding_attention:
+        window = max(cfg.sliding_attention)
+        i0 = jnp.arange(l)[None, :]
+        i1 = jnp.arange(l)[:, None]
+        sl = jnp.where(i0 + window <= i1, -jnp.inf, 0.0).astype(jnp.float32)
+        sliding_mask = mask + sl[None, None]
 
     pos = jnp.arange(l)
+    thetas = cfg.rope_thetas or (cfg.rope_theta,)
+    scales = cfg.rope_scales or (1.0,) * len(thetas)
     n_layers = cfg.num_layers if output_layer == -1 else output_layer
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     for i in range(n_layers):
         pre = f"model.layers.{i}"
-        hn = rms_norm(h, p[f"{pre}.input_layernorm.weight"], eps=cfg.rms_norm_eps)
+        win = (cfg.sliding_attention[i % len(cfg.sliding_attention)]
+               if cfg.sliding_attention else 0)
+        rope_idx = 1 if (win > 0 and len(thetas) > 1) else 0
+        layer_mask = sliding_mask if (win > 0 and sliding_mask is not None) else mask
+
+        hn = _llm_rms(p, f"{pre}.input_layernorm.weight", h, cfg)
         q = linear(hn, p[f"{pre}.self_attn.q_proj.weight"],
                    p.get(f"{pre}.self_attn.q_proj.bias"))
         k = linear(hn, p[f"{pre}.self_attn.k_proj.weight"],
@@ -137,27 +199,44 @@ def llm_forward(
         k = k.reshape(b, l, nkv, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, nkv, hd).transpose(0, 2, 1, 3)
         if cfg.qk_norm:
-            q = rms_norm(q, p[f"{pre}.self_attn.q_norm.weight"], eps=cfg.rms_norm_eps)
-            k = rms_norm(k, p[f"{pre}.self_attn.k_norm.weight"], eps=cfg.rms_norm_eps)
-        q = _neox_rope(q, pos, cfg.rope_theta)
-        k = _neox_rope(k, pos, cfg.rope_theta)
+            qw = p[f"{pre}.self_attn.q_norm.weight"]
+            kw = p[f"{pre}.self_attn.k_norm.weight"]
+            if cfg.norm_add:
+                qw, kw = qw + 1.0, kw + 1.0
+            q = rms_norm(q, qw, eps=cfg.rms_norm_eps)
+            k = rms_norm(k, kw, eps=cfg.rms_norm_eps)
+        q = _neox_rope(q, pos, thetas[rope_idx], scales[rope_idx])
+        k = _neox_rope(k, pos, thetas[rope_idx], scales[rope_idx])
         # GQA: repeat kv heads
         if nkv != nh:
             k = jnp.repeat(k, nh // nkv, axis=1)
             v = jnp.repeat(v, nh // nkv, axis=1)
-        o = attention(q, k, v, mask=mask, flash=False)
+        o = attention(q, k, v, mask=layer_mask, flash=False)
         o = o.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
-        h = h + linear(o, p[f"{pre}.self_attn.o_proj.weight"],
-                       p.get(f"{pre}.self_attn.o_proj.bias"))
+        o = linear(o, p[f"{pre}.self_attn.o_proj.weight"],
+                   p.get(f"{pre}.self_attn.o_proj.bias"))
+        if cfg.gemma_norms:
+            o = _llm_rms(p, f"{pre}.post_attention_layernorm.weight", o, cfg)
+        h = h + o
 
-        hn = rms_norm(h, p[f"{pre}.post_attention_layernorm.weight"], eps=cfg.rms_norm_eps)
+        ffn_norm = (f"{pre}.pre_feedforward_layernorm.weight" if cfg.gemma_norms
+                    else f"{pre}.post_attention_layernorm.weight")
+        hn = _llm_rms(p, ffn_norm, h, cfg)
         gate = linear(hn, p[f"{pre}.mlp.gate_proj.weight"])
         up = linear(hn, p[f"{pre}.mlp.up_proj.weight"])
         act = silu(gate) if cfg.mlp_activation == "silu" else gelu_tanh(gate)
-        h = h + linear(act * up, p[f"{pre}.mlp.down_proj.weight"])
+        m = linear(act * up, p[f"{pre}.mlp.down_proj.weight"])
+        if cfg.gemma_norms:
+            m = _llm_rms(p, f"{pre}.post_feedforward_layernorm.weight", m, cfg)
+        h = h + m
+        if all_hidden_states and i + 1 < n_layers:
+            states.append(h)
 
-    if output_layer == -1:
-        h = rms_norm(h, p["model.norm.weight"], eps=cfg.rms_norm_eps)
+    if output_layer == -1 or all_hidden_states:
+        h = _llm_rms(p, "model.norm.weight", h, cfg)
+    if all_hidden_states:
+        states.append(h)
+        return jnp.concatenate(states, axis=-1)
     return h
 
 
@@ -213,6 +292,11 @@ def init_llm_params(cfg: LLMConfig, seed: int = 0, dtype=jnp.float32) -> dict:
             p[f"{pre}.self_attn.k_norm.weight"] = jnp.ones((hd,), dtype=dtype)
         p[f"{pre}.input_layernorm.weight"] = jnp.ones((cfg.hidden_size,), dtype=dtype)
         p[f"{pre}.post_attention_layernorm.weight"] = jnp.ones((cfg.hidden_size,), dtype=dtype)
+        if cfg.gemma_norms:
+            p[f"{pre}.pre_feedforward_layernorm.weight"] = jnp.ones(
+                (cfg.hidden_size,), dtype=dtype)
+            p[f"{pre}.post_feedforward_layernorm.weight"] = jnp.ones(
+                (cfg.hidden_size,), dtype=dtype)
         p[f"{pre}.mlp.gate_proj.weight"] = w(cfg.intermediate_size, cfg.hidden_size)
         p[f"{pre}.mlp.up_proj.weight"] = w(cfg.intermediate_size, cfg.hidden_size)
         p[f"{pre}.mlp.down_proj.weight"] = w(cfg.hidden_size, cfg.intermediate_size)
