@@ -104,6 +104,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
         )
+    if version == SDVersion.LTXAV:
+        return _create_ltxav_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            gemma_tokenizer=kwargs.get("gemma_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -714,4 +719,170 @@ def _create_sd3_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         compute_dtype=dtype,
+    )
+
+
+def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                           gemma_tokenizer=None):
+    """LTX-2 audio-video (reference construction for VERSION_LTXAV:
+    LTXAVEmbedder + LTXAVRunner + LTXVideoVAE + LTXAudioVAERunner,
+    stable-diffusion.cpp:1140-1220; FluxFlowDenoiser with default flow shift
+    2.37, :1750)."""
+    import dataclasses
+
+    import numpy as np
+
+    from sdtpu.conditioning.conditioner import LTXAVConditioner
+    from sdtpu.diffusion.denoiser import FluxFlowDenoiser
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import ltx_audio_vae as av_mod
+    from sdtpu.models import ltx_vae as lv_mod
+    from sdtpu.models import ltxv as ltxv_mod
+    from sdtpu.pipeline import LTXAVPipeline
+
+    if small:
+        dit_cfg = ltxv_mod.LTXAVConfig(
+            in_channels=8, out_channels=8, hidden_size=48,
+            cross_attention_dim=24, caption_channels=16, num_heads=4,
+            head_dim=12, num_layers=2, audio_in_channels=4,
+            audio_out_channels=4, audio_hidden_size=32,
+            audio_cross_attention_dim=32, audio_num_heads=4, audio_head_dim=8,
+            num_audio_channels=2, audio_frequency_bins=2,
+            vae_scale_factors=(2, 4, 4),
+        )
+        vae_cfg = lv_mod.LTXVAEConfig(
+            patch_size=2, latent_channels=8, timestep_conditioning=True,
+            encoder_blocks=(lv_mod.LTXVAEBlock("res_x", 1),
+                            lv_mod.LTXVAEBlock("compress_all_res", 0, 2),
+                            lv_mod.LTXVAEBlock("res_x", 1)),
+            decoder_blocks=(lv_mod.LTXVAEBlock("res_x", 1),
+                            lv_mod.LTXVAEBlock("compress_all", 0, 2),
+                            lv_mod.LTXVAEBlock("res_x", 1)),
+        )
+        audio_cfg = av_mod.LTXAudioVAEConfig(
+            mel_bins=8, latent_channels=2, latent_frequency_bins=2,
+            decoder_channels=4, decoder_channel_multipliers=(1, 2, 4),
+            decoder_num_res_blocks=1, base_upsample_initial_channel=8,
+            base_upsample_rates=(2, 2), base_upsample_kernel_sizes=(4, 4),
+            base_resblock_kernel_sizes=(3,),
+            base_resblock_dilations=((1, 2, 3),),
+        )
+        llm_cfg = dataclasses.replace(
+            llm_mod.GEMMA3_12B_CONFIG, num_layers=3, hidden_size=16,
+            intermediate_size=32, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64, sliding_attention=(4, 0))
+        scale_factor, temporal_scale = 4, 2
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (ltxv_mod.detect_ltxav_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else ltxv_mod.LTXAV_CONFIG)
+        v = params.get("vae")
+        vae_cfg = (lv_mod.detect_ltx_vae_config(
+            v.keys(), {k: tuple(v2.shape) for k, v2 in v.items()})
+            if v else lv_mod.LTXVAEConfig(
+                decoder_blocks=(), encoder_blocks=lv_mod.LTX2_ENCODER_BLOCKS))
+        a = params.get("audio_vae")
+        audio_cfg = (av_mod.detect_ltx_audio_vae_config(
+            a.keys(), {k: tuple(v2.shape) for k, v2 in a.items()})
+            if a else av_mod.LTX_AUDIO_VAE_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v2.shape) for k, v2 in llm.items()},
+            arch="gemma3_12b") if llm else llm_mod.GEMMA3_12B_CONFIG)
+        scale_factor, temporal_scale = 32, 8
+
+    dit_params = params.get("diffusion") or ltxv_mod.init_ltxav_params(
+        dit_cfg, seed, dtype=dtype)
+    vae_params = params.get("vae") or lv_mod.init_ltx_vae_params(
+        vae_cfg, channels=16 if small else 128, seed=seed + 1, dtype=dtype)
+    audio_params = params.get("audio_vae")
+    if audio_params is None and small:
+        audio_params = av_mod.init_ltx_audio_vae_params(audio_cfg, seed + 2,
+                                                        dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    proj_params = params.get("text_projection")
+    if proj_params is None:
+        g = np.random.default_rng(seed + 4)
+        flat = (llm_cfg.num_layers + 1) * llm_cfg.hidden_size
+        vd = dit_cfg.cross_attention_dim
+        ad = dit_cfg.audio_cross_attention_dim
+        proj_params = {
+            "video_aggregate_embed.weight": jnp.asarray(
+                g.standard_normal((vd, flat), dtype=np.float32) * 0.02, dtype),
+            "video_aggregate_embed.bias": jnp.zeros((vd,), dtype),
+            "audio_aggregate_embed.weight": jnp.asarray(
+                g.standard_normal((ad, flat), dtype=np.float32) * 0.02, dtype),
+            "audio_aggregate_embed.bias": jnp.zeros((ad,), dtype),
+        }
+
+    conditioner = LTXAVConditioner(gemma_tokenizer, llm_params, llm_cfg,
+                                   proj_params)
+
+    zc = vae_cfg.latent_channels
+    ca = dit_cfg.num_audio_channels
+    fb = dit_cfg.audio_frequency_bins
+    # trace-time AV state, mutated by LTXAVPipeline.generate_video; program
+    # caches are keyed on it (LTXAVPipeline._av_key)
+    av_state = {"audio_len": 0, "fps": 24.0, "positions": None}
+
+    def diffusion_fn(p, x, t, ctx, y, av_mask=None, av_init=None):
+        """x: packed AV latent [B, T, H, W, zc+extra]; t: [B]."""
+        if av_mask is not None:
+            x = x * av_mask.astype(x.dtype) + av_init.astype(x.dtype) * (
+                1.0 - av_mask.astype(x.dtype))
+        audio_len = av_state["audio_len"]
+        video = x[..., :zc]
+        audio = (ltxv_mod.unpack_audio_latent_jnp(x, audio_len, zc, ca, fb)
+                 if audio_len else None)
+        ts = t
+        if av_mask is not None:
+            b = x.shape[0]
+            tok_mask = av_mask[..., 0].reshape(b, -1)
+            ts = t[:, None] * tok_mask
+        vout, aout = ltxv_mod.ltxav_forward(
+            p, video, ts, ctx, audio_x=audio, audio_timesteps=t,
+            frame_rate=av_state["fps"], video_positions=av_state["positions"],
+            cfg=dit_cfg)
+        if aout is None:
+            return vout
+        return ltxv_mod.pack_av_latents_jnp(vout, aout,
+                                            total_channels=x.shape[-1])
+
+    def vae_decode_fn(p, z):
+        return lv_mod.ltx_vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        return lv_mod.ltx_vae_encode(p, x, vae_cfg)
+
+    def audio_decode_fn(p, a_latent):
+        return av_mod.ltx_audio_vae_decode(p, a_latent, audio_cfg)
+
+    def upsample_fn(p, z):
+        from sdtpu.models.ltx_latent_upsampler import latent_upsample
+
+        return latent_upsample(p, z)
+
+    return LTXAVPipeline(
+        version=SDVersion.LTXAV,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=FluxFlowDenoiser(shift=2.37 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=zc,
+        scale_factor=scale_factor,
+        compute_dtype=dtype,
+        temporal_scale=temporal_scale,
+        av_state=av_state,
+        audio_vae_params=audio_params,
+        audio_vae_cfg=audio_cfg,
+        audio_decode_fn=audio_decode_fn if audio_params is not None else None,
+        upsample_fn=upsample_fn,
+        audio_channels=ca,
+        audio_freq_bins=fb,
     )

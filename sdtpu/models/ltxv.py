@@ -873,6 +873,36 @@ def pack_av_latents(video: np.ndarray, audio: Optional[np.ndarray]) -> np.ndarra
     return packed
 
 
+def pack_av_latents_jnp(video: jnp.ndarray, audio: Optional[jnp.ndarray],
+                        total_channels: Optional[int] = None) -> jnp.ndarray:
+    """jit-safe pack: video [B,T,H,W,C] + audio [B,Ta,Ca,F] -> packed
+    channels-last (same memory mapping as pack_av_latents)."""
+    if audio is None:
+        return video
+    b, t, h, w, c = video.shape
+    spatial = t * h * w
+    audio_values = audio.shape[1] * audio.shape[2] * audio.shape[3]
+    extra = (total_channels - c if total_channels is not None
+             else (audio_values + spatial - 1) // spatial)
+    flat = jnp.zeros((b, extra * spatial), video.dtype)
+    flat = flat.at[:, :audio_values].set(audio.reshape(b, -1).astype(video.dtype))
+    aud = flat.reshape(b, extra, t, h, w).transpose(0, 2, 3, 4, 1)
+    return jnp.concatenate([video, aud], axis=-1)
+
+
+def unpack_audio_latent_jnp(packed: jnp.ndarray, audio_length: int,
+                            video_channels: int,
+                            num_audio_channels: int = 8,
+                            freq_bins: int = 16) -> Optional[jnp.ndarray]:
+    """jit-safe inverse of pack_av_latents_jnp -> [B, Ta, Ca, F]."""
+    if audio_length <= 0 or packed.shape[-1] <= video_channels:
+        return None
+    b = packed.shape[0]
+    aud = packed[..., video_channels:].transpose(0, 4, 1, 2, 3).reshape(b, -1)
+    need = audio_length * num_audio_channels * freq_bins
+    return aud[:, :need].reshape(b, audio_length, num_audio_channels, freq_bins)
+
+
 def unpack_audio_latent(packed: np.ndarray, audio_length: int,
                         video_channels: int,
                         num_audio_channels: int = 8,

@@ -55,6 +55,8 @@ class VideoResult:
     frames: np.ndarray  # [B, T, H, W, 3] uint8
     latents: np.ndarray  # [B, Tl, h, w, zc] float32
     seeds: list
+    audio: Optional[np.ndarray] = None  # [samples, channels] float in [-1,1]
+    sample_rate: int = 0
 
 
 def _method_needs_noise(method: str, eta: float) -> bool:
@@ -973,3 +975,246 @@ def _pad_tokens_by_repeat(x: jnp.ndarray, target: int) -> jnp.ndarray:
         return jnp.concatenate([x] + [last] * reps, axis=1)
     pad = jnp.zeros((x.shape[0], target - x.shape[1], x.shape[2]), dtype=x.dtype)
     return jnp.concatenate([x, pad], axis=1)
+
+
+class LTXAVPipeline(DiffusionPipeline):
+    """LTX-2 audio-video pipeline: jointly samples packed video+audio
+    latents, supports first/last-frame image conditioning with per-token
+    timesteps, decodes video through the LTX VAE and audio through the
+    audio VAE/vocoder (reference generate_video LTXAV path,
+    stable-diffusion.cpp:6374-6753).
+
+    The factory wires ``av_state`` (a dict read by the diffusion wrapper at
+    trace time) with keys audio_len / fps / positions; this class keys its
+    compiled programs on those values so changes retrace instead of reusing
+    stale programs.
+    """
+
+    def __init__(self, *args, av_state=None, audio_vae_params=None,
+                 audio_vae_cfg=None, audio_decode_fn=None,
+                 upsample_fn=None, vae_stats_params=None,
+                 audio_channels: int = 8, audio_freq_bins: int = 16,
+                 audio_latents_per_second: float = 25.0, **kw):
+        super().__init__(*args, **kw)
+        self.AUDIO_CHANNELS = audio_channels
+        self.AUDIO_FREQ_BINS = audio_freq_bins
+        self.audio_latents_per_second = audio_latents_per_second
+        self.av_state = av_state if av_state is not None else {
+            "audio_len": 0, "fps": 24.0, "positions": None}
+        self.audio_vae_params = audio_vae_params
+        self.audio_vae_cfg = audio_vae_cfg
+        self.audio_decode_fn = audio_decode_fn
+        self.upsample_fn = upsample_fn
+        self.vae_stats_params = vae_stats_params or self.vae_params
+
+    # program caches must distinguish av_state values (they are trace-time
+    # constants inside diffusion_fn)
+    def _av_key(self):
+        pos = self.av_state.get("positions")
+        pos_key = None if pos is None else (pos.shape, float(pos.sum()))
+        return (self.av_state.get("audio_len", 0),
+                float(self.av_state.get("fps", 24.0)), pos_key)
+
+    def _jit_sampler(self, method, steps, has_uncond, eta, sigmas, **kw):
+        self._program_cache.setdefault("_av_keys", set()).add(self._av_key())
+        key = ("avkey", self._av_key())
+        if self._program_cache.get("_last_av") != key:
+            # av_state changed → drop compiled programs that baked it in
+            self._program_cache = {
+                k: v for k, v in self._program_cache.items()
+                if not (isinstance(k, tuple) and k and k[0] == "run")
+            }
+            self._program_cache["_last_av"] = key
+        return super()._jit_sampler(method, steps, has_uncond, eta, sigmas, **kw)
+
+    def generate_video(
+        self,
+        gp: GenerationParams,
+        frames: int = 57,
+        init_image: Optional[np.ndarray] = None,
+        end_image: Optional[np.ndarray] = None,
+        fps: int = 24,
+        audio: bool = True,
+        upsampler_params=None,
+        refine_strength: float = 0.6,
+        **_,
+    ) -> VideoResult:
+        t0 = time.time()
+        w, h = gp.width, gp.height
+        sf, ts = self.scale_factor, self.temporal_scale
+        lh, lw = h // sf, w // sf
+        frames = max(1, ((frames - 1) // ts) * ts + 1)
+        tl = (frames - 1) // ts + 1
+        zc = self.latent_channels
+        lv = tl * lh * lw
+
+        audio_len = (int(np.ceil(frames / fps * self.audio_latents_per_second))
+                     if audio and self.audio_decode_fn is not None else 0)
+        audio_values = audio_len * self.AUDIO_CHANNELS * self.AUDIO_FREQ_BINS
+        extra = (audio_values + lv - 1) // lv if audio_len else 0
+        ct = zc + extra
+        self.av_state.update(audio_len=audio_len, fps=float(fps), positions=None)
+
+        cond = self.conditioner.get_learned_condition(gp.prompt)
+        has_uncond = gp.cfg_scale != 1.0
+        uncond = (self.conditioner.get_learned_condition(gp.negative_prompt)
+                  if has_uncond else None)
+        ctx_c, ctx_u = _match_context(cond, uncond, 1)
+
+        sigmas = get_sigmas(
+            self.denoiser, gp.sample_steps, scheduler=gp.schedule,
+            version=self.version.value, image_seq_len=lv,
+        )
+        steps = len(sigmas) - 1
+
+        # latents + conditioning (reference prepare_video_generation_latents,
+        # stable-diffusion.cpp:5665-5760)
+        init_latent = np.zeros((1, tl, lh, lw, ct), dtype=np.float32)
+        mask = None
+        cond_strength = float(np.clip(gp.strength, 0.0, 1.0))
+        if (init_image is not None or end_image is not None) and \
+                self.vae_encode_fn is not None:
+            mask = np.ones((1, tl, lh, lw, 1), dtype=np.float32)
+            enc = jax.jit(lambda p, xx: self.vae_encode_fn(p, xx))
+
+            def encode_frame(img):
+                from sdtpu.utils.image import resize_image
+
+                arr = _to_pm1(resize_image(np.asarray(img)[..., :3], w, h))
+                z = np.asarray(enc(self.vae_params,
+                                   jnp.asarray(arr[None, None])),
+                               dtype=np.float32)
+                return z[:, 0]  # [1, lh, lw, zc]
+
+            if init_image is not None:
+                init_latent[:, 0, :, :, :zc] = encode_frame(init_image)
+                mask[:, 0] = 1.0 - cond_strength
+            if end_image is not None:
+                init_latent[:, -1, :, :, :zc] = encode_frame(end_image)
+                mask[:, -1] = 1.0 - cond_strength
+
+        rng = create_rng(self.rng_type, gp.seed)
+        noise = rng.randn_shape((1, tl, lh, lw, ct)).astype(np.float32)
+        x = np.asarray(self.denoiser.noise_scaling(
+            np.float32(sigmas[0]), noise, init_latent))
+
+        latents = self._sample_av(gp, x, sigmas, ctx_c, ctx_u, has_uncond,
+                                  init_latent, mask)
+        t1 = time.time()
+        log_info(f"LTXAV sampling completed in {t1 - t0:.2f}s "
+                 f"({steps} steps, {tl}×{lh}×{lw}+{audio_len}a latent)")
+
+        if upsampler_params is not None and self.upsample_fn is not None:
+            latents, mask = self._latent_upscale_refine(
+                gp, latents, upsampler_params, refine_strength, fps, frames)
+            tl, lh, lw = latents.shape[1:4]
+            t1 = time.time()
+
+        video_latent = latents[..., :zc]
+        decode = self._decode_program()
+        vid = np.asarray(decode(self.vae_params, jnp.asarray(video_latent)))
+        frames_u8 = np.clip((vid + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+        log_info(f"LTXAV video decode completed in {time.time() - t1:.2f}s")
+
+        waveform = None
+        sample_rate = 0
+        if audio_len:
+            from sdtpu.models.ltxv import unpack_audio_latent
+
+            a_latent = unpack_audio_latent(latents, audio_len, zc,
+                                           self.AUDIO_CHANNELS,
+                                           self.AUDIO_FREQ_BINS)
+            if a_latent is not None:
+                ta = time.time()
+                waveform = np.asarray(self.audio_decode_fn(
+                    self.audio_vae_params, jnp.asarray(a_latent)))[0]
+                sample_rate = self.audio_vae_cfg.output_sample_rate()
+                log_info(f"LTXAV audio decode completed in "
+                         f"{time.time() - ta:.2f}s ({sample_rate} Hz)")
+
+        return VideoResult(frames=frames_u8, latents=latents, seeds=[gp.seed],
+                           audio=waveform, sample_rate=sample_rate)
+
+    def _sample_av(self, gp, x, sigmas, ctx_c, ctx_u, has_uncond,
+                   init_latent, mask):
+        """One denoise pass over packed AV latents."""
+        steps = len(sigmas) - 1
+        need_noise = _method_needs_noise(gp.sample_method, gp.eta)
+        step_noise = None
+        if need_noise:
+            rng = create_rng(self.rng_type, gp.seed + 777)
+            step_noise = np.stack(
+                [rng.randn_shape(x.shape).astype(np.float32)
+                 for _ in range(steps)])
+
+        extras = {}
+        denoise_mask = masked_target = None
+        if mask is not None:
+            mask_packed = np.ones(x.shape, dtype=np.float32)
+            mask_packed[..., : self.latent_channels] = mask
+            extras = {"av_mask": jnp.asarray(mask_packed),
+                      "av_init": jnp.asarray(init_latent)}
+            denoise_mask = jnp.asarray(mask_packed)
+            masked_target = jnp.asarray(init_latent)
+
+        run = self._jit_sampler(gp.sample_method, steps, has_uncond, gp.eta,
+                                sigmas)
+        xt = run(
+            self.diffusion_params, jnp.asarray(x),
+            jnp.asarray(step_noise) if step_noise is not None else None,
+            ctx_c, ctx_u, None, None, jnp.float32(gp.cfg_scale),
+            denoise_mask=denoise_mask, masked_target=masked_target,
+            extras=extras,
+        )
+        return np.asarray(xt, dtype=np.float32)
+
+    def _latent_upscale_refine(self, gp, latents, upsampler_params,
+                               refine_strength, fps, frames):
+        """Latent spatial upscale + short refine pass (reference
+        upscale_ltx_spatial_video_latent + refine sampling,
+        stable-diffusion.cpp:6545-6688)."""
+        from sdtpu.models.ltx_vae import ltx_vae_normalize, ltx_vae_un_normalize
+        from sdtpu.models.ltxv import pack_av_latents, unpack_audio_latent
+
+        zc = self.latent_channels
+        audio_len = self.av_state.get("audio_len", 0)
+        video = latents[..., :zc]
+        a_latent = (unpack_audio_latent(latents, audio_len, zc,
+                                        self.AUDIO_CHANNELS,
+                                        self.AUDIO_FREQ_BINS)
+                    if audio_len else None)
+
+        t0 = time.time()
+        unnorm = ltx_vae_un_normalize(self.vae_stats_params, jnp.asarray(video))
+        up = np.asarray(jax.jit(self.upsample_fn)(upsampler_params, unnorm),
+                        dtype=np.float32)
+        video_up = np.asarray(
+            ltx_vae_normalize(self.vae_stats_params, jnp.asarray(up)),
+            dtype=np.float32)
+        log_info(f"LTX latent upscale {video.shape[2]}x{video.shape[3]} -> "
+                 f"{video_up.shape[2]}x{video_up.shape[3]} "
+                 f"in {time.time() - t0:.2f}s")
+        packed = pack_av_latents(video_up, a_latent)
+
+        # refine: re-noise to a strength-limited sigma window
+        cond = self.conditioner.get_learned_condition(gp.prompt)
+        has_uncond = gp.cfg_scale != 1.0
+        uncond = (self.conditioner.get_learned_condition(gp.negative_prompt)
+                  if has_uncond else None)
+        ctx_c, ctx_u = _match_context(cond, uncond, 1)
+        tl, lh, lw = packed.shape[1:4]
+        sigmas = get_sigmas(
+            self.denoiser, gp.sample_steps, scheduler=gp.schedule,
+            version=self.version.value, image_seq_len=tl * lh * lw,
+        )
+        start = min(int(len(sigmas) * (1.0 - refine_strength)),
+                    len(sigmas) - 2)
+        sigmas = sigmas[start:]
+
+        rng = create_rng(self.rng_type, gp.seed + 1)
+        noise = rng.randn_shape(packed.shape).astype(np.float32)
+        x = np.asarray(self.denoiser.noise_scaling(
+            np.float32(sigmas[0]), noise, packed))
+        refined = self._sample_av(gp, x, sigmas, ctx_c, ctx_u, has_uncond,
+                                  packed, None)
+        return refined, None

@@ -113,3 +113,23 @@ def write_video(path: str, frames: np.ndarray, fps: int = 16, quality: int = 90)
         base = path.rsplit(".", 1)[0]
         for i, f in enumerate(frames):
             write_png(f"{base}_{i:04d}.png", f)
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int = 48000):
+    """16-bit PCM WAV writer (reference media_io WAV write,
+    examples/common/media_io.h:100).  samples: [T] or [T, channels] float in
+    [-1, 1]."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float32)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    pcm = np.clip(s * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate,
+                                 byte_rate, n_ch * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    with open(path, "wb") as f:
+        f.write(hdr + pcm)
