@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--clip_g", help="clip-g text encoder file")
     ap.add_argument("--t5xxl", help="t5xxl text encoder file")
     ap.add_argument("--t5-tokenizer", help="t5 tokenizer.json path")
+    ap.add_argument("--llm", help="decoder-LLM text encoder file (qwen/gemma)")
+    ap.add_argument("--llm-tokenizer", help="LLM tokenizer.json path")
+    ap.add_argument("--audio-vae", help="LTX audio VAE + vocoder file")
     ap.add_argument("--vae", help="vae file")
     ap.add_argument("--taesd", help="taesd file (fast decode)")
     ap.add_argument("--vae-tiling", action="store_true",
@@ -82,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     # video (vid_gen mode)
     ap.add_argument("--video-frames", type=int, default=81, help="frame count (1+4k)")
     ap.add_argument("--fps", type=int, default=16)
+    ap.add_argument("--end-img", help="last-frame conditioning image (LTX FLF2V)")
+    ap.add_argument("--no-audio", action="store_true",
+                    help="skip audio generation for audio-video models (LTX-2)")
+    ap.add_argument("--upscale-model",
+                    help="LTX latent spatial upsampler checkpoint (hires video)")
     ap.add_argument("--flow-shift", type=float, default=None)
     # output
     ap.add_argument("-o", "--output", default="output.png")
@@ -159,6 +167,8 @@ def _load_pipeline(args):
         clip_g_path=args.clip_g,
         t5xxl_path=args.t5xxl,
         vae_path=args.vae,
+        llm_path=args.llm,
+        audio_vae_path=args.audio_vae,
     )
     import jax
 
@@ -172,10 +182,27 @@ def _load_pipeline(args):
         "clip_g": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.clip_g.items()} or None,
         "t5": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.t5.items()} or None,
         "vae": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.vae.items()} or None,
+        "llm": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.llm.items()} or None,
+        "audio_vae": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.audio_vae.items()} or None,
+        "text_projection": {k: jnp.asarray(v, dtype=dtype)
+                            for k, v in bundle.text_projection.items()} or None,
     }
     params = {k: v for k, v in params.items() if v}
+    tok_kwargs = {}
+    if args.llm_tokenizer:
+        if bundle.version == SDVersion.LTXAV:
+            from sdtpu.tokenizers.gemma import GemmaTokenizer
+
+            tok_kwargs["gemma_tokenizer"] = GemmaTokenizer.from_tokenizer_json(
+                args.llm_tokenizer)
+        else:
+            from sdtpu.tokenizers.qwen2 import Qwen2Tokenizer
+
+            tok_kwargs["qwen_tokenizer"] = Qwen2Tokenizer.from_tokenizer_json(
+                args.llm_tokenizer)
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
-                           t5_tokenizer=t5_tok, flow_shift=args.flow_shift)
+                           t5_tokenizer=t5_tok, flow_shift=args.flow_shift,
+                           **tok_kwargs)
     if args.vae_tiling:
         pipe.set_vae_tiling(True, args.vae_tile_size, args.vae_tile_overlap)
     if args.embd_dir and os.path.isdir(args.embd_dir) and hasattr(pipe.conditioner, "load_embedding"):
@@ -387,12 +414,31 @@ def _vid_gen(args) -> int:
     init_image = None
     if args.init_img:
         init_image, _ = read_png(args.init_img)
+    vkw = {}
+    from sdtpu.pipeline import LTXAVPipeline
+
+    if isinstance(pipe, LTXAVPipeline):
+        vkw["fps"] = args.fps
+        vkw["audio"] = not args.no_audio
+        if args.end_img:
+            vkw["end_image"], _ = read_png(args.end_img)
+        if args.upscale_model:
+            from sdtpu.io.model_loader import read_checkpoint_file
+
+            vkw["upsampler_params"] = read_checkpoint_file(args.upscale_model)
     t0 = time.time()
-    res = pipe.generate_video(gp, frames=args.video_frames, init_image=init_image)
+    res = pipe.generate_video(gp, frames=args.video_frames,
+                              init_image=init_image, **vkw)
     print(f"generated {res.frames.shape[1]} frames in {time.time() - t0:.2f}s")
     out = args.output if args.output != "output.png" else "output.avi"
     write_video(out, res.frames[0], fps=args.fps)
     print(f"saved {out}")
+    if res.audio is not None:
+        from sdtpu.utils.video import write_wav
+
+        wav_path = os.path.splitext(out)[0] + ".wav"
+        write_wav(wav_path, res.audio, res.sample_rate)
+        print(f"saved {wav_path} ({res.sample_rate} Hz)")
     return 0
 
 

@@ -21,6 +21,9 @@ def detect_version(
         return any(n.startswith(p) for n in names)
 
     # DiT families first (unique block names)
+    if any("adaln_single.emb.timestep_embedder.linear_1" in n for n in names):
+        # LTX-2 audio-video DiT (reference model_loader.cpp:537)
+        return SDVersion.LTXAV
     if has_prefix("model.diffusion_model.joint_blocks") or has_prefix("joint_blocks"):
         return SDVersion.SD3
     if has_prefix("model.diffusion_model.double_blocks") or has_prefix("double_blocks"):

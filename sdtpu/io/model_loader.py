@@ -34,6 +34,9 @@ class ModelBundle:
     vae: Dict[str, np.ndarray]
     extra: Dict[str, np.ndarray]
     tensor_types: Dict[str, str]
+    llm: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    audio_vae: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    text_projection: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
 def read_checkpoint_file(path: str) -> Dict[str, np.ndarray]:
@@ -75,6 +78,9 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
     t5: Dict[str, np.ndarray] = {}
     vae: Dict[str, np.ndarray] = {}
     extra: Dict[str, np.ndarray] = {}
+    llm: Dict[str, np.ndarray] = {}
+    audio_vae: Dict[str, np.ndarray] = {}
+    text_projection: Dict[str, np.ndarray] = {}
 
     for name, arr in canon.items():
         if name.startswith("model.diffusion_model."):
@@ -99,6 +105,14 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
             clip_l[name[len("text_encoders.clip_l.transformer.") :]] = arr
         elif name.startswith("text_encoders.clip_g.transformer."):
             clip_g[name[len("text_encoders.clip_g.transformer.") :]] = arr
+        elif name.startswith("text_encoders.llm."):
+            llm[name[len("text_encoders.llm.") :]] = arr
+        elif name.startswith(("audio_vae.", "vocoder.")):
+            # LTX audio VAE keeps its full names (reference prefix "",
+            # ltx_audio_vae.hpp LTXAudioVAE param naming)
+            audio_vae[name] = arr
+        elif name.startswith("text_embedding_projection."):
+            text_projection[name[len("text_embedding_projection.") :]] = arr
         else:
             extra[name] = arr
 
@@ -128,6 +142,9 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
         vae=vae,
         extra=extra,
         tensor_types=tensor_types,
+        llm=llm,
+        audio_vae=audio_vae,
+        text_projection=text_projection,
     )
 
 
@@ -173,6 +190,8 @@ def load_model_bundle(
     clip_g_path: Optional[str] = None,
     t5xxl_path: Optional[str] = None,
     vae_path: Optional[str] = None,
+    llm_path: Optional[str] = None,
+    audio_vae_path: Optional[str] = None,
 ) -> ModelBundle:
     """Aggregate N weight files with per-file logical prefixes
     (reference stable-diffusion.cpp:714-854)."""
@@ -185,13 +204,15 @@ def load_model_bundle(
         (clip_g_path, "text_encoders.clip_g.transformer."),
         (t5xxl_path, "text_encoders.t5xxl.transformer."),
         (vae_path, "first_stage_model."),
+        (llm_path, "text_encoders.llm."),
+        (audio_vae_path, ""),
     ):
         if not path:
             continue
         sub = read_checkpoint_file(path)
         for k, v in sub.items():
             kk = canonicalize_name(k)
-            if not kk.startswith(prefix):
+            if prefix and not kk.startswith(prefix):
                 kk = prefix + kk
             tensors[kk] = v
     bundle = split_modules(tensors)
@@ -199,6 +220,7 @@ def load_model_bundle(
         f"loaded checkpoint: version={bundle.version.value}, "
         f"diffusion={len(bundle.diffusion)} clip_l={len(bundle.clip_l)} "
         f"clip_g={len(bundle.clip_g)} t5={len(bundle.t5)} vae={len(bundle.vae)} "
+        f"llm={len(bundle.llm)} audio_vae={len(bundle.audio_vae)} "
         f"extra={len(bundle.extra)} tensors"
     )
     return bundle

@@ -138,7 +138,12 @@ def run_generation(pipeline, data: dict, job: Optional[Job] = None):
 
         frames = int(data.get("video_frames", data.get("frames", 81)))
         fps = int(data.get("fps", 16))
-        vres = pipeline.generate_video(gp, frames=frames)
+        vkw = {}
+        from sdtpu.pipeline import LTXAVPipeline
+
+        if isinstance(pipeline, LTXAVPipeline):
+            vkw = {"fps": fps, "audio": bool(data.get("audio", True))}
+        vres = pipeline.generate_video(gp, frames=frames, **vkw)
         out = []
         for clip in vres.frames:
             from PIL import Image
@@ -148,6 +153,16 @@ def run_generation(pipeline, data: dict, job: Optional[Job] = None):
             imgs[0].save(buf, format="WEBP", save_all=True, append_images=imgs[1:],
                          duration=max(1, round(1000 / fps)), loop=0)
             out.append(base64.b64encode(buf.getvalue()).decode())
+        if getattr(vres, "audio", None) is not None:
+            # trailing element: {"audio": base64 WAV, "sample_rate": N}
+            import tempfile
+
+            from sdtpu.utils.video import write_wav
+
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                write_wav(f.name, vres.audio, vres.sample_rate)
+                wav_b64 = base64.b64encode(open(f.name, "rb").read()).decode()
+            out.append({"audio": wav_b64, "sample_rate": vres.sample_rate})
         return out
 
     kw = {}
