@@ -541,3 +541,33 @@ class LTXAVConditioner:
         flat = jnp.asarray(hs.reshape(valid, self.num_states * self.hidden))
         ctx = self._project(flat)
         return SDCondition(c_crossattn=ctx[None])
+
+
+class ZImageConditioner:
+    """Z-Image: Qwen3 decoder LLM, plain chat wrap, hidden states from the
+    second-to-last layer without the final norm (reference LLMEmbedder for
+    z_image: out_layers={35}, start idx 0, conditioner.hpp:2544-2564)."""
+
+    TEMPLATE = "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, max_len: int = 1024):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.max_len = max_len
+        out_layer = llm_cfg.num_layers - 1
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl, output_layer=out_layer)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.TEMPLATE.format(text))[: self.max_len]
+        else:  # tests without a tokenizer file
+            ids = list(range(24))
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        return SDCondition(c_crossattn=h)

@@ -109,6 +109,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version == SDVersion.Z_IMAGE:
+        return _create_z_image_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -885,4 +890,78 @@ def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         upsample_fn=upsample_fn,
         audio_channels=ca,
         audio_freq_bins=fb,
+    )
+
+
+def _create_z_image_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                             qwen_tokenizer=None):
+    """Z-Image (reference construction stable-diffusion.cpp:1214: LLMEmbedder
+    Qwen3 + ZImageRunner + flux 16-ch AutoencoderKL; FLOW_PRED with default
+    shift 3.0, timesteps passed as 1000 - t, :2336)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import ZImageConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import z_image as zi_mod
+
+    if small:
+        dit_cfg = zi_mod.ZImageConfig(
+            hidden_size=48, in_channels=4, out_channels=4, num_layers=2,
+            num_refiner_layers=1, head_dim=12, num_heads=4, num_kv_heads=2,
+            multiple_of=16, cap_feat_dim=32, axes_dim=(4, 4, 4),
+        )
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_8B_CONFIG, num_layers=2, hidden_size=32,
+            intermediate_size=64, num_heads=4, num_kv_heads=2, head_dim=8,
+            vocab_size=256)
+        vae_cfg = vae_mod.VAEConfig(
+            base_channels=32, channel_mult=(1, 2, 2, 2), num_res_blocks=1,
+            z_channels=4, scale_factor=0.3611, shift_factor=0.1159)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (zi_mod.detect_z_image_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else zi_mod.Z_IMAGE_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3") if llm else llm_mod.QWEN3_8B_CONFIG)
+        vae_cfg = vae_mod.FLUX_VAE_CONFIG
+
+    dit_params = params.get("diffusion") or zi_mod.init_z_image_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+    if small and llm_cfg.hidden_size != dit_cfg.cap_feat_dim:
+        llm_cfg = dataclasses.replace(llm_cfg, hidden_size=dit_cfg.cap_feat_dim)
+        llm_params = llm_mod.init_llm_params(llm_cfg, seed + 3, dtype=dtype)
+
+    conditioner = ZImageConditioner(qwen_tokenizer, llm_params, llm_cfg)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        # reference prepare_sample_timesteps: z-image consumes 1000 - t
+        return zi_mod.z_image_forward(p, x, 1000.0 - t, ctx, cfg=dit_cfg)
+
+    def vae_decode_fn(p, z):
+        return vae_mod.vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.Z_IMAGE,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=3.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=8,
+        compute_dtype=dtype,
     )
