@@ -24,6 +24,9 @@ def detect_version(
     if any("adaln_single.emb.timestep_embedder.linear_1" in n for n in names):
         # LTX-2 audio-video DiT (reference model_loader.cpp:537)
         return SDVersion.LTXAV
+    if any("cap_embedder.0.weight" in n for n in names):
+        # Z-Image / Lumina-2 style (reference model_loader.cpp:528)
+        return SDVersion.Z_IMAGE
     if has_prefix("model.diffusion_model.joint_blocks") or has_prefix("joint_blocks"):
         return SDVersion.SD3
     if has_prefix("model.diffusion_model.double_blocks") or has_prefix("double_blocks"):

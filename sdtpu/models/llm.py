@@ -13,6 +13,7 @@ input_layernorm, post_attention_layernorm, mlp.{gate,up,down}_proj}``,
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import List, Optional, Tuple
 
 import jax
@@ -46,6 +47,12 @@ class LLMConfig:
     sliding_attention: Tuple[int, ...] = ()   # per-layer window pattern
     rope_thetas: Tuple[float, ...] = ()       # (global, local); () -> rope_theta
     rope_scales: Tuple[float, ...] = ()       # linear position scaling per theta
+    rope_style: str = "neox"        # "neox" (split halves) | "normal" (pairs)
+    rope_yarn: bool = False         # YaRN extension (GPT-OSS)
+    rope_orig_ctx: int = 4096       # YaRN original context
+    attention_sinks: bool = False   # per-head sink logits (GPT-OSS)
+    num_experts: int = 0            # MoE expert count (GPT-OSS)
+    num_experts_per_tok: int = 0
 
 
 QWEN25_VL_7B_CONFIG = LLMConfig()
@@ -71,6 +78,31 @@ GEMMA3_12B_CONFIG = LLMConfig(
     sliding_attention=(1024, 1024, 1024, 1024, 1024, 0),
     rope_thetas=(1e6, 1e4), rope_scales=(8.0, 1.0),
 )
+# Mistral-Small-3.2 — the FLUX.2 text tower (reference llm.hpp:116): GPT-style
+# adjacent-pair RoPE with theta 1e9.
+MISTRAL_SMALL_32_CONFIG = LLMConfig(
+    arch="mistral_small_3_2", num_layers=40, hidden_size=5120,
+    intermediate_size=32768, num_heads=32, num_kv_heads=8, head_dim=128,
+    qkv_bias=False, rms_norm_eps=1e-5, vocab_size=131072, rope_theta=1e9,
+    rope_style="normal",
+)
+# Ministral-3.3B — the ERNIE-Image text tower.
+MINISTRAL_33B_CONFIG = LLMConfig(
+    arch="ministral_3_3b", num_layers=26, hidden_size=3072,
+    intermediate_size=9216, num_heads=32, num_kv_heads=8, head_dim=128,
+    qkv_bias=False, rms_norm_eps=1e-5, vocab_size=131072, rope_theta=1e6,
+)
+# GPT-OSS-20B — the Lens text tower (reference llm.hpp:163-181): MoE (32
+# experts, top-4, clamped-swiglu), per-head attention sinks, YaRN RoPE
+# (theta 150k, 32x), 128-token sliding window on alternate layers.
+GPT_OSS_20B_CONFIG = LLMConfig(
+    arch="gpt_oss_20b", num_layers=24, hidden_size=2880,
+    intermediate_size=2880, num_heads=64, num_kv_heads=8, head_dim=64,
+    qkv_bias=True, attention_out_bias=True, rms_norm_eps=1e-5,
+    vocab_size=201088, rope_theta=150000.0, rope_scales=(32.0,),
+    rope_yarn=True, rope_orig_ctx=4096, sliding_attention=(128, 0),
+    attention_sinks=True, num_experts=32, num_experts_per_tok=4,
+)
 
 
 def detect_llm_config(names, shapes, arch: str = "qwen2.5vl") -> LLMConfig:
@@ -81,6 +113,9 @@ def detect_llm_config(names, shapes, arch: str = "qwen2.5vl") -> LLMConfig:
         "qwen3": QWEN3_8B_CONFIG,
         "gemma2_2b": GEMMA2_2B_CONFIG,
         "gemma3_12b": GEMMA3_12B_CONFIG,
+        "mistral_small_3_2": MISTRAL_SMALL_32_CONFIG,
+        "ministral_3_3b": MINISTRAL_33B_CONFIG,
+        "gpt_oss_20b": GPT_OSS_20B_CONFIG,
     }.get(arch, QWEN25_VL_7B_CONFIG)
     num_layers = 0
     for n in names:
@@ -105,19 +140,102 @@ def detect_llm_config(names, shapes, arch: str = "qwen2.5vl") -> LLMConfig:
 
 
 def _neox_rope(x: jnp.ndarray, pos: jnp.ndarray, theta: float,
-               pos_scale: float = 1.0) -> jnp.ndarray:
-    """NEOX-style RoPE: rotate (i, i+d/2) pairs. x: [B, H, L, D], pos: [L].
-    pos_scale implements linear RoPE scaling (angle *= 1/scale)."""
+               pos_scale: float = 1.0, style: str = "neox",
+               yarn: bool = False, orig_ctx: int = 4096) -> jnp.ndarray:
+    """RoPE. x: [B, H, L, D], pos: [L].  style "neox" rotates (i, i+d/2)
+    pairs, "normal" rotates adjacent (2i, 2i+1) pairs.  pos_scale implements
+    linear scaling (angle *= 1/scale); yarn=True applies ggml-style YaRN
+    interpolation instead (beta_fast=32, beta_slow=1, ext_factor=1)."""
     b, h, l, d = x.shape
     half = d // 2
-    freq = 1.0 / (theta ** (np.arange(0, half, dtype=np.float64) / half))
-    ang = (jnp.asarray(pos, dtype=jnp.float32)[:, None] / jnp.float32(pos_scale)
-           ) * jnp.asarray(freq, dtype=jnp.float32)[None, :]  # [L, half]
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    freq = 1.0 / (theta ** (np.arange(0, half, dtype=np.float64) * 2 / d))
+    mscale = 1.0
+    if yarn and pos_scale > 1.0:
+        # ggml rope_yarn: per-dim blend of interpolated and extrapolated
+        # frequencies with a ramp between correction dims
+        def corr_dim(n_rot):
+            return d * math.log(orig_ctx / (n_rot * 2 * math.pi)) / (2 * math.log(theta))
+
+        low = max(0.0, math.floor(corr_dim(32.0)))
+        high = min(d - 1.0, math.ceil(corr_dim(1.0)))
+        pair_idx = np.arange(half, dtype=np.float64)
+        ramp = 1.0 - np.clip((pair_idx - low) / max(0.001, high - low), 0.0, 1.0)
+        freq_interp = freq / pos_scale
+        freq = freq_interp * (1.0 - ramp) + freq * ramp
+        mscale = 1.0 + 0.1 * math.log(pos_scale)
+        ang = jnp.asarray(pos, dtype=jnp.float32)[:, None] * jnp.asarray(
+            freq, dtype=jnp.float32)[None, :]
+    else:
+        ang = (jnp.asarray(pos, dtype=jnp.float32)[:, None] / jnp.float32(pos_scale)
+               ) * jnp.asarray(freq, dtype=jnp.float32)[None, :]  # [L, half]
+    cos = jnp.cos(ang) * jnp.float32(mscale)
+    sin = jnp.sin(ang) * jnp.float32(mscale)
+    if style == "normal":
+        x1 = x[..., 0::2].astype(jnp.float32)
+        x2 = x[..., 1::2].astype(jnp.float32)
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        return jnp.stack([o1, o2], axis=-1).reshape(b, h, l, d).astype(x.dtype)
     x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
     o1 = x1 * cos - x2 * sin
     o2 = x2 * cos + x1 * sin
     return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+
+def _swiglu_oai(gate, up, alpha=1.702, limit=7.0):
+    """GPT-OSS clamped swiglu (ggml_swiglu_oai): (up+1) * gate*sigmoid(a*gate)
+    with gate clamped above, up clamped both sides."""
+    g = jnp.minimum(gate, limit)
+    u = jnp.clip(up, -limit, limit)
+    return (u + 1.0) * (g * jax.nn.sigmoid(alpha * g))
+
+
+def _moe_mlp(p, pre: str, x: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+    """GPT-OSS MoE (GPTOSSMLP, llm.hpp:339): top-k routing with softmax over
+    the selected logits, clamped-swiglu experts.  Computed densely over all
+    experts (token counts are small for conditioning) with a dispatch mask."""
+    b, l, hid = x.shape
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    logits = linear(x, p[f"{pre}.router.weight"], p.get(f"{pre}.router.bias"))
+    topv, topi = jax.lax.top_k(logits, k)  # [B, L, k]
+    w = jax.nn.softmax(topv.astype(jnp.float32), axis=-1)
+    dispatch = (jax.nn.one_hot(topi, e, dtype=jnp.float32) *
+                w[..., None]).sum(axis=2)  # [B, L, E]
+
+    if f"{pre}.experts.gate_up_proj.weight" in p:
+        gu_w = p[f"{pre}.experts.gate_up_proj.weight"]  # [E, 2*inter, hid]
+        gu = jnp.einsum("blh,eih->blei", x, gu_w.astype(x.dtype))
+        gu = gu + p[f"{pre}.experts.gate_up_proj.bias"].astype(gu.dtype)
+        gate, up = gu[..., 0::2], gu[..., 1::2]
+    else:
+        gate = jnp.einsum("blh,eih->blei", x,
+                          p[f"{pre}.experts.gate_proj.weight"].astype(x.dtype))
+        gate = gate + p[f"{pre}.experts.gate_proj.bias"].astype(gate.dtype)
+        up = jnp.einsum("blh,eih->blei", x,
+                        p[f"{pre}.experts.up_proj.weight"].astype(x.dtype))
+        up = up + p[f"{pre}.experts.up_proj.bias"].astype(up.dtype)
+    act = _swiglu_oai(gate.astype(jnp.float32), up.astype(jnp.float32))
+    down = jnp.einsum("blei,ehi->bleh", act.astype(x.dtype),
+                      p[f"{pre}.experts.down_proj.weight"].astype(x.dtype))
+    down = down + p[f"{pre}.experts.down_proj.bias"].astype(down.dtype)
+    return jnp.einsum("bleh,ble->blh", down, dispatch.astype(down.dtype))
+
+
+def _sink_attention(q, k, v, mask, sinks) -> jnp.ndarray:
+    """Attention with per-head sink logits: the softmax denominator includes
+    exp(sink_h) (reference ggml_soft_max_add_sinks use, llm.hpp:1140).
+    q/k/v: [B, H, L, D]; sinks: [H]."""
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / jnp.sqrt(jnp.float32(d))
+    if mask is not None:
+        scores = scores + mask
+    sink = sinks.astype(jnp.float32)[None, :, None]  # [1, H, 1]
+    m = jnp.maximum(scores.max(axis=-1), sink)  # [B, H, Lq]
+    num = jnp.exp(scores - m[..., None])
+    denom = num.sum(axis=-1) + jnp.exp(sink - m)
+    attn = num / denom[..., None]
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(jnp.float32)).astype(v.dtype)
 
 
 def _llm_rms(p, name: str, x: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
@@ -205,13 +323,19 @@ def llm_forward(
                 qw, kw = qw + 1.0, kw + 1.0
             q = rms_norm(q, qw, eps=cfg.rms_norm_eps)
             k = rms_norm(k, kw, eps=cfg.rms_norm_eps)
-        q = _neox_rope(q, pos, thetas[rope_idx], scales[rope_idx])
-        k = _neox_rope(k, pos, thetas[rope_idx], scales[rope_idx])
+        q = _neox_rope(q, pos, thetas[rope_idx], scales[rope_idx],
+                       cfg.rope_style, cfg.rope_yarn, cfg.rope_orig_ctx)
+        k = _neox_rope(k, pos, thetas[rope_idx], scales[rope_idx],
+                       cfg.rope_style, cfg.rope_yarn, cfg.rope_orig_ctx)
         # GQA: repeat kv heads
         if nkv != nh:
             k = jnp.repeat(k, nh // nkv, axis=1)
             v = jnp.repeat(v, nh // nkv, axis=1)
-        o = attention(q, k, v, mask=layer_mask, flash=False)
+        if cfg.attention_sinks:
+            o = _sink_attention(q, k, v, layer_mask,
+                                p[f"{pre}.self_attn.sinks"])
+        else:
+            o = attention(q, k, v, mask=layer_mask, flash=False)
         o = o.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
         o = linear(o, p[f"{pre}.self_attn.o_proj.weight"],
                    p.get(f"{pre}.self_attn.o_proj.bias"))
@@ -222,10 +346,13 @@ def llm_forward(
         ffn_norm = (f"{pre}.pre_feedforward_layernorm.weight" if cfg.gemma_norms
                     else f"{pre}.post_attention_layernorm.weight")
         hn = _llm_rms(p, ffn_norm, h, cfg)
-        gate = linear(hn, p[f"{pre}.mlp.gate_proj.weight"])
-        up = linear(hn, p[f"{pre}.mlp.up_proj.weight"])
-        act = silu(gate) if cfg.mlp_activation == "silu" else gelu_tanh(gate)
-        m = linear(act * up, p[f"{pre}.mlp.down_proj.weight"])
+        if cfg.num_experts > 0:
+            m = _moe_mlp(p, f"{pre}.mlp", hn, cfg)
+        else:
+            gate = linear(hn, p[f"{pre}.mlp.gate_proj.weight"])
+            up = linear(hn, p[f"{pre}.mlp.up_proj.weight"])
+            act = silu(gate) if cfg.mlp_activation == "silu" else gelu_tanh(gate)
+            m = linear(act * up, p[f"{pre}.mlp.down_proj.weight"])
         if cfg.gemma_norms:
             m = _llm_rms(p, f"{pre}.post_feedforward_layernorm.weight", m, cfg)
         h = h + m
@@ -283,6 +410,10 @@ def init_llm_params(cfg: LLMConfig, seed: int = 0, dtype=jnp.float32) -> dict:
         p[f"{pre}.self_attn.k_proj.weight"] = w(nkv * hd, cfg.hidden_size)
         p[f"{pre}.self_attn.v_proj.weight"] = w(nkv * hd, cfg.hidden_size)
         p[f"{pre}.self_attn.o_proj.weight"] = w(cfg.hidden_size, nh * hd)
+        if cfg.attention_out_bias:
+            p[f"{pre}.self_attn.o_proj.bias"] = jnp.zeros((cfg.hidden_size,), dtype=dtype)
+        if cfg.attention_sinks:
+            p[f"{pre}.self_attn.sinks"] = jnp.zeros((nh,), dtype=dtype)
         if cfg.qkv_bias:
             p[f"{pre}.self_attn.q_proj.bias"] = jnp.zeros((nh * hd,), dtype=dtype)
             p[f"{pre}.self_attn.k_proj.bias"] = jnp.zeros((nkv * hd,), dtype=dtype)
@@ -297,7 +428,16 @@ def init_llm_params(cfg: LLMConfig, seed: int = 0, dtype=jnp.float32) -> dict:
                 (cfg.hidden_size,), dtype=dtype)
             p[f"{pre}.post_feedforward_layernorm.weight"] = jnp.ones(
                 (cfg.hidden_size,), dtype=dtype)
-        p[f"{pre}.mlp.gate_proj.weight"] = w(cfg.intermediate_size, cfg.hidden_size)
-        p[f"{pre}.mlp.up_proj.weight"] = w(cfg.intermediate_size, cfg.hidden_size)
-        p[f"{pre}.mlp.down_proj.weight"] = w(cfg.hidden_size, cfg.intermediate_size)
+        if cfg.num_experts > 0:
+            e, it = cfg.num_experts, cfg.intermediate_size
+            p[f"{pre}.mlp.router.weight"] = w(e, cfg.hidden_size)
+            p[f"{pre}.mlp.router.bias"] = jnp.zeros((e,), dtype=dtype)
+            p[f"{pre}.mlp.experts.gate_up_proj.weight"] = w(e, 2 * it, cfg.hidden_size)
+            p[f"{pre}.mlp.experts.gate_up_proj.bias"] = jnp.zeros((e, 2 * it), dtype=dtype)
+            p[f"{pre}.mlp.experts.down_proj.weight"] = w(e, cfg.hidden_size, it)
+            p[f"{pre}.mlp.experts.down_proj.bias"] = jnp.zeros((e, cfg.hidden_size), dtype=dtype)
+        else:
+            p[f"{pre}.mlp.gate_proj.weight"] = w(cfg.intermediate_size, cfg.hidden_size)
+            p[f"{pre}.mlp.up_proj.weight"] = w(cfg.intermediate_size, cfg.hidden_size)
+            p[f"{pre}.mlp.down_proj.weight"] = w(cfg.hidden_size, cfg.intermediate_size)
     return p
