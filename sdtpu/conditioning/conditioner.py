@@ -571,3 +571,51 @@ class ZImageConditioner:
         h = self._jit_forward(
             self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
         return SDCondition(c_crossattn=h)
+
+
+class LensConditioner:
+    """Lens: GPT-OSS-20B prompted in harmony format; hidden states from
+    layers {6, 12, 18, 24} concatenated on the feature axis, template prefix
+    (97 tokens) dropped, capped at 512 tokens (reference LLMEmbedder for
+    lens, conditioner.hpp:2520-2543)."""
+
+    TEMPLATE = (
+        "<|start|>system<|message|>You are ChatGPT, a large language model "
+        "trained by OpenAI.\nKnowledge cutoff: 2024-06\n"
+        "Current date: 2026-05-26\n\nReasoning: medium\n\n"
+        "# Valid channels: analysis, commentary, final. Channel must be "
+        "included for every message.<|end|><|start|>developer<|message|># "
+        "Instructions\n\nDescribe the image by detailing the color, shape, "
+        "size, texture, quantity, text, spatial relationships of the objects "
+        "and background.\n\n<|end|><|start|>user<|message|>{}"
+        "<|end|><|start|>assistant<|channel|>analysis<|message|>Need to "
+        "generate one image according to the description.<|end|>"
+        "<|start|>assistant<|channel|>final<|message|>"
+    )
+    DROP_IDX = 97
+    OUT_LAYERS = (6, 12, 18, 24)
+    MAX_LEN = 512
+
+    def __init__(self, gptoss_tokenizer, llm_params, llm_cfg, out_layers=None):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = gptoss_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        layers = tuple(out_layers or self.OUT_LAYERS)
+        # scale picks down for tiny test configs
+        layers = tuple(min(li, llm_cfg.num_layers) for li in layers)
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl, output_layers=layers)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.TEMPLATE.format(text))[: self.MAX_LEN]
+            drop = min(self.DROP_IDX, max(0, len(ids) - 1))
+        else:  # tests without a tokenizer file
+            ids, drop = list(range(16)), 4
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        return SDCondition(c_crossattn=h[:, drop:])

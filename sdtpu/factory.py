@@ -114,6 +114,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
         )
+    if version == SDVersion.LENS:
+        return _create_lens_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            gptoss_tokenizer=kwargs.get("gptoss_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -963,5 +968,89 @@ def _create_z_image_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         scale_factor=8,
+        compute_dtype=dtype,
+    )
+
+
+def _create_lens_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                          gptoss_tokenizer=None):
+    """Lens (reference construction stable-diffusion.cpp:1249: GPT-OSS
+    LLMEmbedder + LensRunner + FLUX.2 packed VAE; FLUX_FLOW_PRED with default
+    shift 1.83, :1747)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import LensConditioner
+    from sdtpu.diffusion.denoiser import FluxFlowDenoiser
+    from sdtpu.models import lens as lens_mod
+    from sdtpu.models import llm as llm_mod
+
+    if small:
+        dit_cfg = lens_mod.LensConfig(
+            in_channels=16, out_channels=4, num_layers=2, head_dim=8,
+            num_heads=4, joint_attention_dim=16, selected_layer_count=2,
+            axes_dim=(4, 2, 2),
+        )
+        llm_cfg = dataclasses.replace(
+            llm_mod.GPT_OSS_20B_CONFIG, num_layers=2, hidden_size=16,
+            intermediate_size=8, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64, num_experts=4, num_experts_per_tok=2,
+            sliding_attention=(4, 0))
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1, z_channels=4,
+                                    scale_factor=1.0)
+        out_layers = (1, 2)
+        pack_c = 4
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (lens_mod.detect_lens_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else lens_mod.LENS_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="gpt_oss_20b") if llm else llm_mod.GPT_OSS_20B_CONFIG)
+        vae_cfg = vae_mod.FLUX2_VAE_CONFIG
+        out_layers = (6, 12, 18, 24)
+        pack_c = 32
+
+    dit_params = params.get("diffusion") or lens_mod.init_lens_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = LensConditioner(gptoss_tokenizer, llm_params, llm_cfg,
+                                  out_layers=out_layers)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return lens_mod.lens_forward(p, x, t, ctx, cfg=dit_cfg)
+
+    if small:
+        # tiny config: plain 4-ch VAE with a 2x2 pack, no statistics
+        def vae_decode_fn(p, z):
+            return vae_mod.vae_decode(p, vae_mod.flux2_unpack(z), vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_pack(vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg))
+    else:
+        def vae_decode_fn(p, z):
+            return vae_mod.flux2_vae_decode(p, z, vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.LENS,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=FluxFlowDenoiser(shift=1.83 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=16,
         compute_dtype=dtype,
     )

@@ -254,6 +254,7 @@ def llm_forward(
     attention_mask: Optional[jnp.ndarray] = None,
     output_layer: int = -1,
     all_hidden_states: bool = False,
+    output_layers=(),
 ) -> jnp.ndarray:
     """input_ids: [B, L] → hidden states [B, L, hidden] after `output_layer`
     decoder layers (-1 = final norm output, as the reference's per-model
@@ -297,7 +298,12 @@ def llm_forward(
     pos = jnp.arange(l)
     thetas = cfg.rope_thetas or (cfg.rope_theta,)
     scales = cfg.rope_scales or (1.0,) * len(thetas)
-    n_layers = cfg.num_layers if output_layer == -1 else output_layer
+    # output_layers: 1-indexed layer picks concatenated on the feature axis
+    # (reference out_layers, llm.hpp forward_embeds:1283); num_layers+1 means
+    # the final-norm output.
+    picks = tuple(output_layers)
+    n_layers = cfg.num_layers if (output_layer == -1 or picks) else output_layer
+    picked = []
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     for i in range(n_layers):
         pre = f"model.layers.{i}"
@@ -358,12 +364,18 @@ def llm_forward(
         h = h + m
         if all_hidden_states and i + 1 < n_layers:
             states.append(h)
+        if (i + 1) in picks:
+            picked.append(h)
 
-    if output_layer == -1 or all_hidden_states:
+    if output_layer == -1 or all_hidden_states or (cfg.num_layers + 1) in picks:
         h = _llm_rms(p, "model.norm.weight", h, cfg)
     if all_hidden_states:
         states.append(h)
         return jnp.concatenate(states, axis=-1)
+    if picks:
+        if (cfg.num_layers + 1) in picks:
+            picked.append(h)
+        return jnp.concatenate(picked, axis=-1)
     return h
 
 

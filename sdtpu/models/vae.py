@@ -12,6 +12,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sdtpu.ops import attention, conv2d, group_norm
 from sdtpu.ops.basic import silu
@@ -32,6 +33,10 @@ SD_VAE_CONFIG = VAEConfig()
 SDXL_VAE_CONFIG = VAEConfig(scale_factor=0.13025)
 SD3_VAE_CONFIG = VAEConfig(z_channels=16, scale_factor=1.5305, shift_factor=0.0609)
 FLUX_VAE_CONFIG = VAEConfig(z_channels=16, scale_factor=0.3611, shift_factor=0.1159)
+# FLUX.2 family (also ERNIE/Lens/Ideogram4/SeFi): 32-ch KL VAE whose latents
+# are 2x2 pixel-shuffled into 128 channels and normalized per channel
+# (reference auto_encoder_kl.hpp:546,591,773)
+FLUX2_VAE_CONFIG = VAEConfig(z_channels=32, scale_factor=1.0, shift_factor=0.0)
 
 
 def _resnet(p, pre: str, x: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +87,9 @@ def vae_encode_moments(p, x: jnp.ndarray, cfg: VAEConfig = SD_VAE_CONFIG) -> jnp
     h = group_norm(h, p["encoder.norm_out.weight"], p["encoder.norm_out.bias"], eps=1e-6)
     h = silu(h)
     h = conv2d(h, p["encoder.conv_out.weight"], p["encoder.conv_out.bias"])
-    return conv2d(h, p["quant_conv.weight"], p["quant_conv.bias"], padding=0)
+    if "quant_conv.weight" in p:  # 16-ch DiT VAEs (flux/SD3) ship without it
+        h = conv2d(h, p["quant_conv.weight"], p["quant_conv.bias"], padding=0)
+    return h
 
 
 def vae_encode(
@@ -103,8 +110,9 @@ def vae_encode(
 def vae_decode(p, z: jnp.ndarray, cfg: VAEConfig = SD_VAE_CONFIG) -> jnp.ndarray:
     """z: scaled latent [B,h,w,zc] → image [B,8h,8w,3] in [-1,1]."""
     z = z / cfg.scale_factor + cfg.shift_factor
-    h = conv2d(z, p["post_quant_conv.weight"], p["post_quant_conv.bias"], padding=0)
-    h = conv2d(h, p["decoder.conv_in.weight"], p["decoder.conv_in.bias"])
+    if "post_quant_conv.weight" in p:
+        z = conv2d(z, p["post_quant_conv.weight"], p["post_quant_conv.bias"], padding=0)
+    h = conv2d(z, p["decoder.conv_in.weight"], p["decoder.conv_in.bias"])
     h = _resnet(p, "decoder.mid.block_1", h)
     h = _attn(p, "decoder.mid.attn_1", h)
     h = _resnet(p, "decoder.mid.block_2", h)
@@ -188,3 +196,81 @@ def init_vae_params(cfg: VAEConfig = SD_VAE_CONFIG, seed: int = 0, dtype=jnp.flo
     norm("decoder.norm_out", ch)
     conv("decoder.conv_out", cfg.in_channels, ch)
     return p
+
+
+# ---------------------------------------------------------------- FLUX.2 VAE
+# Per-channel statistics of the packed 128-ch latent (reference
+# auto_encoder_kl.hpp:778-806, get_latents_mean_std).
+FLUX2_LATENT_MEAN = np.array([
+    -0.0676, -0.0715, -0.0753, -0.0745, 0.0223, 0.0180, 0.0142, 0.0184,
+    -0.0001, -0.0063, -0.0002, -0.0031, -0.0272, -0.0281, -0.0276, -0.0290,
+    -0.0769, -0.0672, -0.0902, -0.0892, 0.0168, 0.0152, 0.0079, 0.0086,
+    0.0083, 0.0015, 0.0003, -0.0043, -0.0439, -0.0419, -0.0438, -0.0431,
+    -0.0102, -0.0132, -0.0066, -0.0048, -0.0311, -0.0306, -0.0279, -0.0180,
+    0.0030, 0.0015, 0.0126, 0.0145, 0.0347, 0.0338, 0.0337, 0.0283,
+    0.0020, 0.0047, 0.0047, 0.0050, 0.0123, 0.0081, 0.0081, 0.0146,
+    0.0681, 0.0679, 0.0767, 0.0732, -0.0462, -0.0474, -0.0392, -0.0511,
+    -0.0528, -0.0477, -0.0470, -0.0517, -0.0317, -0.0316, -0.0345, -0.0283,
+    0.0510, 0.0445, 0.0578, 0.0458, -0.0412, -0.0458, -0.0487, -0.0467,
+    -0.0088, -0.0106, -0.0088, -0.0046, -0.0376, -0.0432, -0.0436, -0.0499,
+    0.0118, 0.0166, 0.0203, 0.0279, 0.0113, 0.0129, 0.0016, 0.0072,
+    -0.0118, -0.0018, -0.0141, -0.0054, -0.0091, -0.0138, -0.0145, -0.0187,
+    0.0323, 0.0305, 0.0259, 0.0300, 0.0540, 0.0614, 0.0495, 0.0590,
+    -0.0511, -0.0603, -0.0478, -0.0524, -0.0227, -0.0274, -0.0154, -0.0255,
+    -0.0572, -0.0565, -0.0518, -0.0496, 0.0116, 0.0054, 0.0163, 0.0104,
+], dtype=np.float32)
+FLUX2_LATENT_STD = np.array([
+    1.8029, 1.7786, 1.7868, 1.7837, 1.7717, 1.7590, 1.7610, 1.7479,
+    1.7336, 1.7373, 1.7340, 1.7343, 1.8626, 1.8527, 1.8629, 1.8589,
+    1.7593, 1.7526, 1.7556, 1.7583, 1.7363, 1.7400, 1.7355, 1.7394,
+    1.7342, 1.7246, 1.7392, 1.7304, 1.7551, 1.7513, 1.7559, 1.7488,
+    1.8449, 1.8454, 1.8550, 1.8535, 1.8240, 1.7813, 1.7854, 1.7945,
+    1.8047, 1.7876, 1.7695, 1.7676, 1.7782, 1.7667, 1.7925, 1.7848,
+    1.7579, 1.7407, 1.7483, 1.7368, 1.7961, 1.7998, 1.7920, 1.7925,
+    1.7780, 1.7747, 1.7727, 1.7749, 1.7526, 1.7447, 1.7657, 1.7495,
+    1.7775, 1.7720, 1.7813, 1.7813, 1.8162, 1.8013, 1.8023, 1.8033,
+    1.7527, 1.7331, 1.7563, 1.7482, 1.7610, 1.7507, 1.7681, 1.7613,
+    1.7665, 1.7545, 1.7828, 1.7726, 1.7896, 1.7999, 1.7864, 1.7760,
+    1.7613, 1.7625, 1.7560, 1.7577, 1.7783, 1.7671, 1.7810, 1.7799,
+    1.7201, 1.7068, 1.7265, 1.7091, 1.7793, 1.7578, 1.7502, 1.7455,
+    1.7587, 1.7500, 1.7525, 1.7362, 1.7616, 1.7572, 1.7444, 1.7430,
+    1.7509, 1.7610, 1.7634, 1.7612, 1.7254, 1.7135, 1.7321, 1.7226,
+    1.7664, 1.7624, 1.7718, 1.7664, 1.7457, 1.7441, 1.7569, 1.7530,
+], dtype=np.float32)
+
+
+def flux2_pack(z: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 32] -> [B, H/2, W/2, 128]; channel = (c, row_off, col_off)
+    (reference encode pack, auto_encoder_kl.hpp:648)."""
+    b, hh, ww, c = z.shape
+    y = z.reshape(b, hh // 2, 2, ww // 2, 2, c)
+    y = y.transpose(0, 1, 3, 5, 2, 4)  # [B, h, w, C, p1, p2]
+    return y.reshape(b, hh // 2, ww // 2, c * 4)
+
+
+def flux2_unpack(z: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, w, 128] -> [B, 2h, 2w, 32]."""
+    b, hh, ww, cpp = z.shape
+    c = cpp // 4
+    y = z.reshape(b, hh, ww, c, 2, 2)
+    y = y.transpose(0, 1, 4, 2, 5, 3)
+    return y.reshape(b, hh * 2, ww * 2, c)
+
+
+def flux2_vae_decode(p, z: jnp.ndarray, cfg: VAEConfig = FLUX2_VAE_CONFIG) -> jnp.ndarray:
+    """z: [B, h, w, 128] normalized packed latent -> image
+    (diffusion_to_vae_latents + unpack + AutoencoderKL decode)."""
+    z = z * jnp.asarray(FLUX2_LATENT_STD, z.dtype) + jnp.asarray(FLUX2_LATENT_MEAN, z.dtype)
+    z32 = flux2_unpack(z)
+    return vae_decode(p, z32 * cfg.scale_factor, cfg)
+
+
+def flux2_vae_encode(p, x: jnp.ndarray, noise=None,
+                     cfg: VAEConfig = FLUX2_VAE_CONFIG) -> jnp.ndarray:
+    """image -> normalized packed 128-ch latent (encode mean channel, pack,
+    normalize; reference encode, auto_encoder_kl.hpp:625-664)."""
+    moments = vae_encode_moments(p, x, cfg)
+    mean = jnp.split(moments, 2, axis=-1)[0]
+    z = flux2_pack(mean)
+    return (z - jnp.asarray(FLUX2_LATENT_MEAN, z.dtype)) / jnp.asarray(
+        FLUX2_LATENT_STD, z.dtype)
