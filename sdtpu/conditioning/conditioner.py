@@ -619,3 +619,34 @@ class LensConditioner:
         h = self._jit_forward(
             self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
         return SDCondition(c_crossattn=h[:, drop:])
+
+
+class ErnieImageConditioner:
+    """ERNIE-Image: Ministral-3.3B, raw prompt (no chat template), hidden
+    states from the second-to-last layer (reference LLMEmbedder for
+    ernie_image: out_layers={25}, conditioner.hpp:2513)."""
+
+    def __init__(self, mistral_tokenizer, llm_params, llm_cfg,
+                 max_len: int = 1024):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = mistral_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.max_len = max_len
+        out_layer = llm_cfg.num_layers - 1
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl, output_layer=out_layer)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = [getattr(self.tokenizer, "bos_token_id", 1)]
+            ids += self.tokenizer.encode(text)
+            ids = ids[: self.max_len]
+        else:  # tests without a tokenizer file
+            ids = list(range(12))
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        return SDCondition(c_crossattn=h)

@@ -119,6 +119,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gptoss_tokenizer=kwargs.get("gptoss_tokenizer"),
         )
+    if version == SDVersion.ERNIE_IMAGE:
+        return _create_ernie_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            mistral_tokenizer=kwargs.get("mistral_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -1049,6 +1054,82 @@ def _create_lens_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         vae_decode_fn=vae_decode_fn,
         vae_encode_fn=vae_encode_fn,
         denoiser=FluxFlowDenoiser(shift=1.83 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=16,
+        compute_dtype=dtype,
+    )
+
+
+def _create_ernie_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                           mistral_tokenizer=None):
+    """ERNIE-Image (reference construction stable-diffusion.cpp:1240-1262:
+    Ministral LLMEmbedder + ErnieImageRunner + FLUX.2 packed VAE; FLOW_PRED
+    with default shift 4.0, :1717)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import ErnieImageConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import ernie_image as ei_mod
+    from sdtpu.models import llm as llm_mod
+
+    if small:
+        dit_cfg = ei_mod.ErnieImageConfig(
+            hidden_size=32, num_heads=4, num_layers=2, ffn_hidden_size=64,
+            in_channels=16, out_channels=16, text_in_dim=24,
+            axes_dim=(4, 2, 2))
+        llm_cfg = dataclasses.replace(
+            llm_mod.MINISTRAL_33B_CONFIG, num_layers=2, hidden_size=24,
+            intermediate_size=48, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64)
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1, z_channels=4,
+                                    scale_factor=1.0)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (ei_mod.detect_ernie_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else ei_mod.ERNIE_IMAGE_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="ministral_3_3b") if llm else llm_mod.MINISTRAL_33B_CONFIG)
+        vae_cfg = vae_mod.FLUX2_VAE_CONFIG
+
+    dit_params = params.get("diffusion") or ei_mod.init_ernie_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = ErnieImageConditioner(mistral_tokenizer, llm_params, llm_cfg)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return ei_mod.ernie_image_forward(p, x, t, ctx, cfg=dit_cfg)
+
+    if small:
+        def vae_decode_fn(p, z):
+            return vae_mod.vae_decode(p, vae_mod.flux2_unpack(z), vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_pack(vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg))
+    else:
+        def vae_decode_fn(p, z):
+            return vae_mod.flux2_vae_decode(p, z, vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.ERNIE_IMAGE,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=4.0 if flow_shift is None else flow_shift),
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         scale_factor=16,
