@@ -650,3 +650,36 @@ class ErnieImageConditioner:
         h = self._jit_forward(
             self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
         return SDCondition(c_crossattn=h)
+
+
+class Ideogram4Conditioner:
+    """Ideogram4: Qwen3-VL chat-wrapped prompt, 13 hidden-state layers
+    {1,4,...,34,36} concatenated layer-major (reference LLMEmbedder,
+    conditioner.hpp:2505-2512)."""
+
+    TEMPLATE = "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+    OUT_LAYERS = (1, 4, 7, 10, 13, 16, 19, 22, 25, 28, 31, 34, 36)
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, out_layers=None,
+                 max_len: int = 1024):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.max_len = max_len
+        layers = tuple(out_layers or self.OUT_LAYERS)
+        layers = tuple(min(li, llm_cfg.num_layers + 1) for li in layers)
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl, output_layers=layers)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.TEMPLATE.format(text))[: self.max_len]
+        else:  # tests without a tokenizer file
+            ids = list(range(10))
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        return SDCondition(c_crossattn=h)

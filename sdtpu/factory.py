@@ -124,6 +124,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             mistral_tokenizer=kwargs.get("mistral_tokenizer"),
         )
+    if version == SDVersion.IDEOGRAM4:
+        return _create_ideogram4_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -1130,6 +1135,88 @@ def _create_ernie_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         vae_decode_fn=vae_decode_fn,
         vae_encode_fn=vae_encode_fn,
         denoiser=DiscreteFlowDenoiser(shift=4.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=16,
+        compute_dtype=dtype,
+    )
+
+
+def _create_ideogram4_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                               qwen_tokenizer=None):
+    """Ideogram4 (reference: Qwen3-VL 13-layer LLMEmbedder +
+    Ideogram4Runner (+optional uncond transformer) + FLUX.2 packed VAE;
+    FLOW_PRED with shift 1.0, timesteps 1000 - t)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import Ideogram4Conditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import ideogram4 as id4_mod
+    from sdtpu.models import llm as llm_mod
+
+    if small:
+        dit_cfg = id4_mod.Ideogram4Config(
+            emb_dim=32, num_layers=2, num_heads=4, intermediate_size=64,
+            adaln_dim=16, in_channels=16, llm_features_dim=3 * 24,
+            ae_channels=4, llm_layers=3, mrope_section=(2, 1, 1))
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_8B_CONFIG, num_layers=2, hidden_size=24,
+            intermediate_size=48, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64)
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1, z_channels=4,
+                                    scale_factor=1.0)
+        out_layers = (1, 2, 3)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (id4_mod.detect_ideogram4_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else id4_mod.IDEOGRAM4_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3") if llm else llm_mod.QWEN3_8B_CONFIG)
+        vae_cfg = vae_mod.FLUX2_VAE_CONFIG
+        out_layers = None
+
+    dit_params = params.get("diffusion") or id4_mod.init_ideogram4_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = Ideogram4Conditioner(qwen_tokenizer, llm_params, llm_cfg,
+                                       out_layers=out_layers)
+    has_uncond = any(k.startswith("uncond.") for k in dit_params)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        # timesteps enter as 1000 - t (prepare_sample_timesteps,
+        # stable-diffusion.cpp:2336)
+        return id4_mod.ideogram4_forward(p, x, 1000.0 - t, ctx, cfg=dit_cfg)
+
+    if small:
+        def vae_decode_fn(p, z):
+            return vae_mod.vae_decode(p, vae_mod.flux2_unpack(z), vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_pack(vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg))
+    else:
+        def vae_decode_fn(p, z):
+            return vae_mod.flux2_vae_decode(p, z, vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.IDEOGRAM4,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=1.0 if flow_shift is None else flow_shift),
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         scale_factor=16,
