@@ -683,3 +683,37 @@ class Ideogram4Conditioner:
         h = self._jit_forward(
             self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
         return SDCondition(c_crossattn=h)
+
+
+class MiniT2IConditioner:
+    """MiniT2I: T5 encoder, 256-token pad; the 0/1 validity mask rides in
+    c_vector and is consumed by the DiT's learned mask token (reference
+    MiniT2IConditioner, conditioner.hpp:1527)."""
+
+    def __init__(self, t5_tokenizer, t5_params, t5_cfg, seq_len: int = 256):
+        from sdtpu.models.t5 import t5_encoder_forward
+
+        self.tokenizer = t5_tokenizer
+        self.pt, self.ct = t5_params, t5_cfg
+        self.seq_len = seq_len
+
+        def fwd(pt, ids, mask):
+            return t5_encoder_forward(pt, ids, self.ct, attention_mask=mask)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(text)[: self.seq_len]
+        else:  # tests without a tokenizer file
+            ids = list(range(1, 9))
+        mask = [1.0] * len(ids) + [0.0] * (self.seq_len - len(ids))
+        ids = ids + [0] * (self.seq_len - len(ids))
+        h = self._jit_forward(
+            self.pt,
+            jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(np.asarray(mask, dtype=np.float32)[None]),
+        )
+        return SDCondition(
+            c_crossattn=h,
+            c_vector=jnp.asarray(np.asarray(mask, np.float32)[None]))

@@ -270,6 +270,15 @@ class MiniT2IFlowDenoiser(Denoiser):
         sigma = np.asarray(sigma, dtype=np.float32)
         return np.zeros_like(sigma), np.ones_like(sigma), np.ones_like(sigma)
 
+    def get_scalings_jnp(self, sigma):
+        import jax.numpy as jnp
+
+        z = jnp.zeros_like(sigma)
+        return z, z + 1.0, z + 1.0
+
+    def sigma_to_t_jnp(self, sigma):
+        return 1.0 - sigma
+
     def noise_scaling(self, sigma, noise, latent):
         return noise * 2.0
 

@@ -129,6 +129,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
         )
+    if version == SDVersion.MINIT2I:
+        return _create_minit2i_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            t5_tokenizer=t5_tokenizer,
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -1220,5 +1225,69 @@ def _create_ideogram4_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         scale_factor=16,
+        compute_dtype=dtype,
+    )
+
+
+def _create_minit2i_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                             t5_tokenizer=None):
+    """MiniT2I (reference construction stable-diffusion.cpp:1196-1206:
+    T5 MiniT2IConditioner + MiniT2IRunner + FakeVAE pixel passthrough;
+    MINIT2I_FLOW_PRED with uniform sigmas and x0-prediction)."""
+    from sdtpu.conditioning.conditioner import MiniT2IConditioner
+    from sdtpu.diffusion.denoiser import MiniT2IFlowDenoiser
+    from sdtpu.models import minit2i as mt_mod
+    from sdtpu.models import t5 as t5_mod
+
+    if small:
+        dit_cfg = mt_mod.MiniT2IConfig(
+            patch_size=4, txt_input_size=48, hidden_size=32,
+            txt_hidden_size=32, cond_vec_size=32, depth_double=2,
+            txt_preamble_depth=1, num_heads=4, head_dim=8, pca_channels=8,
+            prompt_length=16)
+        t5_cfg = t5_mod.T5Config(
+            vocab_size=256, d_model=48, d_kv=8, d_ff=96, num_layers=2,
+            num_heads=4)
+        seq_len = 16
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (mt_mod.detect_minit2i_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else mt_mod.MINIT2I_CONFIG)
+        t5_cfg = (_detect_t5_config(params["t5"], t5_mod)
+                  if params.get("t5") else t5_mod.T5_XXL_CONFIG)
+        seq_len = dit_cfg.prompt_length
+
+    dit_params = params.get("diffusion") or mt_mod.init_minit2i_params(
+        dit_cfg, seed, dtype=dtype)
+    t5_params = params.get("t5") or t5_mod.init_t5_params(t5_cfg, seed + 2,
+                                                          dtype=dtype)
+
+    conditioner = MiniT2IConditioner(t5_tokenizer, t5_params, t5_cfg,
+                                     seq_len=seq_len)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return mt_mod.minit2i_forward(p, x, t, ctx, mask=y, cfg=dit_cfg)
+
+    # pixel-space FakeVAE: identity decode/encode (reference FakeVAE,
+    # src/model/vae/vae.hpp:234)
+    def vae_decode_fn(p, z):
+        return jnp.clip(z, -1.0, 1.0)
+
+    def vae_encode_fn(p, x, noise=None):
+        return x
+
+    return DiffusionPipeline(
+        version=SDVersion.MINIT2I,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params={},
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=MiniT2IFlowDenoiser(),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=1,
         compute_dtype=dtype,
     )
