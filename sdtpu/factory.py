@@ -134,6 +134,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             t5_tokenizer=t5_tokenizer,
         )
+    if version == SDVersion.MAGE_FLOW:
+        return _create_mage_flow_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -1289,5 +1294,78 @@ def _create_minit2i_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         scale_factor=1,
+        compute_dtype=dtype,
+    )
+
+
+def _create_mage_flow_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                               qwen_tokenizer=None):
+    """Mage-Flow (reference MageFlowRunner, mage_flow.hpp:60): Qwen-Image DiT
+    body with fixed config (patch 1, 128-ch latents, 12 layers, zero text
+    RoPE ids, bf16-rounded timestep projection) + Qwen2.5-VL conditioner +
+    the Mage DiCo VAE; FLOW_PRED with default shift 6.0."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import QwenImageConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import mage_vae as mv_mod
+    from sdtpu.models import qwen_image as qi_mod
+
+    if small:
+        dit_cfg = qi_mod.QwenImageConfig(
+            patch_size=1, in_channels=128, out_channels=128, num_layers=2,
+            head_dim=16, num_heads=4, joint_attention_dim=48,
+            axes_dim=(4, 6, 6), rope_scheme="mage", bf16_timestep=True)
+        llm_cfg = llm_mod.LLMConfig(
+            num_layers=2, hidden_size=48, intermediate_size=96, num_heads=4,
+            num_kv_heads=2, head_dim=12, vocab_size=256)
+        vae_blocks = 2
+    else:
+        dit_cfg = qi_mod.QwenImageConfig(
+            patch_size=1, in_channels=128, out_channels=128, num_layers=12,
+            head_dim=128, num_heads=24, joint_attention_dim=2560,
+            axes_dim=(16, 56, 56), rope_scheme="mage", bf16_timestep=True)
+        d = params.get("diffusion")
+        if d:
+            det = qi_mod.detect_qwen_image_config(d.keys())
+            dit_cfg = dataclasses.replace(dit_cfg, num_layers=det.num_layers)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()})
+            if llm else llm_mod.QWEN25_VL_7B_CONFIG)
+        v = params.get("vae")
+        vae_blocks = mv_mod.count_dico_blocks(v.keys()) if v else 21
+
+    dit_params = params.get("diffusion") or qi_mod.init_qwen_image_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or mv_mod.init_mage_vae_params(
+        seed=seed + 1, dtype=dtype, n_blocks=vae_blocks)
+
+    conditioner = QwenImageConditioner(qwen_tokenizer, llm_params, llm_cfg)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return qi_mod.qwen_image_forward(p, x, t, ctx, cfg=dit_cfg)
+
+    def vae_decode_fn(p, z):
+        return jnp.clip(mv_mod.mage_vae_decode(p, z, n_blocks=vae_blocks), -1.0, 1.0)
+
+    def vae_encode_fn(p, x, noise=None):
+        return mv_mod.mage_vae_encode(p, x, noise=noise, n_blocks=vae_blocks)
+
+    return DiffusionPipeline(
+        version=SDVersion.MAGE_FLOW,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=6.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=128,
+        scale_factor=16,
         compute_dtype=dtype,
     )

@@ -38,6 +38,10 @@ class QwenImageConfig:
     joint_attention_dim: int = 3584
     theta: int = 10000
     axes_dim: Tuple[int, ...] = (16, 56, 56)
+    # Mage-Flow variant (reference mage_flow.hpp): zero text ids, ceil-half
+    # centered image grid, bf16-rounded timestep projection
+    rope_scheme: str = "qwen"       # "qwen" | "mage"
+    bf16_timestep: bool = False
 
 
 QWEN_IMAGE_CONFIG = QwenImageConfig()
@@ -113,19 +117,37 @@ def qwen_image_forward(
     txt = linear(txt, p["txt_in.weight"], p["txt_in.bias"])
     lt = txt.shape[1]
 
-    t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
+    if cfg.bf16_timestep:
+        # Mage-Flow was trained with bf16-rounded sinusoid frequencies
+        # (MageFlowTimestepProjEmbeddings, mage_flow.hpp:13)
+        half = 128
+        freqs = np.exp(-np.log(10000.0) * np.arange(half, dtype=np.float32) / half)
+        freqs = jnp.asarray(freqs).astype(jnp.bfloat16).astype(jnp.float32)
+        sig = (timesteps.astype(jnp.float32) / 1000.0).astype(jnp.bfloat16).astype(jnp.float32)
+        arg = sig[:, None] * freqs[None] * 1000.0
+        cos = jnp.cos(arg).astype(jnp.bfloat16).astype(jnp.float32)
+        sin = jnp.sin(arg).astype(jnp.bfloat16).astype(jnp.float32)
+        t_emb = jnp.concatenate([cos, sin], axis=-1).astype(x.dtype)
+    else:
+        t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
     pre = "time_text_embed.timestep_embedder"
     temb = linear(t_emb, p[f"{pre}.linear_1.weight"], p[f"{pre}.linear_1.bias"])
     temb = linear(silu(temb), p[f"{pre}.linear_2.weight"], p[f"{pre}.linear_2.bias"])
 
-    # position ids: txt scalar run starting at max(h,w)/2; img centered grid
-    # (reference gen_qwen_image_ids, rope.hpp)
-    txt_start = max(hp, wp) // 2
     ids = np.zeros((lt + hp * wp, 3), dtype=np.float64)
-    ids[:lt] = (txt_start + np.arange(lt))[:, None]
-    hi, wi = np.meshgrid(
-        np.arange(hp) - hp // 2, np.arange(wp) - wp // 2, indexing="ij"
-    )
+    if cfg.rope_scheme == "mage":
+        # Mage-Flow: zero text ids, image grid centered with ceil-half offset
+        # (gen_mage_flow_pe, rope.hpp:657)
+        hi, wi = np.meshgrid(
+            np.arange(hp) - (hp - hp // 2), np.arange(wp) - (wp - wp // 2),
+            indexing="ij")
+    else:
+        # position ids: txt scalar run starting at max(h,w)/2; img centered
+        # grid (reference gen_qwen_image_ids, rope.hpp)
+        txt_start = max(hp, wp) // 2
+        ids[:lt] = (txt_start + np.arange(lt))[:, None]
+        hi, wi = np.meshgrid(
+            np.arange(hp) - hp // 2, np.arange(wp) - wp // 2, indexing="ij")
     ids[lt:, 1] = hi.reshape(-1)
     ids[lt:, 2] = wi.reshape(-1)
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
