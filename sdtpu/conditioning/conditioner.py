@@ -717,3 +717,65 @@ class MiniT2IConditioner:
         return SDCondition(
             c_crossattn=h,
             c_vector=jnp.asarray(np.asarray(mask, np.float32)[None]))
+
+
+class AnimaConditioner:
+    """Anima: Qwen3 hidden states fed through the checkpoint's LLM adapter
+    against T5 token embeddings, T5-weighted, zero-padded to 512 tokens
+    (reference AnimaConditioner, conditioner.hpp:1646 + the in-DiT adapter,
+    anima.hpp:522 — run here once per prompt instead of per step)."""
+
+    TARGET_LEN = 512
+
+    def __init__(self, qwen_tokenizer, t5_tokenizer, llm_params, llm_cfg,
+                 adapter_params, adapter_prefix: str = "net.llm_adapter"):
+        from sdtpu.models.anima import llm_adapter_forward
+        from sdtpu.models.llm import llm_forward
+
+        self.qwen_tokenizer = qwen_tokenizer
+        self.t5_tokenizer = t5_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.pa = adapter_params
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl)
+
+        def adapt(pa, src, t5_ids):
+            return llm_adapter_forward(pa, src, t5_ids, prefix=adapter_prefix)
+
+        self._jit_llm = jax.jit(fwd)
+        self._jit_adapter = jax.jit(adapt)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        spans = parse_prompt_attention(text)
+        if self.qwen_tokenizer is not None:
+            q_ids = []
+            for span, _w in spans:
+                q_ids.extend(self.qwen_tokenizer.encode(span))
+            q_ids = q_ids or [151643]
+        else:  # tests without tokenizer files
+            q_ids = list(range(1, 9))
+        t5_ids: List[int] = []
+        t5_w: List[float] = []
+        if self.t5_tokenizer is not None:
+            for span, wgt in spans:
+                sp = self.t5_tokenizer.encode(span)
+                t5_ids.extend(sp)
+                t5_w.extend([wgt] * len(sp))
+            t5_ids.append(self.t5_tokenizer.eos_token_id)
+            t5_w.append(1.0)
+        else:
+            t5_ids = list(range(1, 7))
+            t5_w = [1.0] * 6
+
+        src = self._jit_llm(self.pl, jnp.asarray(np.asarray(q_ids, np.int32)[None]))
+        ctx = self._jit_adapter(self.pa, src,
+                                jnp.asarray(np.asarray(t5_ids, np.int32)[None]))
+        ctx = ctx * jnp.asarray(np.asarray(t5_w, np.float32))[None, :, None]
+        n = ctx.shape[1]
+        if n < self.TARGET_LEN:
+            pad = jnp.zeros((1, self.TARGET_LEN - n, ctx.shape[2]), ctx.dtype)
+            ctx = jnp.concatenate([ctx, pad], axis=1)
+        else:
+            ctx = ctx[:, : self.TARGET_LEN]
+        return SDCondition(c_crossattn=ctx)

@@ -139,6 +139,12 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
         )
+    if version == SDVersion.ANIMA:
+        return _create_anima_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+            t5_tokenizer=t5_tokenizer,
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -1367,5 +1373,85 @@ def _create_mage_flow_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         rng_type=rng_type,
         latent_channels=128,
         scale_factor=16,
+        compute_dtype=dtype,
+    )
+
+
+def _create_anima_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                           qwen_tokenizer=None, t5_tokenizer=None):
+    """Anima (reference construction stable-diffusion.cpp:1207-1213:
+    AnimaConditioner (Qwen3 + T5 ids through the LLM adapter) + AnimaRunner +
+    Wan 2.1 VAE in image mode; FLOW_PRED default shift 3.0)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import AnimaConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import anima as an_mod
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import wan_vae as wan_vae_mod
+
+    if small:
+        dit_cfg = an_mod.AnimaConfig(
+            in_channels=4, out_channels=4, hidden_size=32, text_embed_dim=24,
+            num_heads=2, head_dim=16, num_layers=2, axes_dim=(6, 6, 4),
+            adaln_lora_dim=8)
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_8B_CONFIG, num_layers=2, hidden_size=24,
+            intermediate_size=48, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64)
+        vae_cfg = wan_vae_mod.WanVAEConfig(dim=8, z_dim=4, num_res_blocks=1)
+        adapter_kw = dict(adapter_layers=1, adapter_vocab=64, adapter_dim=24)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (an_mod.detect_anima_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else an_mod.ANIMA_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3") if llm else llm_mod.QWEN3_8B_CONFIG)
+        vae_cfg = (_detect_wan_vae_config(params["vae"], wan_vae_mod)
+                   if params.get("vae") else wan_vae_mod.WAN21_VAE_CONFIG)
+        adapter_kw = {}
+
+    dit_params = params.get("diffusion") or an_mod.init_anima_params(
+        dit_cfg, seed, dtype=dtype, **adapter_kw)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = AnimaConditioner(qwen_tokenizer, t5_tokenizer, llm_params,
+                                   llm_cfg, dit_params)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return an_mod.anima_forward(p, x, t, ctx, cfg=dit_cfg)
+
+    use_stats = vae_cfg.z_dim == 16
+
+    def vae_decode_fn(p, z):
+        if use_stats:
+            z = wan_vae_mod.diffusion_to_vae_latents(z)
+        return wan_vae_mod.wan_vae_decode(p, z[:, None] if z.ndim == 4 else z,
+                                          vae_cfg)[:, 0]
+
+    def vae_encode_fn(p, x, noise=None):
+        z = wan_vae_mod.wan_vae_encode(p, x[:, None], vae_cfg)[:, 0]
+        if use_stats:
+            z = wan_vae_mod.vae_to_diffusion_latents(z)
+        return z
+
+    return DiffusionPipeline(
+        version=SDVersion.ANIMA,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=3.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=8,
         compute_dtype=dtype,
     )
