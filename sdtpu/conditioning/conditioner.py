@@ -779,3 +779,35 @@ class AnimaConditioner:
         else:
             ctx = ctx[:, : self.TARGET_LEN]
         return SDCondition(c_crossattn=ctx)
+
+
+class BooguConditioner:
+    """Boogu-Image: Qwen3-VL with a system+user chat wrap, final-norm hidden
+    states (reference LLMEmbedder boogu branch, conditioner.hpp:2287)."""
+
+    T2I_SYSTEM = ("You are a helpful assistant that generates high-quality "
+                  "images based on user instructions. The instructions are "
+                  "as follows.")
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, max_len: int = 1024):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.max_len = max_len
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        prompt = (f"<|im_start|>system\n{self.T2I_SYSTEM}<|im_end|>\n"
+                  f"<|im_start|>user\n{text}<|im_end|>\n")
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(prompt)[: self.max_len]
+        else:  # tests without a tokenizer file
+            ids = list(range(11))
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        return SDCondition(c_crossattn=h)

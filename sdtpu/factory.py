@@ -145,6 +145,11 @@ def create_pipeline(
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
             t5_tokenizer=t5_tokenizer,
         )
+    if version == SDVersion.BOOGU_IMAGE:
+        return _create_boogu_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -1450,6 +1455,78 @@ def _create_anima_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         vae_decode_fn=vae_decode_fn,
         vae_encode_fn=vae_encode_fn,
         denoiser=DiscreteFlowDenoiser(shift=3.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=8,
+        compute_dtype=dtype,
+    )
+
+
+def _create_boogu_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                           qwen_tokenizer=None):
+    """Boogu-Image (reference construction stable-diffusion.cpp:1227-1239:
+    Qwen3-VL LLMEmbedder + BooguImageRunner + flux 16-ch VAE; FLOW_PRED with
+    default shift 3.16, timesteps t/1000)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import BooguConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import boogu as bg_mod
+    from sdtpu.models import llm as llm_mod
+
+    if small:
+        dit_cfg = bg_mod.BooguConfig(
+            in_channels=4, out_channels=4, hidden_size=48, num_layers=2,
+            num_double_stream_layers=1, num_refiner_layers=1, num_heads=4,
+            num_kv_heads=2, head_dim=12, multiple_of=16,
+            instruction_feat_dim=24, axes_dim=(4, 4, 4))
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_8B_CONFIG, num_layers=2, hidden_size=24,
+            intermediate_size=48, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64)
+        vae_cfg = vae_mod.VAEConfig(
+            base_channels=32, channel_mult=(1, 2, 2, 2), num_res_blocks=1,
+            z_channels=4, scale_factor=0.3611, shift_factor=0.1159)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (bg_mod.detect_boogu_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else bg_mod.BOOGU_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3") if llm else llm_mod.QWEN3_8B_CONFIG)
+        vae_cfg = vae_mod.FLUX_VAE_CONFIG
+
+    dit_params = params.get("diffusion") or bg_mod.init_boogu_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = BooguConditioner(qwen_tokenizer, llm_params, llm_cfg)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        # timesteps enter as t/1000 (prepare_sample_timesteps,
+        # stable-diffusion.cpp:2330)
+        return bg_mod.boogu_forward(p, x, t / 1000.0, ctx, cfg=dit_cfg)
+
+    def vae_decode_fn(p, z):
+        return vae_mod.vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.BOOGU_IMAGE,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=3.16 if flow_shift is None else flow_shift),
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         scale_factor=8,
