@@ -268,10 +268,11 @@ def boogu_forward(
     hp, wp = (hh + pad_h) // ps, (ww + pad_w) // ps
 
     def patchify(z):
+        # patch_last=false layout: feature (py, px, c) (boogu.hpp:637)
         zb, zh, zw, zc = z.shape
         zp = z.reshape(zb, zh // ps, ps, zw // ps, ps, zc)
-        zp = zp.transpose(0, 1, 3, 5, 2, 4)
-        return zp.reshape(zb, (zh // ps) * (zw // ps), zc * ps * ps)
+        zp = zp.transpose(0, 1, 3, 2, 4, 5)
+        return zp.reshape(zb, (zh // ps) * (zw // ps), ps * ps * zc)
 
     img = linear(patchify(x), p["x_embedder.weight"], p["x_embedder.bias"])
     n_img = img.shape[1]
@@ -335,8 +336,8 @@ def boogu_forward(
     out = linear(out, p["norm_out.linear_2.weight"], p["norm_out.linear_2.bias"])
     out = out[:, out.shape[1] - n_img:]
 
-    out = out.reshape(b, hp, wp, cfg.out_channels, ps, ps)
-    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(b, hp * ps, wp * ps,
+    out = out.reshape(b, hp, wp, ps, ps, cfg.out_channels)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * ps, wp * ps,
                                                   cfg.out_channels)
     if pad_h or pad_w:
         out = out[:, :hh, :ww]

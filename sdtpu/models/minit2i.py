@@ -225,8 +225,9 @@ def minit2i_forward(
     out = rms_norm(combined, p["final_layer.norm_final.weight"], eps=1e-6)
     out = linear(out, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
     out = out[:, lt:]
-    out = out.reshape(b, hp, wp, cfg.in_channels, ps, ps)
-    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(b, hh, ww, cfg.in_channels)
+    # patch_last=false layout: feature (py, px, c) (minit2i.hpp:458)
+    out = out.reshape(b, hp, wp, ps, ps, cfg.in_channels)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.in_channels)
     return out
 
 

@@ -190,8 +190,10 @@ def z_image_forward(
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     hp, wp = (h + pad_h) // ps, (w + pad_w) // ps
 
-    img = x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 5, 2, 4)
-    img = img.reshape(b, hp * wp, c * ps * ps)
+    # patch_last=false token layout: feature = (py, px, c), c fastest
+    # (DiT::patchify, dit.hpp:29; z_image.hpp:528 passes false)
+    img = x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
+    img = img.reshape(b, hp * wp, ps * ps * c)
     img = linear(img, p["x_embedder.weight"], p.get("x_embedder.bias"))
 
     t_freq = timestep_embedding(timesteps, 256).astype(img.dtype)
@@ -235,8 +237,8 @@ def z_image_forward(
     out = linear(out, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
 
     img_out = out[:, txt.shape[1]: txt.shape[1] + n_img]
-    img_out = img_out.reshape(b, hp, wp, cfg.out_channels, ps, ps)
-    img_out = img_out.transpose(0, 1, 4, 2, 5, 3).reshape(
+    img_out = img_out.reshape(b, hp, wp, ps, ps, cfg.out_channels)
+    img_out = img_out.transpose(0, 1, 3, 2, 4, 5).reshape(
         b, hp * ps, wp * ps, cfg.out_channels)
     if pad_h or pad_w:
         img_out = img_out[:, :h, :w]
