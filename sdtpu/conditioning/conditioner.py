@@ -811,3 +811,41 @@ class BooguConditioner:
         h = self._jit_forward(
             self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
         return SDCondition(c_crossattn=h)
+
+
+class Krea2Conditioner:
+    """Krea2: Qwen3-VL with the qwen-image system template, 12 hidden-state
+    layers {2,5,...,35} concatenated layer-major, template prefix (34 tokens)
+    dropped (reference LLMEmbedder krea2 branch, conditioner.hpp:2363)."""
+
+    TEMPLATE = ("<|im_start|>system\nDescribe the image by detailing the "
+                "color, shape, size, texture, quantity, text, spatial "
+                "relationships of the objects and background:<|im_end|>\n"
+                "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n")
+    DROP_IDX = 34
+    OUT_LAYERS = (2, 5, 8, 11, 14, 17, 20, 23, 26, 29, 32, 35)
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, out_layers=None,
+                 max_len: int = 1024):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.max_len = max_len
+        layers = tuple(out_layers or self.OUT_LAYERS)
+        layers = tuple(min(li, llm_cfg.num_layers + 1) for li in layers)
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl, output_layers=layers)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.TEMPLATE.format(text))[: self.max_len]
+            drop = min(self.DROP_IDX, max(0, len(ids) - 1))
+        else:  # tests without a tokenizer file
+            ids, drop = list(range(12)), 3
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        return SDCondition(c_crossattn=h[:, drop:])

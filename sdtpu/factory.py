@@ -150,6 +150,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
         )
+    if version == SDVersion.KREA2:
+        return _create_krea2_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     ucfg = unet_config_for(version, small)
 
     if small:
@@ -1527,6 +1532,85 @@ def _create_boogu_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         vae_decode_fn=vae_decode_fn,
         vae_encode_fn=vae_encode_fn,
         denoiser=DiscreteFlowDenoiser(shift=3.16 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=8,
+        compute_dtype=dtype,
+    )
+
+
+def _create_krea2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                           qwen_tokenizer=None):
+    """Krea2 (reference: Qwen3-VL 12-layer LLMEmbedder + Krea2Runner + Wan 2.1
+    VAE image mode; FLUX_FLOW_PRED with default shift 1.15)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import Krea2Conditioner
+    from sdtpu.diffusion.denoiser import FluxFlowDenoiser
+    from sdtpu.models import krea2 as k2_mod
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import wan_vae as wan_vae_mod
+
+    if small:
+        dit_cfg = k2_mod.Krea2Config(
+            in_channels=4, out_channels=4, features=32, text_dim=24,
+            text_layers=3, layers=2, heads=4, kv_heads=2, text_heads=4,
+            text_kv_heads=2, mlp_multiplier=2)
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_8B_CONFIG, num_layers=2, hidden_size=24,
+            intermediate_size=48, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64)
+        vae_cfg = wan_vae_mod.WanVAEConfig(dim=8, z_dim=4, num_res_blocks=1)
+        out_layers = (1, 2, 3)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (k2_mod.detect_krea2_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else k2_mod.KREA2_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3") if llm else llm_mod.QWEN3_8B_CONFIG)
+        vae_cfg = (_detect_wan_vae_config(params["vae"], wan_vae_mod)
+                   if params.get("vae") else wan_vae_mod.WAN21_VAE_CONFIG)
+        out_layers = None
+
+    dit_params = params.get("diffusion") or k2_mod.init_krea2_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = Krea2Conditioner(qwen_tokenizer, llm_params, llm_cfg,
+                                   out_layers=out_layers)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return k2_mod.krea2_forward(p, x, t, ctx, cfg=dit_cfg)
+
+    use_stats = vae_cfg.z_dim == 16
+
+    def vae_decode_fn(p, z):
+        if use_stats:
+            z = wan_vae_mod.diffusion_to_vae_latents(z)
+        return wan_vae_mod.wan_vae_decode(p, z[:, None] if z.ndim == 4 else z,
+                                          vae_cfg)[:, 0]
+
+    def vae_encode_fn(p, x, noise=None):
+        z = wan_vae_mod.wan_vae_encode(p, x[:, None], vae_cfg)[:, 0]
+        if use_stats:
+            z = wan_vae_mod.vae_to_diffusion_latents(z)
+        return z
+
+    return DiffusionPipeline(
+        version=SDVersion.KREA2,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=FluxFlowDenoiser(shift=1.15 if flow_shift is None else flow_shift),
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels,
         scale_factor=8,
