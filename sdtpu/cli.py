@@ -190,10 +190,22 @@ def _load_pipeline(args):
     params = {k: v for k, v in params.items() if v}
     tok_kwargs = {}
     if args.llm_tokenizer:
+        # tokenizer family follows the text tower (reference LLMEmbedder
+        # ctor, conditioner.hpp:1795-1821)
         if bundle.version == SDVersion.LTXAV:
             from sdtpu.tokenizers.gemma import GemmaTokenizer
 
             tok_kwargs["gemma_tokenizer"] = GemmaTokenizer.from_tokenizer_json(
+                args.llm_tokenizer)
+        elif bundle.version in (SDVersion.FLUX2, SDVersion.ERNIE_IMAGE):
+            from sdtpu.tokenizers.bytelevel import MistralTokenizer
+
+            tok_kwargs["mistral_tokenizer"] = MistralTokenizer.from_tokenizer_json(
+                args.llm_tokenizer)
+        elif bundle.version == SDVersion.LENS:
+            from sdtpu.tokenizers.bytelevel import GPTOSSTokenizer
+
+            tok_kwargs["gptoss_tokenizer"] = GPTOSSTokenizer.from_tokenizer_json(
                 args.llm_tokenizer)
         else:
             from sdtpu.tokenizers.qwen2 import Qwen2Tokenizer

@@ -573,6 +573,60 @@ class ZImageConditioner:
         return SDCondition(c_crossattn=h)
 
 
+class Flux2Conditioner:
+    """FLUX.2: Mistral-Small-3.2 prompted with the BFL system template,
+    hidden states from layers {10, 20, 30} concatenated on the feature axis
+    and zero-padded to 512 tokens (reference LLMEmbedder for FLUX2,
+    conditioner.hpp:2493-2505).  FLUX.2-klein swaps in Qwen3 with a <think>
+    chat template and layers {9, 18, 27} (conditioner.hpp:2565-2577)."""
+
+    TEMPLATE = (
+        "[SYSTEM_PROMPT]You are an AI that reasons about image descriptions. "
+        "You give structured responses focusing on object relationships, "
+        "object\nattribution and actions without speculation.[/SYSTEM_PROMPT]"
+        "[INST]{}[/INST]"
+    )
+    KLEIN_TEMPLATE = ("<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant"
+                      "\n<think>\n\n</think>\n\n")
+    OUT_LAYERS = (10, 20, 30)
+    KLEIN_OUT_LAYERS = (9, 18, 27)
+    MIN_LEN = 512  # hidden-state zero pad, applied AFTER the LLM forward
+
+    def __init__(self, tokenizer, llm_params, llm_cfg, klein: bool = False,
+                 out_layers=None, max_len: int = 512, min_len: int = MIN_LEN):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.klein = klein
+        self.max_len = max_len
+        self.min_len = min_len
+        layers = tuple(out_layers or
+                       (self.KLEIN_OUT_LAYERS if klein else self.OUT_LAYERS))
+        layers = tuple(min(li, llm_cfg.num_layers + 1) for li in layers)
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl, output_layers=layers)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        template = self.KLEIN_TEMPLATE if self.klein else self.TEMPLATE
+        if self.tokenizer is not None:
+            ids = []
+            if not self.klein:  # Mistral tokenizer prepends <s>
+                ids.append(getattr(self.tokenizer, "bos_token_id", 1))
+            ids += self.tokenizer.encode(template.format(text))
+            ids = ids[: self.max_len]
+        else:  # tests without a tokenizer file
+            ids = list(range(12))
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        if h.shape[1] < self.min_len:
+            h = jnp.pad(h, ((0, 0), (0, self.min_len - h.shape[1]), (0, 0)))
+        return SDCondition(c_crossattn=h)
+
+
 class LensConditioner:
     """Lens: GPT-OSS-20B prompted in harmony format; hidden states from
     layers {6, 12, 18, 24} concatenated on the feature axis, template prefix

@@ -29,6 +29,7 @@ class SDVersion(enum.Enum):
     FLUX = "flux"
     FLUX_FILL = "flux_fill"
     FLUX2 = "flux2"
+    FLUX2_KLEIN = "flux2_klein"
     CHROMA = "chroma"
     CHROMA_RADIANCE = "chroma_radiance"
     WAN2 = "wan2"
@@ -70,6 +71,7 @@ _DIT_FAMILY = {
     SDVersion.FLUX,
     SDVersion.FLUX_FILL,
     SDVersion.FLUX2,
+    SDVersion.FLUX2_KLEIN,
     SDVersion.CHROMA,
     SDVersion.CHROMA_RADIANCE,
     SDVersion.WAN2,

@@ -109,6 +109,13 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version in (SDVersion.FLUX2, SDVersion.FLUX2_KLEIN):
+        return _create_flux2_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            klein=version == SDVersion.FLUX2_KLEIN,
+            mistral_tokenizer=kwargs.get("mistral_tokenizer"),
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     if version == SDVersion.Z_IMAGE:
         return _create_z_image_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
@@ -345,6 +352,99 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         latent_channels=dit_cfg.in_channels // 4,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
+    )
+
+
+def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                           klein=False, mistral_tokenizer=None,
+                           qwen_tokenizer=None):
+    """FLUX.2 / FLUX.2-klein (reference stable-diffusion.cpp construction:
+    Mistral-Small (or Qwen3 for klein) LLMEmbedder + FluxRunner with the
+    flux2 config variant + 32ch KL VAE packed 2x2 to 128 channels; sampling
+    runs in the packed space with the empirical-mu flux2 scheduler,
+    stable-diffusion.cpp:3865)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import Flux2Conditioner
+    from sdtpu.diffusion.denoiser import FluxFlowDenoiser
+    from sdtpu.models import flux as flux_mod
+    from sdtpu.models import llm as llm_mod
+
+    if small:
+        dit_cfg = dataclasses.replace(
+            flux_mod.FLUX2_DEV_CONFIG, in_channels=16, hidden_size=64,
+            num_heads=2, depth=2, depth_single=2, axes_dim=(8, 8, 8, 8),
+            context_in_dim=48, guidance_embed=not klein)
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_4B_CONFIG if klein else
+            llm_mod.MISTRAL_SMALL_32_CONFIG,
+            num_layers=3, hidden_size=16, intermediate_size=32, num_heads=2,
+            num_kv_heads=1, head_dim=8, vocab_size=64)
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1, z_channels=4,
+                                    scale_factor=1.0)
+        out_layers = (1, 2, 3)
+        min_len = 8
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (flux_mod.detect_flux2_config(
+            d.keys(), {k: tuple(getattr(v, "shape", ())) for k, v in d.items()})
+            if d else (flux_mod.FLUX2_KLEIN_CONFIG if klein
+                       else flux_mod.FLUX2_DEV_CONFIG))
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3" if klein else "mistral_small_3_2")
+            if llm else (llm_mod.QWEN3_4B_CONFIG if klein
+                         else llm_mod.MISTRAL_SMALL_32_CONFIG))
+        vae_cfg = vae_mod.FLUX2_VAE_CONFIG
+        out_layers = None
+        min_len = Flux2Conditioner.MIN_LEN
+
+    dit_params = params.get("diffusion") or flux_mod.init_flux_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = Flux2Conditioner(
+        qwen_tokenizer if klein else mistral_tokenizer, llm_params, llm_cfg,
+        klein=klein, out_layers=out_layers, min_len=min_len)
+
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+        return flux_mod.flux_forward(p, x, t, ctx, None, guidance=guidance,
+                                     cfg=dit_cfg, skip_layers=skip_layers)
+
+    if small:
+        # tiny config: plain 4-ch VAE with a 2x2 pack, no statistics
+        def vae_decode_fn(p, z):
+            return vae_mod.vae_decode(p, vae_mod.flux2_unpack(z), vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_pack(vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg))
+    else:
+        def vae_decode_fn(p, z):
+            return vae_mod.flux2_vae_decode(p, z, vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.FLUX2_KLEIN if klein else SDVersion.FLUX2,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=FluxFlowDenoiser(shift=1.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=16,
+        compute_dtype=dtype,
+        uses_distilled_guidance=dit_cfg.guidance_embed,
+        default_schedule="flux2",
     )
 
 

@@ -33,7 +33,11 @@ def detect_version(
         if any("distilled_guidance_layer" in n for n in names):
             return SDVersion.CHROMA
         if any("double_stream_modulation_img" in n for n in names):
-            return SDVersion.FLUX2
+            # klein is the shallow distillation: no single_blocks.47
+            # (reference model_loader.cpp:649-654)
+            if any("single_blocks.47." in n for n in names):
+                return SDVersion.FLUX2
+            return SDVersion.FLUX2_KLEIN
         if any("txt_in.individual_token_refiner" in n for n in names):
             return SDVersion.HUNYUAN_VIDEO
         return SDVersion.FLUX

@@ -44,6 +44,7 @@ class FluxConfig:
     mlp_silu: bool = False  # SwiGLU MLPs (silu(gate)·x) instead of GELU
     qkv_bias: bool = True
     txt_arange_axis: Optional[int] = None  # txt RoPE ids: arange on this axis
+    patch_size: int = 2  # FLUX.2 runs patch 1 over pre-packed 128ch latents
 
 
 FLUX_DEV_CONFIG = FluxConfig()
@@ -51,8 +52,42 @@ FLUX_SCHNELL_CONFIG = FluxConfig(guidance_embed=False)
 FLUX2_DEV_CONFIG = FluxConfig(
     in_channels=128, mlp_ratio=3.0, theta=2000, axes_dim=(32, 32, 32, 32),
     vec_in_dim=0, guidance_embed=True, share_modulation=True, disable_bias=True,
-    mlp_silu=True, qkv_bias=False, txt_arange_axis=3, depth=8, depth_single=38,
+    mlp_silu=True, qkv_bias=False, txt_arange_axis=3, depth=8, depth_single=48,
+    patch_size=1, context_in_dim=15360,
 )
+FLUX2_KLEIN_CONFIG = dataclasses.replace(
+    FLUX2_DEV_CONFIG, depth=5, depth_single=20, guidance_embed=False,
+    context_in_dim=7680,
+)
+
+
+def detect_flux2_config(names, shapes) -> FluxConfig:
+    """Shape-driven FLUX.2 config (reference FluxConfig::detect_from_weights,
+    flux.hpp:62-130: block counts + head_dim from qk norm scales)."""
+    names = set(names)
+    kw = {}
+    w = shapes.get("img_in.weight")
+    if w:
+        kw["hidden_size"] = w[0]
+        kw["in_channels"] = w[1]
+    w = shapes.get("txt_in.weight")
+    if w:
+        kw["context_in_dim"] = w[1]
+    hd = shapes.get("double_blocks.0.img_attn.norm.query_norm.scale")
+    if hd and kw.get("hidden_size"):
+        kw["num_heads"] = kw["hidden_size"] // hd[0]
+    kw["guidance_embed"] = "guidance_in.in_layer.weight" in names
+    depth = depth_single = 0
+    for n in names:
+        if n.startswith("double_blocks."):
+            depth = max(depth, int(n.split(".")[1]) + 1)
+        elif n.startswith("single_blocks."):
+            depth_single = max(depth_single, int(n.split(".")[1]) + 1)
+    if depth:
+        kw["depth"] = depth
+    if depth_single:
+        kw["depth_single"] = depth_single
+    return dataclasses.replace(FLUX2_DEV_CONFIG, **kw)
 CHROMA_CONFIG = FluxConfig(guidance_embed=False, vec_in_dim=0, is_chroma=True)
 
 # Chroma distilled-modulation table layout (reference flux.hpp:480-489,637,722):
@@ -163,10 +198,12 @@ def flux_forward(
     context: [B,L,4096] T5; y: [B,768] clip pooled; guidance: [B] distilled
     guidance scale. Returns velocity [B,H,W,16]."""
     b, h, w, c = x.shape
-    hp, wp = h // 2, w // 2
+    ps = cfg.patch_size
+    hp, wp = h // ps, w // ps
     hidden = cfg.hidden_size
 
-    img = x.reshape(b, hp, 2, wp, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * wp, 4 * c)
+    img = (x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
+           .reshape(b, hp * wp, ps * ps * c))
     img = linear(img, p["img_in.weight"], p.get("img_in.bias"))
     txt = linear(context.astype(x.dtype), p["txt_in.weight"], p.get("txt_in.bias"))
     l_txt = txt.shape[1]
@@ -301,7 +338,8 @@ def flux_forward(
         shift, scale = jnp.split(mf, 2, axis=-1)
     img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
     img = linear(img, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
-    img = img.reshape(b, hp, wp, 2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+    img = (img.reshape(b, hp, wp, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
+           .reshape(b, h, w, c))
     return img
 
 

@@ -61,6 +61,12 @@ QWEN3_8B_CONFIG = LLMConfig(
     num_heads=32, num_kv_heads=8, qkv_bias=False, qk_norm=True,
     vocab_size=151936,
 )
+# Qwen3-4B — the FLUX.2-klein text tower.
+QWEN3_4B_CONFIG = LLMConfig(
+    arch="qwen3", num_layers=36, hidden_size=2560, intermediate_size=9728,
+    num_heads=32, num_kv_heads=8, head_dim=128, qkv_bias=False, qk_norm=True,
+    vocab_size=151936,
+)
 GEMMA2_2B_CONFIG = LLMConfig(
     arch="gemma2_2b", num_layers=26, hidden_size=2304, intermediate_size=9216,
     num_heads=8, num_kv_heads=4, head_dim=256, qkv_bias=False,

@@ -93,6 +93,7 @@ class DiffusionPipeline:
         controlnet_fn=None,
         temporal_scale: int = 1,
         video_condition_fn=None,
+        default_schedule: str = "discrete",
     ):
         self.version = version
         self.diffusion_params = diffusion_params
@@ -109,6 +110,7 @@ class DiffusionPipeline:
         self.uses_distilled_guidance = uses_distilled_guidance
         self.temporal_scale = temporal_scale
         self.video_condition_fn = video_condition_fn
+        self.default_schedule = default_schedule
         self.controlnet_fn = controlnet_fn
         self.controlnet_params = None
         self._ip_proj = None
@@ -153,6 +155,12 @@ class DiffusionPipeline:
         self._ip_clip_cfg = clip_vision_cfg
 
     # ------------------------------------------------------------- programs
+
+    def _resolve_schedule(self, schedule: str) -> str:
+        """"discrete" (the GenerationParams default) resolves to the
+        pipeline's version-specific default scheduler (reference
+        sd_get_default_scheduler, stable-diffusion.cpp:3855-3870)."""
+        return self.default_schedule if schedule == "discrete" else schedule
 
     def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float,
                         use_control: bool = False, slg=None, apg=None):
@@ -565,7 +573,7 @@ class DiffusionPipeline:
         sigmas = get_sigmas(
             self.denoiser,
             gp.sample_steps,
-            scheduler=gp.schedule,
+            scheduler=self._resolve_schedule(gp.schedule),
             version=self.version.value,
             image_seq_len=tl * (lh // 2) * (lw // 2),
         )
@@ -741,7 +749,7 @@ class DiffusionPipeline:
         sigmas = get_sigmas(
             self.denoiser,
             gp.sample_steps,
-            scheduler=gp.schedule,
+            scheduler=self._resolve_schedule(gp.schedule),
             version=self.version.value,
             image_seq_len=(lh // 2) * (lw // 2),
         )
@@ -1062,7 +1070,7 @@ class LTXAVPipeline(DiffusionPipeline):
         ctx_c, ctx_u = _match_context(cond, uncond, 1)
 
         sigmas = get_sigmas(
-            self.denoiser, gp.sample_steps, scheduler=gp.schedule,
+            self.denoiser, gp.sample_steps, scheduler=self._resolve_schedule(gp.schedule),
             version=self.version.value, image_seq_len=lv,
         )
         steps = len(sigmas) - 1
@@ -1204,7 +1212,7 @@ class LTXAVPipeline(DiffusionPipeline):
         ctx_c, ctx_u = _match_context(cond, uncond, 1)
         tl, lh, lw = packed.shape[1:4]
         sigmas = get_sigmas(
-            self.denoiser, gp.sample_steps, scheduler=gp.schedule,
+            self.denoiser, gp.sample_steps, scheduler=self._resolve_schedule(gp.schedule),
             version=self.version.value, image_seq_len=tl * lh * lw,
         )
         start = min(int(len(sigmas) * (1.0 - refine_strength)),
