@@ -675,6 +675,69 @@ class LensConditioner:
         return SDCondition(c_crossattn=h[:, drop:])
 
 
+class OvisImageConditioner:
+    """Ovis-Image: Qwen3 prompted with a captioning instruction + <think>
+    suffix; final-norm hidden states, the 28-token template prefix dropped,
+    right-padded to 256 content tokens with masked pad positions (reference
+    LLMEmbedder for ovis, conditioner.hpp:2590-2599)."""
+
+    TEMPLATE = ("<|im_start|>user\nDescribe the image by detailing the "
+                "color, quantity, text, shape, size, texture, spatial "
+                "relationships of the objects and background: {}"
+                "<|im_end|>\n<|im_start|>assistant\n<think>\n\n</think>\n\n")
+    START_IDX = 28
+    CONTENT_LEN = 256
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg,
+                 start_idx: int = START_IDX, content_len: int = CONTENT_LEN):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.start_idx = start_idx
+        self.content_len = content_len
+
+        def fwd(pl, ids, mask):
+            return llm_forward(pl, ids, self.cl, attention_mask=mask)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.TEMPLATE.format(text))
+            start = min(self.start_idx, max(0, len(ids) - 1))
+        else:  # tests without a tokenizer file
+            ids, start = list(range(12)), 3
+        min_len = start + self.content_len
+        mask = [1.0] * len(ids)
+        if len(ids) < min_len:
+            pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+            mask += [0.0] * (min_len - len(ids))
+            ids = ids + [pad_id] * (min_len - len(ids))
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(np.asarray(mask, dtype=np.float32)[None]))
+        return SDCondition(c_crossattn=h[:, start:])
+
+
+class LongCatConditioner(OvisImageConditioner):
+    """LongCat-Image: Qwen2.5-VL with a captioning system prompt; final-norm
+    hidden states, 36-token template prefix dropped, padded to 512 content
+    tokens (reference LLMEmbedder for longcat, conditioner.hpp:2425-2492)."""
+
+    TEMPLATE = ("<|im_start|>system\nAs an image captioning expert, generate "
+                "a descriptive text prompt based on an image content, "
+                "suitable for input to a text-to-image model.<|im_end|>\n"
+                "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n")
+    START_IDX = 36
+    CONTENT_LEN = 512
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg,
+                 start_idx: int = START_IDX, content_len: int = CONTENT_LEN):
+        super().__init__(qwen_tokenizer, llm_params, llm_cfg,
+                         start_idx=start_idx, content_len=content_len)
+
+
 class ErnieImageConditioner:
     """ERNIE-Image: Ministral-3.3B, raw prompt (no chat template), hidden
     states from the second-to-last layer (reference LLMEmbedder for

@@ -72,6 +72,8 @@ _DIT_FAMILY = {
     SDVersion.FLUX_FILL,
     SDVersion.FLUX2,
     SDVersion.FLUX2_KLEIN,
+    SDVersion.OVIS,
+    SDVersion.LONGCAT,
     SDVersion.CHROMA,
     SDVersion.CHROMA_RADIANCE,
     SDVersion.WAN2,

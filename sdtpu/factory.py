@@ -109,6 +109,12 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version in (SDVersion.OVIS, SDVersion.LONGCAT):
+        return _create_flux_llm_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            longcat=version == SDVersion.LONGCAT,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     if version in (SDVersion.FLUX2, SDVersion.FLUX2_KLEIN):
         return _create_flux2_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
@@ -348,6 +354,95 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         vae_decode_fn=vae_decode_fn,
         vae_encode_fn=vae_encode_fn,
         denoiser=FluxFlowDenoiser(),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels // 4,
+        compute_dtype=dtype,
+        uses_distilled_guidance=dit_cfg.guidance_embed,
+    )
+
+
+def _create_flux_llm_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                              longcat=False, qwen_tokenizer=None):
+    """Ovis-Image / LongCat-Image (reference stable-diffusion.cpp
+    construction :1044-1056, :1177-1190): a FLUX.1-shaped DiT variant (yak
+    swiglu MLPs + semantic txt norm for Ovis; longcat rope + 3584-wide
+    Qwen2.5-VL context for LongCat) conditioned by a chat LLM, over the
+    standard 16ch flux VAE."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import (
+        LongCatConditioner,
+        OvisImageConditioner,
+    )
+    from sdtpu.diffusion.denoiser import FluxFlowDenoiser
+    from sdtpu.models import flux as flux_mod
+    from sdtpu.models import llm as llm_mod
+
+    base = flux_mod.LONGCAT_CONFIG if longcat else flux_mod.OVIS_IMAGE_CONFIG
+    if small:
+        dit_cfg = dataclasses.replace(
+            base, in_channels=16, hidden_size=64, num_heads=2, depth=2,
+            depth_single=2, axes_dim=(8, 12, 12), context_in_dim=16)
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN25_VL_7B_CONFIG if longcat else llm_mod.QWEN3_8B_CONFIG,
+            num_layers=2, hidden_size=16, intermediate_size=32, num_heads=2,
+            num_kv_heads=1, head_dim=8, vocab_size=64)
+        vae_cfg = vae_mod.VAEConfig(
+            base_channels=32, channel_mult=(1, 2, 2, 2), num_res_blocks=1,
+            z_channels=4, scale_factor=0.3611, shift_factor=0.1159)
+        content_len = 16
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (dataclasses.replace(
+            flux_mod.detect_flux2_config(
+                d.keys(), {k: tuple(getattr(v, "shape", ())) for k, v in d.items()}),
+            **{f.name: getattr(base, f.name) for f in dataclasses.fields(base)
+               if f.name in ("mlp_ratio", "theta", "axes_dim", "vec_in_dim",
+                             "share_modulation", "disable_bias", "mlp_silu",
+                             "qkv_bias", "txt_arange_axes", "patch_size",
+                             "yak_mlp", "semantic_txt_norm", "longcat_rope")})
+            if d else base)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen2.5vl" if longcat else "qwen3")
+            if llm else (llm_mod.QWEN25_VL_7B_CONFIG if longcat
+                         else llm_mod.QWEN3_8B_CONFIG))
+        vae_cfg = vae_mod.FLUX_VAE_CONFIG
+        content_len = (LongCatConditioner if longcat
+                       else OvisImageConditioner).CONTENT_LEN
+
+    dit_params = params.get("diffusion") or flux_mod.init_flux_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    cond_cls = LongCatConditioner if longcat else OvisImageConditioner
+    conditioner = cond_cls(qwen_tokenizer, llm_params, llm_cfg,
+                           content_len=content_len)
+
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+        return flux_mod.flux_forward(p, x, t, ctx, None, guidance=guidance,
+                                     cfg=dit_cfg, skip_layers=skip_layers)
+
+    def vae_decode_fn(p, z):
+        return vae_mod.vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    return DiffusionPipeline(
+        version=SDVersion.LONGCAT if longcat else SDVersion.OVIS,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=FluxFlowDenoiser(
+            shift=(3.0 if longcat else 1.0) if flow_shift is None else flow_shift),
         rng_type=rng_type,
         latent_channels=dit_cfg.in_channels // 4,
         compute_dtype=dtype,

@@ -32,6 +32,12 @@ def detect_version(
     if has_prefix("model.diffusion_model.double_blocks") or has_prefix("double_blocks"):
         if any("distilled_guidance_layer" in n for n in names):
             return SDVersion.CHROMA
+        if any("dual_time_embed.semantic_embedder" in n for n in names):
+            # SeFi-Image dual timestep embedder (model_loader.cpp:519)
+            return SDVersion.SEFI
+        if any("double_blocks.0.img_mlp.gate_proj.weight" in n for n in names):
+            # Ovis-Image yak MLP (model_loader.cpp:525)
+            return SDVersion.OVIS
         if any("double_stream_modulation_img" in n for n in names):
             # klein is the shallow distillation: no single_blocks.47
             # (reference model_loader.cpp:649-654)
@@ -40,6 +46,10 @@ def detect_version(
             return SDVersion.FLUX2_KLEIN
         if any("txt_in.individual_token_refiner" in n for n in names):
             return SDVersion.HUNYUAN_VIDEO
+        # LongCat: Qwen2.5-VL context width on txt_in (model_loader.cpp:633)
+        for n in names:
+            if n.endswith("txt_in.weight") and shapes.get(n, (0, 0))[-1] == 3584:
+                return SDVersion.LONGCAT
         return SDVersion.FLUX
     if any(".vace_blocks." in n for n in names):
         return SDVersion.WAN2

@@ -43,8 +43,14 @@ class FluxConfig:
     disable_bias: bool = False  # all linears bias-less
     mlp_silu: bool = False  # SwiGLU MLPs (silu(gate)·x) instead of GELU
     qkv_bias: bool = True
-    txt_arange_axis: Optional[int] = None  # txt RoPE ids: arange on this axis
+    txt_arange_axes: Tuple[int, ...] = ()  # txt RoPE ids: arange on these axes
     patch_size: int = 2  # FLUX.2 runs patch 1 over pre-packed 128ch latents
+    # Ovis-Image variants (reference flux.hpp:79-82)
+    yak_mlp: bool = False  # separate gate/up/down swiglu projections
+    semantic_txt_norm: bool = False  # RMSNorm on raw context before txt_in
+    # LongCat rope: txt token arange on BOTH spatial axes, img grid offset by
+    # context_len with axis-0 index 1 (reference rope.hpp:120-128, 408-412)
+    longcat_rope: bool = False
 
 
 FLUX_DEV_CONFIG = FluxConfig()
@@ -52,12 +58,22 @@ FLUX_SCHNELL_CONFIG = FluxConfig(guidance_embed=False)
 FLUX2_DEV_CONFIG = FluxConfig(
     in_channels=128, mlp_ratio=3.0, theta=2000, axes_dim=(32, 32, 32, 32),
     vec_in_dim=0, guidance_embed=True, share_modulation=True, disable_bias=True,
-    mlp_silu=True, qkv_bias=False, txt_arange_axis=3, depth=8, depth_single=48,
+    mlp_silu=True, qkv_bias=False, txt_arange_axes=(3,), depth=8, depth_single=48,
     patch_size=1, context_in_dim=15360,
 )
 FLUX2_KLEIN_CONFIG = dataclasses.replace(
     FLUX2_DEV_CONFIG, depth=5, depth_single=20, guidance_embed=False,
     context_in_dim=7680,
+)
+# Ovis-Image: Qwen3 context, yak swiglu MLPs, semantic txt RMSNorm, txt rope
+# arange on the spatial axes (reference flux.hpp:79-82 + flux.hpp:1546)
+OVIS_IMAGE_CONFIG = FluxConfig(
+    vec_in_dim=0, guidance_embed=False, yak_mlp=True, semantic_txt_norm=True,
+    txt_arange_axes=(1, 2),
+)
+# LongCat-Image: Qwen2.5-VL context (3584), longcat rope
+LONGCAT_CONFIG = FluxConfig(
+    context_in_dim=3584, vec_in_dim=0, guidance_embed=False, longcat_rope=True,
 )
 
 
@@ -159,11 +175,28 @@ def _mlp_embed(p, pre, x):
 
 def _mlp_act(h, cfg):
     """GELU-tanh, or SwiGLU when cfg.mlp_silu (in-proj emits 2× hidden:
-    [gate, x] → silu(gate)·x, reference ggml_ext_silu_act)."""
+    [gate, x] → silu(gate)·x); yak_mlp flips the halves ([x, gate],
+    reference ggml_ext_silu_act gate_first=false, flux.hpp:687-692)."""
+    if cfg.yak_mlp:
+        val, gate = jnp.split(h, 2, axis=-1)
+        return silu(gate) * val
     if cfg.mlp_silu:
         gate, val = jnp.split(h, 2, axis=-1)
         return silu(gate) * val
     return gelu_tanh(h)
+
+
+def _double_mlp(p, pre, h, cfg):
+    """Double-block MLP: fused mlp.0/mlp.2, or separate gate/up/down swiglu
+    projections when cfg.yak_mlp (reference YakMLP, flux.hpp:343-363)."""
+    if cfg.yak_mlp:
+        gate = silu(linear(h, p[f"{pre}.gate_proj.weight"],
+                           p.get(f"{pre}.gate_proj.bias")))
+        up = linear(h, p[f"{pre}.up_proj.weight"], p.get(f"{pre}.up_proj.bias"))
+        return linear(gate * up, p[f"{pre}.down_proj.weight"],
+                      p.get(f"{pre}.down_proj.bias"))
+    h = linear(h, p[f"{pre}.0.weight"], p.get(f"{pre}.0.bias"))
+    return linear(_mlp_act(h, cfg), p[f"{pre}.2.weight"], p.get(f"{pre}.2.bias"))
 
 
 def _qkv_norm(p, pre, x, num_heads):
@@ -205,7 +238,10 @@ def flux_forward(
     img = (x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
            .reshape(b, hp * wp, ps * ps * c))
     img = linear(img, p["img_in.weight"], p.get("img_in.bias"))
-    txt = linear(context.astype(x.dtype), p["txt_in.weight"], p.get("txt_in.bias"))
+    ctx_in = context.astype(x.dtype)
+    if cfg.semantic_txt_norm:
+        ctx_in = rms_norm(ctx_in, p["txt_norm.weight"], eps=1e-6)
+    txt = linear(ctx_in, p["txt_in.weight"], p.get("txt_in.bias"))
     l_txt = txt.shape[1]
 
     attn_mask = None
@@ -230,15 +266,24 @@ def flux_forward(
         if cfg.vec_in_dim > 0 and y is not None:
             vec = vec + _mlp_embed(p, "vector_in", y.astype(x.dtype))
 
-    # RoPE ids: txt zeros (or arange on txt_arange_axis — FLUX.2);
+    # RoPE ids: txt zeros (or arange on txt_arange_axes — FLUX.2/Ovis);
     # img (…, i, j, …) — static per shape
     n_axes = len(cfg.axes_dim)
     ids = np.zeros((l_txt + hp * wp, n_axes), dtype=np.int64)
     ii, jj = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
-    ids[l_txt:, 1] = ii.reshape(-1)
-    ids[l_txt:, 2] = jj.reshape(-1)
-    if cfg.txt_arange_axis is not None:
-        ids[:l_txt, cfg.txt_arange_axis] = np.arange(l_txt)
+    if cfg.longcat_rope:
+        # txt tokens count along BOTH spatial axes; the img grid continues
+        # after them with axis-0 index 1 (reference gen_longcat_txt_ids)
+        ids[:l_txt, 1] = np.arange(l_txt)
+        ids[:l_txt, 2] = np.arange(l_txt)
+        ids[l_txt:, 0] = 1
+        ids[l_txt:, 1] = ii.reshape(-1) + l_txt
+        ids[l_txt:, 2] = jj.reshape(-1) + l_txt
+    else:
+        ids[l_txt:, 1] = ii.reshape(-1)
+        ids[l_txt:, 2] = jj.reshape(-1)
+        for a in cfg.txt_arange_axes:
+            ids[:l_txt, a] = np.arange(l_txt)
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
     nh = cfg.num_heads
@@ -280,18 +325,12 @@ def flux_forward(
             img_att, p[f"{pre}.img_attn.proj.weight"], p.get(f"{pre}.img_attn.proj.bias")
         )
         img_m = layer_norm(img, eps=1e-6) * (1 + img_mods[4][:, None]) + img_mods[3][:, None]
-        img_mlp = linear(img_m, p[f"{pre}.img_mlp.0.weight"], p.get(f"{pre}.img_mlp.0.bias"))
-        img = img + img_mods[5][:, None] * linear(
-            _mlp_act(img_mlp, cfg), p[f"{pre}.img_mlp.2.weight"], p.get(f"{pre}.img_mlp.2.bias")
-        )
+        img = img + img_mods[5][:, None] * _double_mlp(p, f"{pre}.img_mlp", img_m, cfg)
         txt = txt + txt_mods[2][:, None] * linear(
             txt_att, p[f"{pre}.txt_attn.proj.weight"], p.get(f"{pre}.txt_attn.proj.bias")
         )
         txt_m = layer_norm(txt, eps=1e-6) * (1 + txt_mods[4][:, None]) + txt_mods[3][:, None]
-        txt_mlp = linear(txt_m, p[f"{pre}.txt_mlp.0.weight"], p.get(f"{pre}.txt_mlp.0.bias"))
-        txt = txt + txt_mods[5][:, None] * linear(
-            _mlp_act(txt_mlp, cfg), p[f"{pre}.txt_mlp.2.weight"], p.get(f"{pre}.txt_mlp.2.bias")
-        )
+        txt = txt + txt_mods[5][:, None] * _double_mlp(p, f"{pre}.txt_mlp", txt_m, cfg)
 
     xx = jnp.concatenate([txt, img], axis=1)
     mlp_hidden = int(hidden * cfg.mlp_ratio)
@@ -378,13 +417,15 @@ def init_flux_params_quantized(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0,
 def _flux_param_walk(cfg: FluxConfig, lin0, scale):
     hid = cfg.hidden_size
     mlp_h = int(hid * cfg.mlp_ratio)
-    mlp_mult = 2 if cfg.mlp_silu else 1
+    mlp_mult = 2 if (cfg.mlp_silu or cfg.yak_mlp) else 1
     bias = not cfg.disable_bias
 
     def lin(name, o, i, bias=bias):
         lin0(name, o, i, bias=bias)
 
     lin("img_in", hid, cfg.in_channels)
+    if cfg.semantic_txt_norm:
+        scale("txt_norm.weight", cfg.context_in_dim)
     lin("txt_in", hid, cfg.context_in_dim)
     if cfg.is_chroma:
         pre = "distilled_guidance_layer"
@@ -416,8 +457,13 @@ def _flux_param_walk(cfg: FluxConfig, lin0, scale):
             scale(f"{pre}_attn.norm.query_norm.scale")
             scale(f"{pre}_attn.norm.key_norm.scale")
             lin(f"{pre}_attn.proj", hid, hid)
-            lin(f"{pre}_mlp.0", mlp_h * mlp_mult, hid)
-            lin(f"{pre}_mlp.2", hid, mlp_h)
+            if cfg.yak_mlp:
+                lin(f"{pre}_mlp.gate_proj", mlp_h, hid)
+                lin(f"{pre}_mlp.up_proj", mlp_h, hid)
+                lin(f"{pre}_mlp.down_proj", hid, mlp_h)
+            else:
+                lin(f"{pre}_mlp.0", mlp_h * mlp_mult, hid)
+                lin(f"{pre}_mlp.2", hid, mlp_h)
     for i in range(cfg.depth_single):
         pre = f"single_blocks.{i}"
         if not (cfg.is_chroma or cfg.share_modulation):

@@ -163,7 +163,7 @@ def test_flux2_variant_forward():
         in_channels=16, hidden_size=64, num_heads=2, depth=2, depth_single=2,
         axes_dim=(8, 8, 8, 8), context_in_dim=96, vec_in_dim=0,
         guidance_embed=True, share_modulation=True, disable_bias=True,
-        mlp_silu=True, qkv_bias=False, txt_arange_axis=3, theta=2000,
+        mlp_silu=True, qkv_bias=False, txt_arange_axes=(3,), theta=2000,
     )
     p = init_flux_params(cfg, seed=0)
     assert "double_stream_modulation_img.lin.weight" in p
