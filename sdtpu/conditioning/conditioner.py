@@ -675,6 +675,48 @@ class LensConditioner:
         return SDCondition(c_crossattn=h[:, drop:])
 
 
+class SefiConditioner:
+    """SeFi-Image: Qwen3-VL plain chat wrap; hidden states from layers
+    {9, 18, 27} concatenated on the feature axis, tokens right-padded to
+    1024 with pad keys masked (reference LLMEmbedder for sefi,
+    conditioner.hpp:2577-2589)."""
+
+    TEMPLATE = "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+    OUT_LAYERS = (9, 18, 27)
+    MIN_LEN = 1024
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, out_layers=None,
+                 min_len: int = MIN_LEN):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.min_len = min_len
+        layers = tuple(out_layers or self.OUT_LAYERS)
+        layers = tuple(min(li, llm_cfg.num_layers + 1) for li in layers)
+
+        def fwd(pl, ids, mask):
+            return llm_forward(pl, ids, self.cl, attention_mask=mask,
+                               output_layers=layers)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.TEMPLATE.format(text))
+        else:  # tests without a tokenizer file
+            ids = list(range(12))
+        mask = [1.0] * len(ids)
+        if len(ids) < self.min_len:
+            pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+            mask += [0.0] * (self.min_len - len(ids))
+            ids = ids + [pad_id] * (self.min_len - len(ids))
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(np.asarray(mask, dtype=np.float32)[None]))
+        return SDCondition(c_crossattn=h)
+
+
 class OvisImageConditioner:
     """Ovis-Image: Qwen3 prompted with a captioning instruction + <think>
     suffix; final-norm hidden states, the 28-token template prefix dropped,

@@ -248,6 +248,32 @@ class FluxFlowDenoiser(DiscreteFlowDenoiser):
         return flux_time_shift(self.shift, 1.0, t / TIMESTEPS)
 
 
+class SefiFlowDenoiser(FluxFlowDenoiser):
+    """SeFi-Image dual-schedule flow (reference SefiFlowDenoiser,
+    denoiser.hpp:1279-1351): semantic channels run delta_t ahead of the
+    texture channels; the model receives a [t_sem, t_tex] timestep vector
+    (raw 1..1000 values) while scalings use the texture sigma."""
+
+    SEM_CHANNELS = 16
+
+    def __init__(self, alpha: float = 1.0, delta_t: float = 0.1):
+        super().__init__(shift=1.0)
+        self.alpha = alpha
+        self.delta_t = delta_t
+
+    def sigma_to_t(self, sigma):
+        return np.asarray(sigma) * 1000.0
+
+    def sigma_to_t_jnp(self, sigma):
+        return sigma * 1000.0
+
+    def get_scalings_jnp(self, sigma):
+        import jax.numpy as jnp
+
+        tex = sigma[-1] if getattr(sigma, "ndim", 0) else sigma
+        return jnp.float32(1.0), -tex, jnp.float32(1.0)
+
+
 class MiniT2IFlowDenoiser(Denoiser):
     """MiniT2I linear flow: model predicts x0 directly; start = noise*2."""
 

@@ -81,6 +81,27 @@ def _euler_step(model_fn):
     return step
 
 
+def _sefi_euler_step(model_fn, sem_channels: int):
+    """SeFi dual-schedule euler (reference sample_sefi_euler,
+    denoiser.hpp:1523-1555): one velocity from the texture sigma, semantic
+    and texture channel groups integrated with their own sigma deltas.  The
+    model receives the stacked [sem_sigma, tex_sigma] so its dual timestep
+    embedder sees both raw t values."""
+
+    def step(carry, s):
+        x = carry["x"]
+        sig_vec = jnp.stack([s["sem_sigma"], s["sigma"]])
+        den, _ = model_fn(x, sig_vec, s["i"])
+        v = (x - den) / s["sigma"]
+        x_sem = (x[..., :sem_channels]
+                 + v[..., :sem_channels] * (s["sem_sigma_next"] - s["sem_sigma"]))
+        x_tex = (x[..., sem_channels:]
+                 + v[..., sem_channels:] * (s["sigma_next"] - s["sigma"]))
+        return {"x": jnp.concatenate([x_sem, x_tex], axis=-1)}
+
+    return step
+
+
 def _euler_a_step(model_fn, is_flow):
     def step(carry, s):
         x = carry["x"]
@@ -474,7 +495,7 @@ NOISY_METHODS = {
 }
 
 SAMPLE_METHODS = [
-    "euler", "euler_a", "heun", "dpm2", "dpm++2s_a", "dpm++2m", "dpm++2m_v2",
+    "euler", "sefi_euler", "euler_a", "heun", "dpm2", "dpm++2s_a", "dpm++2m", "dpm++2m_v2",
     "dpm++2m_sde", "dpm++2m_sde_bt", "ipndm", "ipndm_v", "lcm", "ddim_trailing",
     "tcd", "res_multistep", "res_2s", "er_sde", "euler_cfg_pp", "euler_a_cfg_pp",
     "euler_ge",
@@ -737,6 +758,15 @@ def build_sampler(
     carry = {"x": x}
     if method == "euler":
         step = _euler_step(model_fn)
+    elif method == "sefi_euler":
+        from sdtpu.diffusion.schedule import sefi_dual_schedule
+
+        sem, _ = sefi_dual_schedule(n, extra_args.get("alpha", 1.0),
+                                    extra_args.get("delta_t", 0.1))
+        per["sem_sigma"] = sem[:n]
+        per["sem_sigma_next"] = sem[1 : n + 1]
+        step = _sefi_euler_step(model_fn,
+                                int(extra_args.get("sem_channels", 16)))
     elif method == "euler_a":
         # reference euler_a with eta==0 uses the deterministic ratio form
         if eta == 0.0:

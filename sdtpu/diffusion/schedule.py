@@ -378,6 +378,32 @@ def schedule_flux2(n, sigma_min, sigma_max, t_to_sigma, image_seq_len=0):
     return np.asarray(out, dtype=np.float32)
 
 
+def sefi_dual_schedule(n, alpha=1.0, delta_t=0.1):
+    """SeFi dual flow schedule → (sem_sigmas, tex_sigmas), each n+1 values
+    (reference SefiFlowDenoiser::get_sigmas, denoiser.hpp:1302-1350): the
+    semantic channels run delta_t ahead of the texture channels on a
+    1000-step quantized grid."""
+    T = 1000
+    sem, tex = [], []
+    for i in range(n + 1):
+        u = i / n
+        if alpha != 1.0:
+            u = (alpha * u) / (1.0 + (alpha - 1.0) * u)
+        u_sem_raw = u * (1.0 + delta_t)
+        u_sem = min(u_sem_raw, 1.0)
+        u_tex = max(0.0, min(u_sem_raw - delta_t, 1.0))
+        idx_sem = min(T - 1, max(0, int(u_sem * (T - 1))))
+        idx_tex = min(T - 1, max(0, int(u_tex * (T - 1))))
+        sem.append((T - idx_sem) / T)
+        tex.append((T - idx_tex) / T)
+    return (np.asarray(sem, dtype=np.float32),
+            np.asarray(tex, dtype=np.float32))
+
+
+def schedule_sefi(n, sigma_min, sigma_max, t_to_sigma, alpha=1.0, delta_t=0.1):
+    return sefi_dual_schedule(n, alpha, delta_t)[1]
+
+
 def schedule_ltx2(n, sigma_min, sigma_max, t_to_sigma, token_count=4096,
                   max_shift=2.05, base_shift=0.95, stretch=True, terminal=0.1):
     m = (max_shift - base_shift) / (4096.0 - 1024.0)
@@ -417,6 +443,7 @@ SCHEDULERS = {
     "logit_normal": schedule_logit_normal,
     "flux": schedule_flux,
     "flux2": schedule_flux2,
+    "sefi": schedule_sefi,
     "ltx2": schedule_ltx2,
 }
 

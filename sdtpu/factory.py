@@ -109,6 +109,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version == SDVersion.SEFI:
+        return _create_sefi_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     if version in (SDVersion.OVIS, SDVersion.LONGCAT):
         return _create_flux_llm_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
@@ -540,6 +545,101 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
         default_schedule="flux2",
+    )
+
+
+def _create_sefi_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                          qwen_tokenizer=None):
+    """SeFi-Image (reference stable-diffusion.cpp:1754 + flux.hpp:96-111):
+    FLUX.2-shaped DiT over 16 semantic + 128 packed texture channels, dual
+    timestep embedder, Qwen3-VL conditioner; sampled with the dedicated
+    dual-schedule sefi_euler (denoiser.hpp:2673 forces it), texture channels
+    decoded by the 32ch flux2 VAE (auto_encoder_kl.hpp:819 slice 16..144)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import SefiConditioner
+    from sdtpu.diffusion.denoiser import SefiFlowDenoiser
+    from sdtpu.models import flux as flux_mod
+    from sdtpu.models import llm as llm_mod
+
+    sem = flux_mod.SEFI_CONFIG.sefi_sem_channels
+    if small:
+        dit_cfg = dataclasses.replace(
+            flux_mod.SEFI_CONFIG, in_channels=sem + 16, hidden_size=64,
+            num_heads=2, depth=2, depth_single=2, axes_dim=(8, 8, 8, 8),
+            context_in_dim=48)
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_8B_CONFIG, num_layers=3, hidden_size=16,
+            intermediate_size=32, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64)
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1, z_channels=4,
+                                    scale_factor=1.0)
+        out_layers = (1, 2, 3)
+        min_len = 16
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (dataclasses.replace(
+            flux_mod.detect_flux2_config(
+                d.keys(), {k: tuple(getattr(v, "shape", ())) for k, v in d.items()}),
+            is_sefi=True, guidance_embed=False)
+            if d else flux_mod.SEFI_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3") if llm else llm_mod.QWEN3_8B_CONFIG)
+        vae_cfg = vae_mod.FLUX2_VAE_CONFIG
+        out_layers = None
+        min_len = SefiConditioner.MIN_LEN
+
+    dit_params = params.get("diffusion") or flux_mod.init_flux_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = SefiConditioner(qwen_tokenizer, llm_params, llm_cfg,
+                                  out_layers=out_layers, min_len=min_len)
+
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+        return flux_mod.flux_forward(p, x, t, ctx, None, cfg=dit_cfg,
+                                     skip_layers=skip_layers)
+
+    if small:
+        # tiny config: texture half = plain 4-ch VAE with a 2x2 pack;
+        # encode prepends zeroed semantic channels
+        def vae_decode_fn(p, z):
+            return vae_mod.vae_decode(p, vae_mod.flux2_unpack(z[..., sem:]), vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            tex = vae_mod.flux2_pack(vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg))
+            return jnp.concatenate(
+                [jnp.zeros(tex.shape[:-1] + (sem,), tex.dtype), tex], axis=-1)
+    else:
+        def vae_decode_fn(p, z):
+            return vae_mod.flux2_vae_decode(p, z[..., sem:], vae_cfg)
+
+        def vae_encode_fn(p, x, noise=None):
+            tex = vae_mod.flux2_vae_encode(p, x, noise=noise, cfg=vae_cfg)
+            return jnp.concatenate(
+                [jnp.zeros(tex.shape[:-1] + (sem,), tex.dtype), tex], axis=-1)
+
+    return DiffusionPipeline(
+        version=SDVersion.SEFI,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=SefiFlowDenoiser(),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=16,
+        compute_dtype=dtype,
+        default_schedule="sefi",
+        force_sample_method="sefi_euler",
     )
 
 

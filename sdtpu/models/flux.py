@@ -51,6 +51,10 @@ class FluxConfig:
     # LongCat rope: txt token arange on BOTH spatial axes, img grid offset by
     # context_len with axis-0 index 1 (reference rope.hpp:120-128, 408-412)
     longcat_rope: bool = False
+    # SeFi-Image: dual [sem, tex] timesteps into a split embedder; the first
+    # 16 latent channels are the semantic group (reference sefi_image.hpp)
+    is_sefi: bool = False
+    sefi_sem_channels: int = 16
 
 
 FLUX_DEV_CONFIG = FluxConfig()
@@ -74,6 +78,12 @@ OVIS_IMAGE_CONFIG = FluxConfig(
 # LongCat-Image: Qwen2.5-VL context (3584), longcat rope
 LONGCAT_CONFIG = FluxConfig(
     context_in_dim=3584, vec_in_dim=0, guidance_embed=False, longcat_rope=True,
+)
+# SeFi-Image: FLUX.2-shaped body over 16 semantic + 128 packed texture
+# channels with a dual timestep embedder (reference flux.hpp:96-111)
+SEFI_CONFIG = dataclasses.replace(
+    FLUX2_DEV_CONFIG, in_channels=144, guidance_embed=False, is_sefi=True,
+    context_in_dim=7680,
 )
 
 
@@ -256,6 +266,20 @@ def flux_forward(
             attn_mask = (
                 jnp.concatenate([y, pad], axis=1).astype(jnp.float32)[:, None, None, :]
             )
+    elif cfg.is_sefi:
+        # timesteps: [B, 2] raw [t_sem, t_tex] (1..1000); each half of the
+        # hidden vector comes from its own silu MLP (SefiDualTimestepEmbeddings)
+        modt = None
+
+        def _sefi_embed(pre, t):
+            e = timestep_embedding(t, 256).astype(x.dtype)
+            e = linear(e, p[f"{pre}.linear_1.weight"])
+            return linear(silu(e), p[f"{pre}.linear_2.weight"])
+
+        vec = jnp.concatenate(
+            [_sefi_embed("dual_time_embed.semantic_embedder", timesteps[:, 0]),
+             _sefi_embed("dual_time_embed.texture_embedder", timesteps[:, 1])],
+            axis=-1)
     else:
         modt = None
         t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
@@ -435,6 +459,10 @@ def _flux_param_walk(cfg: FluxConfig, lin0, scale):
             lin(f"{pre}.layers.{i}.in_layer", CHROMA_APPROX_INNER, CHROMA_APPROX_INNER)
             lin(f"{pre}.layers.{i}.out_layer", CHROMA_APPROX_INNER, CHROMA_APPROX_INNER)
         lin(f"{pre}.out_proj", hid, CHROMA_APPROX_INNER)
+    elif cfg.is_sefi:
+        for emb in ("semantic_embedder", "texture_embedder"):
+            lin(f"dual_time_embed.{emb}.linear_1", hid // 2, 256, bias=False)
+            lin(f"dual_time_embed.{emb}.linear_2", hid // 2, hid // 2, bias=False)
     else:
         lin("time_in.in_layer", hid, 256)
         lin("time_in.out_layer", hid, hid)

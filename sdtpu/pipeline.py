@@ -94,6 +94,7 @@ class DiffusionPipeline:
         temporal_scale: int = 1,
         video_condition_fn=None,
         default_schedule: str = "discrete",
+        force_sample_method: Optional[str] = None,
     ):
         self.version = version
         self.diffusion_params = diffusion_params
@@ -111,6 +112,7 @@ class DiffusionPipeline:
         self.temporal_scale = temporal_scale
         self.video_condition_fn = video_condition_fn
         self.default_schedule = default_schedule
+        self.force_sample_method = force_sample_method
         self.controlnet_fn = controlnet_fn
         self.controlnet_params = None
         self._ip_proj = None
@@ -227,6 +229,14 @@ class DiffusionPipeline:
                 def model_fn(xt, sigma, i):
                     c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
                     t = denoiser.sigma_to_t_jnp(sigma)
+
+                    def _tt(nb):
+                        # SeFi passes a [sem, tex] sigma vector → [nb, 2]
+                        if getattr(t, "ndim", 0):
+                            return jnp.broadcast_to(
+                                t[None].astype(jnp.float32), (nb,) + t.shape)
+                        return jnp.full((nb,), t, dtype=jnp.float32)
+
                     x_core = (xt * c_in).astype(self.compute_dtype)
                     x_in = x_core
                     if mi["c_concat"] is not None:
@@ -269,7 +279,7 @@ class DiffusionPipeline:
                             if mi["y_cond"] is not None
                             else None
                         )
-                        tt = jnp.full((2 * b,), t, dtype=jnp.float32)
+                        tt = _tt(2 * b)
                         ex2 = {
                             k: jnp.concatenate([v, v], axis=0)
                             for k, v in mi["extras"].items()
@@ -293,7 +303,7 @@ class DiffusionPipeline:
                             slg_scale, slg_layers, i0, i1 = slg
 
                             def _do_slg(_):
-                                tt1 = jnp.full((b,), t, dtype=jnp.float32)
+                                tt1 = _tt(b)
                                 out_s = diffusion_fn(
                                     mi["params"], x_in, tt1, mi["ctx_cond"],
                                     mi["y_cond"], skip_layers=slg_layers,
@@ -310,7 +320,7 @@ class DiffusionPipeline:
                             )
                             pred = pred + delta
                     else:
-                        tt = jnp.full((b,), t, dtype=jnp.float32)
+                        tt = _tt(b)
                         out = apply_model(
                             x_in, x_core, tt, mi["ctx_cond"], mi["y_cond"], mi["extras"]
                         ).astype(jnp.float32)
@@ -722,6 +732,10 @@ class DiffusionPipeline:
         Any of these switches sampling from the monolithic on-device scan to
         a host-driven loop with one compiled step."""
         t0 = time.time()
+        if self.force_sample_method and gp.sample_method != self.force_sample_method:
+            # SeFi always samples with its dual-schedule euler (reference
+            # denoiser.hpp:2673: SefiFlowDenoiser dispatch overrides method)
+            gp = dataclasses.replace(gp, sample_method=self.force_sample_method)
         w, h = gp.width, gp.height
         lh, lw = h // self.scale_factor, w // self.scale_factor
         bc = gp.batch_count

@@ -69,7 +69,10 @@ ORACLES = {
 }
 
 
-@pytest.mark.parametrize("method", [m for m in SAMPLE_METHODS if m != "dpm++2m_sde_bt"])
+# dpm++2m_sde_bt shares the sde oracle; sefi_euler needs its own dual
+# schedule (covered against the reference recurrence in test_sefi.py)
+@pytest.mark.parametrize("method", [m for m in SAMPLE_METHODS
+                                    if m not in ("dpm++2m_sde_bt", "sefi_euler")])
 @pytest.mark.parametrize("eta", [0.0, 1.0])
 def test_sampler_matches_oracle(setup, method, eta):
     x0, sigmas, noises = setup

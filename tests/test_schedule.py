@@ -53,9 +53,13 @@ def test_flow_denoisers():
 @pytest.mark.parametrize("name", sorted(SCHEDULERS))
 @pytest.mark.parametrize("n", [4, 10, 20])
 def test_scheduler_properties(name, n):
-    d = CompVisDenoiser() if name not in ("flux", "flux2", "ltx2", "logit_normal") else FluxFlowDenoiser()
+    d = CompVisDenoiser() if name not in ("flux", "flux2", "sefi", "ltx2", "logit_normal") else FluxFlowDenoiser()
     sig = get_sigmas(d, n, scheduler=name, version="sd1", image_seq_len=4096)
-    assert sig[-1] == 0.0
+    if name == "sefi":
+        # sefi terminates on the quantized 1000-grid, not exactly 0
+        assert sig[-1] == 1.0 / 1000.0
+    else:
+        assert sig[-1] == 0.0
     assert np.all(sig[:-1] > 0)
     diffs = np.diff(sig[:-1])
     assert np.all(diffs <= 1e-5), f"{name} not descending: {sig}"
