@@ -109,6 +109,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version == SDVersion.CHROMA_RADIANCE:
+        return _create_chroma_radiance_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            t5_tokenizer=t5_tokenizer,
+        )
     if version == SDVersion.SEFI:
         return _create_sefi_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
@@ -545,6 +550,83 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
         default_schedule="flux2",
+    )
+
+
+def _create_chroma_radiance_pipeline(params, rng_type, dtype, small, seed,
+                                     flow_shift, t5_tokenizer=None):
+    """Chroma-Radiance (reference stable-diffusion.cpp:1418 FakeVAE +
+    flux.hpp forward_chroma_radiance): pixel-space chroma with a 16x16 conv
+    patch embed and a NeRF per-patch pixel decoder; T5 conditioner with the
+    chroma attention mask; no VAE (identity, clipped to [-1,1])."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import ChromaConditioner
+    from sdtpu.diffusion.denoiser import FluxFlowDenoiser
+    from sdtpu.models import flux as flux_mod
+    from sdtpu.models import t5 as t5_mod
+
+    if small:
+        dit_cfg = dataclasses.replace(
+            flux_mod.CHROMA_RADIANCE_CONFIG, hidden_size=64, num_heads=2,
+            depth=2, depth_single=2, axes_dim=(8, 12, 12), context_in_dim=96,
+            patch_size=4, nerf_hidden=16, nerf_depth=2, nerf_max_freqs=4)
+        t5_cfg = t5_mod.T5Config(vocab_size=256, d_model=96, d_kv=16, d_ff=128,
+                                 num_layers=2, num_heads=4)
+        t5_seq = 32
+    else:
+        d = params.get("diffusion")
+        if d:
+            shapes = {k: tuple(getattr(v, "shape", ())) for k, v in d.items()}
+            names = set(d.keys())
+            depth = max((int(n.split(".")[1]) + 1 for n in names
+                         if n.startswith("double_blocks.")), default=19)
+            depth_single = max((int(n.split(".")[1]) + 1 for n in names
+                                if n.startswith("single_blocks.")), default=38)
+            conv_w = shapes.get("img_in_patch.weight", (3072, 3, 16, 16))
+            # __32x32__ checkpoints: conv kernel is half the logical patch
+            fake_x2 = "__32x32__" in names
+            dit_cfg = dataclasses.replace(
+                flux_mod.CHROMA_RADIANCE_CONFIG,
+                hidden_size=conv_w[0], depth=depth, depth_single=depth_single,
+                patch_size=conv_w[2] * (2 if fake_x2 else 1),
+                fake_patch_x2=fake_x2, radiance_x0="__x0__" in names)
+        else:
+            dit_cfg = flux_mod.CHROMA_RADIANCE_CONFIG
+        t5_cfg = t5_mod.T5_XXL_CONFIG
+        t5_seq = 512
+
+    dit_params = params.get("diffusion") or flux_mod.init_flux_params(
+        dit_cfg, seed, dtype=dtype)
+    t5_params = params.get("t5") or t5_mod.init_t5_params(
+        t5_cfg, seed + 2, dtype=dtype)
+
+    conditioner = ChromaConditioner(t5_tokenizer, t5_params, t5_cfg,
+                                    seq_len=t5_seq)
+
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+        return flux_mod.flux_forward(p, x, t, ctx, y, guidance=guidance,
+                                     cfg=dit_cfg, skip_layers=skip_layers)
+
+    def vae_decode_fn(p, z):
+        return jnp.clip(z, -1.0, 1.0)
+
+    def vae_encode_fn(p, x, noise=None):
+        return x
+
+    return DiffusionPipeline(
+        version=SDVersion.CHROMA_RADIANCE,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params={},
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=FluxFlowDenoiser(shift=1.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=1,
+        compute_dtype=dtype,
     )
 
 

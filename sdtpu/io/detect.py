@@ -30,6 +30,9 @@ def detect_version(
     if has_prefix("model.diffusion_model.joint_blocks") or has_prefix("joint_blocks"):
         return SDVersion.SD3
     if has_prefix("model.diffusion_model.double_blocks") or has_prefix("double_blocks"):
+        if any("nerf_final_layer_conv." in n for n in names):
+            # pixel-space NeRF head (model_loader.cpp:483)
+            return SDVersion.CHROMA_RADIANCE
         if any("distilled_guidance_layer" in n for n in names):
             return SDVersion.CHROMA
         if any("dual_time_embed.semantic_embedder" in n for n in names):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdtpu.ops import attention, layer_norm, linear, rms_norm, timestep_embedding
-from sdtpu.ops.basic import gelu_tanh, silu
+from sdtpu.ops.basic import conv2d, gelu_tanh, silu
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +55,15 @@ class FluxConfig:
     # 16 latent channels are the semantic group (reference sefi_image.hpp)
     is_sefi: bool = False
     sefi_sem_channels: int = 16
+    # Chroma-Radiance: pixel-space chroma with a conv patch embed and a NeRF
+    # pixel decoder head (reference ChromaRadianceConfig, flux.hpp:19-24)
+    is_radiance: bool = False
+    nerf_hidden: int = 64
+    nerf_mlp_ratio: int = 4
+    nerf_depth: int = 4
+    nerf_max_freqs: int = 8
+    radiance_x0: bool = False  # __x0__ marker: convert x0 pred to velocity
+    fake_patch_x2: bool = False  # __32x32__ marker: half-res conv embed
 
 
 FLUX_DEV_CONFIG = FluxConfig()
@@ -87,6 +96,19 @@ SEFI_CONFIG = dataclasses.replace(
 )
 
 
+def radiance_dct_basis(patch_size: int, max_freqs: int) -> np.ndarray:
+    """[P*P, max_freqs^2] cosine positional table (reference fetch_dct_pos,
+    flux.hpp:1444-1492): cos(px*fx*pi)*cos(py*fy*pi)/(1+fx*fy)."""
+    pos = np.arange(patch_size, dtype=np.float64) / (patch_size - 1)
+    py, px = np.meshgrid(pos, pos, indexing="ij")  # row-major (y outer)
+    f = np.arange(max_freqs, dtype=np.float64)
+    cx = np.cos(px.reshape(-1, 1) * f[None] * np.pi)  # [P*P, F]
+    cy = np.cos(py.reshape(-1, 1) * f[None] * np.pi)
+    coeff = 1.0 / (1.0 + f[:, None] * f[None])  # [Fx, Fy]
+    dct = cx[:, :, None] * cy[:, None, :] * coeff[None]  # [P*P, Fx, Fy]
+    return dct.reshape(patch_size * patch_size, max_freqs * max_freqs).astype(np.float32)
+
+
 def detect_flux2_config(names, shapes) -> FluxConfig:
     """Shape-driven FLUX.2 config (reference FluxConfig::detect_from_weights,
     flux.hpp:62-130: block counts + head_dim from qk norm scales)."""
@@ -115,6 +137,11 @@ def detect_flux2_config(names, shapes) -> FluxConfig:
         kw["depth_single"] = depth_single
     return dataclasses.replace(FLUX2_DEV_CONFIG, **kw)
 CHROMA_CONFIG = FluxConfig(guidance_embed=False, vec_in_dim=0, is_chroma=True)
+# Chroma-Radiance: chroma distilled modulation in PIXEL space, 16x16 conv
+# patch embed, NeRF per-patch pixel decoder (reference flux.hpp:76-78)
+CHROMA_RADIANCE_CONFIG = dataclasses.replace(
+    CHROMA_CONFIG, in_channels=3, patch_size=16, is_radiance=True,
+)
 
 # Chroma distilled-modulation table layout (reference flux.hpp:480-489,637,722):
 #   single block i      → 1 mod  at 3*i
@@ -227,6 +254,52 @@ def _modulation(p, pre, vec, n: int):
     return jnp.split(m, n, axis=-1)
 
 
+def _radiance_nerf_decode(p, tokens, x_pad, cfg: FluxConfig) -> jnp.ndarray:
+    """NeRF pixel decoder (reference flux.hpp:1232-1259): each DiT output
+    token generates per-patch GLU MLP weights that refine the raw noisy
+    pixels + a cosine positional table into the final RGB patch."""
+    b, hh, ww, c = x_pad.shape
+    ps = cfg.patch_size
+    hp, wp = hh // ps, ww // ps
+    nh, ratio = cfg.nerf_hidden, cfg.nerf_mlp_ratio
+
+    # per-patch pixel matrix [B, N, P*P, C], positions row-major (y outer)
+    pix = (x_pad.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
+           .reshape(b, hp * wp, ps * ps, c))
+    dct = jnp.asarray(radiance_dct_basis(ps, cfg.nerf_max_freqs))
+    feat = jnp.concatenate(
+        [pix, jnp.broadcast_to(dct[None, None], pix.shape[:2] + dct.shape)
+         .astype(pix.dtype)], axis=-1)
+    xx = linear(feat, p["nerf_image_embedder.embedder.0.weight"],
+                p.get("nerf_image_embedder.embedder.0.bias"))  # [B,N,P²,nh]
+
+    def _l2(w):
+        return w * jax.lax.rsqrt(
+            jnp.sum(jnp.square(w), axis=-1, keepdims=True) + 1e-12)
+
+    for i in range(cfg.nerf_depth):
+        pre = f"nerf_blocks.{i}"
+        params = linear(tokens, p[f"{pre}.param_generator.weight"],
+                        p.get(f"{pre}.param_generator.bias"))  # [B,N,3·nh·nh·r]
+        c0, c1, c2 = jnp.split(params, 3, axis=-1)
+        # torch reshape (nh, nh·r) then transpose → [out, in], rows
+        # l2-normalized over the input axis (reference NerfGLUBlock)
+        w1 = _l2(c0.reshape(b, -1, nh, nh * ratio).swapaxes(-1, -2))
+        w2 = _l2(c1.reshape(b, -1, nh, nh * ratio).swapaxes(-1, -2))
+        w3 = _l2(c2.reshape(b, -1, nh * ratio, nh).swapaxes(-1, -2))
+        xn = rms_norm(xx, p[f"{pre}.norm.weight"])
+        x1 = silu(jnp.einsum("bnpc,bnoc->bnpo", xn, w1))
+        x2 = jnp.einsum("bnpc,bnoc->bnpo", xn, w2)
+        xx = xx + jnp.einsum("bnpo,bnco->bnpc", x1 * x2, w3)
+
+    # unpatchify to [B, H, W, nh], channel-wise RMS norm, 3x3 conv to RGB
+    xx = (xx.reshape(b, hp, wp, ps, ps, nh).transpose(0, 1, 3, 2, 4, 5)
+          .reshape(b, hh, ww, nh))
+    xx = rms_norm(xx, p["nerf_final_layer_conv.norm.weight"])
+    return conv2d(xx, p["nerf_final_layer_conv.conv.weight"],
+                  p.get("nerf_final_layer_conv.conv.bias"), padding=1)
+
+
 def flux_forward(
     p,
     x: jnp.ndarray,
@@ -242,12 +315,32 @@ def flux_forward(
     guidance scale. Returns velocity [B,H,W,16]."""
     b, h, w, c = x.shape
     ps = cfg.patch_size
-    hp, wp = h // ps, w // ps
     hidden = cfg.hidden_size
 
-    img = (x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
-           .reshape(b, hp * wp, ps * ps * c))
-    img = linear(img, p["img_in.weight"], p.get("img_in.bias"))
+    x_pad = x
+    if cfg.is_radiance:
+        # pixel-space input: pad to the patch grid, conv patch embed
+        # (reference forward_chroma_radiance, flux.hpp:1190-1232)
+        pad_h, pad_w = (-h) % ps, (-w) % ps
+        if pad_h or pad_w:
+            x_pad = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = (h + pad_h) // ps, (w + pad_w) // ps
+        src = x_pad
+        k = ps
+        if cfg.fake_patch_x2:
+            # __32x32__ checkpoints: bilinear half-size, conv k=16 over it
+            src = jax.image.resize(
+                x_pad, (b, x_pad.shape[1] // 2, x_pad.shape[2] // 2, c),
+                method="bilinear")
+            k = ps // 2
+        img = conv2d(src, p["img_in_patch.weight"], p.get("img_in_patch.bias"),
+                     stride=k, padding=0)
+        img = img.reshape(b, hp * wp, hidden)
+    else:
+        hp, wp = h // ps, w // ps
+        img = (x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
+               .reshape(b, hp * wp, ps * ps * c))
+        img = linear(img, p["img_in.weight"], p.get("img_in.bias"))
     ctx_in = context.astype(x.dtype)
     if cfg.semantic_txt_norm:
         ctx_in = rms_norm(ctx_in, p["txt_norm.weight"], eps=1e-6)
@@ -390,6 +483,13 @@ def flux_forward(
         xx = xx + mods[2][:, None] * out
 
     img = xx[:, l_txt:]
+    if cfg.is_radiance:
+        out = _radiance_nerf_decode(p, img, x_pad, cfg)
+        if cfg.radiance_x0:
+            # __x0__ checkpoints predict x0; convert to the velocity the
+            # flow sampler expects (reference _apply_x0_residual)
+            out = (x_pad - out) / timesteps[:, None, None, None]
+        return out[:, :h, :w]
     if cfg.is_chroma:
         shift, scale = modt[:, -2], modt[:, -1]
     else:
@@ -434,11 +534,11 @@ def init_flux_params_quantized(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0,
     def scale(name, dim=None):
         p[name] = jnp.ones((dim or d_head,), dtype=dtype)
 
-    _flux_param_walk(cfg, lin, scale)
+    _flux_param_walk(cfg, lin, scale, conv)
     return p
 
 
-def _flux_param_walk(cfg: FluxConfig, lin0, scale):
+def _flux_param_walk(cfg: FluxConfig, lin0, scale, conv=None):
     hid = cfg.hidden_size
     mlp_h = int(hid * cfg.mlp_ratio)
     mlp_mult = 2 if (cfg.mlp_silu or cfg.yak_mlp) else 1
@@ -447,7 +547,19 @@ def _flux_param_walk(cfg: FluxConfig, lin0, scale):
     def lin(name, o, i, bias=bias):
         lin0(name, o, i, bias=bias)
 
-    lin("img_in", hid, cfg.in_channels)
+    if cfg.is_radiance:
+        k = cfg.patch_size // (2 if cfg.fake_patch_x2 else 1)
+        conv("img_in_patch", hid, cfg.in_channels, k)
+        nh, r = cfg.nerf_hidden, cfg.nerf_mlp_ratio
+        lin("nerf_image_embedder.embedder.0", nh,
+            cfg.in_channels + cfg.nerf_max_freqs**2)
+        for i in range(cfg.nerf_depth):
+            lin(f"nerf_blocks.{i}.param_generator", 3 * nh * nh * r, hid)
+            scale(f"nerf_blocks.{i}.norm.weight", nh)
+        scale("nerf_final_layer_conv.norm.weight", nh)
+        conv("nerf_final_layer_conv.conv", cfg.in_channels, nh, 3)
+    else:
+        lin("img_in", hid, cfg.in_channels)
     if cfg.semantic_txt_norm:
         scale("txt_norm.weight", cfg.context_in_dim)
     lin("txt_in", hid, cfg.context_in_dim)
@@ -500,6 +612,8 @@ def _flux_param_walk(cfg: FluxConfig, lin0, scale):
         lin(f"{pre}.linear2", hid, hid + mlp_h)
         scale(f"{pre}.norm.query_norm.scale")
         scale(f"{pre}.norm.key_norm.scale")
+    if cfg.is_radiance:
+        return  # NeRF head replaces the final layer
     if not cfg.is_chroma:
         lin("final_layer.adaLN_modulation.1", 2 * hid, hid)
     lin("final_layer.linear", cfg.in_channels, hid)
@@ -517,8 +631,14 @@ def init_flux_params(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp
         if bias:
             p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
 
+    def conv(name, o, i, k):
+        p[f"{name}.weight"] = jnp.asarray(
+            g.standard_normal((o, i, k, k), dtype=np.float32) * 0.02, dtype=dtype
+        )
+        p[f"{name}.bias"] = jnp.zeros((o,), dtype=dtype)
+
     def scale(name, dim=None):
         p[name] = jnp.ones((dim or d_head,), dtype=dtype)
 
-    _flux_param_walk(cfg, lin, scale)
+    _flux_param_walk(cfg, lin, scale, conv)
     return p
