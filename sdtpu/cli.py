@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="apply canny preprocessing to the control image")
     ap.add_argument("--ip-adapter", help="ip-adapter checkpoint file")
     ap.add_argument("--ip-image", help="ip-adapter reference image")
+    ap.add_argument("-r", "--ref-image", action="append", default=[],
+                    help="reference image (PiD low-quality input; repeatable)")
     ap.add_argument("--ip-scale", type=float, default=1.0)
     ap.add_argument("--clip-vision", help="CLIP vision encoder checkpoint (ip-adapter)")
     ap.add_argument("--cache", default=None,
@@ -192,7 +194,7 @@ def _load_pipeline(args):
     if args.llm_tokenizer:
         # tokenizer family follows the text tower (reference LLMEmbedder
         # ctor, conditioner.hpp:1795-1821)
-        if bundle.version == SDVersion.LTXAV:
+        if bundle.version in (SDVersion.LTXAV, SDVersion.PID):
             from sdtpu.tokenizers.gemma import GemmaTokenizer
 
             tok_kwargs["gemma_tokenizer"] = GemmaTokenizer.from_tokenizer_json(
@@ -354,11 +356,19 @@ def _img_gen(args) -> int:
         pipe.set_ip_adapter(cast(proj), cast(extra), cast(vis_raw), vis_cfg)
         ip_image, _ = read_png(args.ip_image)
 
+    ref_images = None
+    if args.ref_image:
+        ref_images = []
+        for path in args.ref_image:
+            img, _ = read_png(path)
+            ref_images.append(img[..., :3])
+
     t0 = time.time()
     res = pipe.generate(
         gp,
         init_image=init_image,
         mask_image=mask_image,
+        ref_images=ref_images,
         control_image=control_image,
         control_strength=args.control_strength,
         ip_image=ip_image,

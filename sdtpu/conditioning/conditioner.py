@@ -675,6 +675,72 @@ class LensConditioner:
         return SDCondition(c_crossattn=h[:, drop:])
 
 
+class PidConditioner:
+    """PiD: Gemma2-2B prompted with the prompt-enhancement instruction;
+    final hidden states, left-padded to chi_tokens+298, then BOS + the last
+    299 states kept → exactly 300 tokens (reference LLMEmbedder for pid,
+    conditioner.hpp:2600-2646)."""
+
+    CHI_PROMPT = (
+        "Given a user prompt, generate an \"Enhanced prompt\" that provides "
+        "detailed visual descriptions suitable for image generation. Evaluate "
+        "the level of detail in the user prompt:\n"
+        "- If the prompt is simple, focus on adding specifics about colors, "
+        "shapes, sizes, textures, and spatial relationships to create vivid "
+        "and concrete scenes.\n"
+        "- If the prompt is already detailed, refine and enhance the existing "
+        "details slightly without overcomplicating.\n"
+        "Here are examples of how to transform or refine prompts:\n"
+        "- User Prompt: A cat sleeping -> Enhanced: A small, fluffy white cat "
+        "curled up in a round shape, sleeping peacefully on a warm sunny "
+        "windowsill, surrounded by pots of blooming red flowers.\n"
+        "- User Prompt: A busy city street -> Enhanced: A bustling city "
+        "street scene at dusk, featuring glowing street lamps, a diverse "
+        "crowd of people in colorful clothing, and a double-decker bus "
+        "passing by towering glass skyscrapers.\n"
+        "Please generate only the enhanced description for the prompt below "
+        "and avoid including any additional commentary or evaluations:\n"
+        "User Prompt: "
+    )
+    MAX_LEN = 300
+
+    def __init__(self, gemma_tokenizer, llm_params, llm_cfg,
+                 max_len: int = MAX_LEN):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = gemma_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.max_len = max_len
+
+        def fwd(pl, ids, mask):
+            return llm_forward(pl, ids, self.cl, attention_mask=mask)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            bos = getattr(self.tokenizer, "bos_token_id", 2)
+            pad = getattr(self.tokenizer, "pad_token_id", 0)
+            n_chi = len(self.tokenizer.encode(self.CHI_PROMPT)) + 1  # + BOS
+            ids = [bos] + self.tokenizer.encode(self.CHI_PROMPT + " " + text)
+            min_len = n_chi + self.max_len - 2
+            mask = [1.0] * len(ids)
+            if len(ids) < min_len:  # gemma pads LEFT (tokenizer.h pad_left)
+                n = min_len - len(ids)
+                ids = [pad] * n + ids
+                mask = [0.0] * n + mask
+        else:  # tests without a tokenizer file
+            ids, mask = list(range(12)), [1.0] * 12
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
+            jnp.asarray(np.asarray(mask, dtype=np.float32)[None]))
+        if h.shape[1] > self.max_len:
+            # keep position 0 + the last max_len-1 states (reference
+            # conditioner.hpp:2632-2639)
+            h = jnp.concatenate([h[:, :1], h[:, -(self.max_len - 1):]], axis=1)
+        return SDCondition(c_crossattn=h)
+
+
 class SefiConditioner:
     """SeFi-Image: Qwen3-VL plain chat wrap; hidden states from layers
     {9, 18, 27} concatenated on the feature axis, tokens right-padded to

@@ -11,6 +11,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sdtpu.config import (
     SDVersion,
@@ -106,6 +107,11 @@ def create_pipeline(
         )
     if version == SDVersion.LTXAV:
         return _create_ltxav_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            gemma_tokenizer=kwargs.get("gemma_tokenizer"),
+        )
+    if version == SDVersion.PID:
+        return _create_pid_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
@@ -551,6 +557,107 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         uses_distilled_guidance=dit_cfg.guidance_embed,
         default_schedule="flux2",
     )
+
+
+def _create_pid_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                         gemma_tokenizer=None):
+    """PiD pixel-space super-resolution (reference stable-diffusion.cpp:995
+    + pid.hpp PiDRunner): Gemma2-2B conditioner, sampling in pixel space
+    (scale factor 1, identity decode), with the low-quality reference image
+    VAE-encoded into per-block sigma-gated features.  Flow shift 1.5
+    (stable-diffusion.cpp:1719)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import PidConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import pid as pid_mod
+
+    if small:
+        dit_cfg = pid_mod.PidConfig(
+            hidden_size=48, num_groups=4, patch_mlp_hidden_dim=64,
+            pixel_hidden_size=8, pixel_attn_hidden_size=32,
+            pixel_num_groups=2, patch_depth=2, pixel_depth=1, patch_size=4,
+            txt_embed_dim=16, txt_max_length=16, lq_latent_channels=4,
+            lq_hidden_dim=8, lq_num_res_blocks=1, rope_ref_grid_h=8,
+            rope_ref_grid_w=8)
+        llm_cfg = dataclasses.replace(
+            llm_mod.GEMMA2_2B_CONFIG, num_layers=2, hidden_size=16,
+            intermediate_size=32, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64)
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1, z_channels=4,
+                                    scale_factor=1.0)
+        max_len = 16
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (pid_mod.detect_pid_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else pid_mod.PID_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="gemma2_2b") if llm else llm_mod.GEMMA2_2B_CONFIG)
+        # the LQ reference encoder is a 16ch (PiD) or 32ch-packed (PiD 1.5)
+        # KL VAE selected by --vae (reference vae_format override, :1366)
+        vae_cfg = (vae_mod.FLUX2_VAE_CONFIG
+                   if dit_cfg.lq_latent_channels > 16 else
+                   vae_mod.FLUX_VAE_CONFIG)
+        max_len = PidConditioner.MAX_LEN
+
+    dit_params = params.get("diffusion") or pid_mod.init_pid_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = PidConditioner(gemma_tokenizer, llm_params, llm_cfg,
+                                 max_len=max_len)
+
+    def diffusion_fn(p, x, t, ctx, y, lq_latent=None):
+        if lq_latent is None:
+            raise ValueError("PiD requires a reference image (pass "
+                             "ref_images=[img] / --ref-image)")
+        return pid_mod.pid_forward(p, x, t, ctx, lq_latent, cfg=dit_cfg)
+
+    # pixel space: identity VAE for sampling; the real VAE only encodes refs
+    def vae_decode_fn(p, z):
+        return jnp.clip(z, -1.0, 1.0)
+
+    if small or dit_cfg.lq_latent_channels <= 16:
+        def ref_encode_fn(p, x, noise=None):
+            return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+    else:
+        def ref_encode_fn(p, x, noise=None):
+            return vae_mod.flux2_vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    pipe = DiffusionPipeline(
+        version=SDVersion.PID,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=None,  # sampling is pixel-space; refs use _ref_encode
+        denoiser=DiscreteFlowDenoiser(shift=1.5 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=1,
+        compute_dtype=dtype,
+    )
+
+    _jit_ref = jax.jit(lambda pr, xx: ref_encode_fn(pr, xx))
+
+    def ref_extras_fn(refs):
+        img = np.asarray(refs[0], dtype=np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        lat = _jit_ref(vae_params, jnp.asarray(img * 2.0 - 1.0)[None])
+        return {"lq_latent": lat}
+
+    pipe.ref_extras_fn = ref_extras_fn
+    return pipe
 
 
 def _create_chroma_radiance_pipeline(params, rng_type, dtype, small, seed,

@@ -84,7 +84,12 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
 
     for name, arr in canon.items():
         if name.startswith("model.diffusion_model."):
-            diffusion[name[len("model.diffusion_model.") :]] = arr
+            local = name[len("model.diffusion_model.") :]
+            # PiD nests the PixelDiT under "net." (reference PiDRunner
+            # prefix "model.diffusion_model.net", stable-diffusion.cpp:1004)
+            if local.startswith("net."):
+                local = local[len("net.") :]
+            diffusion[local] = arr
         elif name.startswith("first_stage_model."):
             vae[name[len("first_stage_model.") :]] = arr
         elif name.startswith("cond_stage_model.transformer."):

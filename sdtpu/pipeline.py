@@ -95,6 +95,7 @@ class DiffusionPipeline:
         video_condition_fn=None,
         default_schedule: str = "discrete",
         force_sample_method: Optional[str] = None,
+        ref_extras_fn=None,
     ):
         self.version = version
         self.diffusion_params = diffusion_params
@@ -113,6 +114,7 @@ class DiffusionPipeline:
         self.video_condition_fn = video_condition_fn
         self.default_schedule = default_schedule
         self.force_sample_method = force_sample_method
+        self.ref_extras_fn = ref_extras_fn
         self.controlnet_fn = controlnet_fn
         self.controlnet_params = None
         self._ip_proj = None
@@ -718,6 +720,7 @@ class DiffusionPipeline:
         control_strength: float = 0.9,
         ip_image: Optional[np.ndarray] = None,
         ip_scale: float = 1.0,
+        ref_images: Optional[list] = None,
         progress_callback=None,
         preview_callback=None,
         preview_interval: int = 1,
@@ -730,7 +733,12 @@ class DiffusionPipeline:
         the current latent every preview_interval steps (reference
         sd_set_preview_callback); cancel_check() → True aborts between steps.
         Any of these switches sampling from the monolithic on-device scan to
-        a host-driven loop with one compiled step."""
+        a host-driven loop with one compiled step.
+
+        ref_images: list of [H,W,3] float arrays in [0,1] — encoded by the
+        pipeline's ref_extras_fn into model-specific extras (e.g. PiD's
+        low-quality latent; reference ref_latents,
+        stable-diffusion.cpp:4860-4930)."""
         t0 = time.time()
         if self.force_sample_method and gp.sample_method != self.force_sample_method:
             # SeFi always samples with its dual-schedule euler (reference
@@ -927,6 +935,11 @@ class DiffusionPipeline:
             kwargs["control_strength"] = jnp.float32(control_strength)
         if self.uses_distilled_guidance:
             kwargs["extras"] = {"guidance": jnp.full((bc,), gp.guidance, dtype=jnp.float32)}
+        if ref_images is not None and self.ref_extras_fn is not None:
+            ex = kwargs.setdefault("extras", {})
+            for k2, v2 in self.ref_extras_fn(ref_images).items():
+                v2 = np.asarray(v2)
+                ex[k2] = jnp.asarray(np.broadcast_to(v2, (bc,) + v2.shape[1:]))
         if c_concat is not None:
             kwargs["c_concat"] = jnp.asarray(np.broadcast_to(c_concat, (bc,) + c_concat.shape[1:]))
         if latent_mask is not None and init_latent is not None:
