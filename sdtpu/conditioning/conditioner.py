@@ -675,6 +675,37 @@ class LensConditioner:
         return SDCondition(c_crossattn=h[:, drop:])
 
 
+class HiDreamO1Conditioner:
+    """HiDream-O1: the conditioner only TOKENIZES — the Qwen3-VL LLM is the
+    diffusion backbone itself, so conditioning state (input ids, IMROPE
+    position ids, text-causal/gen-full mask) is baked into the sampling
+    program per prompt (reference HiDreamO1Conditioner,
+    hidream_o1.hpp:493-570)."""
+
+    TEMPLATE = ("<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+                "<|boi_token|><|tms_token|>")
+
+    def __init__(self, qwen_tokenizer, patch_size: int = 32):
+        self.tokenizer = qwen_tokenizer
+        self.patch_size = patch_size
+        self.states: list = []  # [cond, uncond?] for the current generate()
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1,
+                              width: int = 0, height: int = 0, **kw) -> SDCondition:
+        from sdtpu.models.hidream_o1 import build_hidream_state
+
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(self.TEMPLATE.format(text))
+        else:  # tests without a tokenizer file
+            ids = list(range(8))
+        lh = max(1, height // self.patch_size)
+        lw = max(1, width // self.patch_size)
+        self.states.append(build_hidream_state(ids, lh, lw))
+        # context is carried via baked state; a placeholder keeps the
+        # pipeline's generic CFG batching machinery working
+        return SDCondition(c_crossattn=jnp.zeros((1, 1, 1)))
+
+
 class PidConditioner:
     """PiD: Gemma2-2B prompted with the prompt-enhancement instruction;
     final hidden states, left-padded to chi_tokens+298, then BOS + the last

@@ -110,6 +110,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version == SDVersion.HIDREAM_O1:
+        return _create_hidream_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     if version == SDVersion.PID:
         return _create_pid_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
@@ -556,6 +561,81 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
         default_schedule="flux2",
+    )
+
+
+def _create_hidream_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                             qwen_tokenizer=None):
+    """HiDream-O1 (reference stable-diffusion.cpp:1190 + hidream_o1.hpp):
+    the Qwen3-VL LLM is the diffusion backbone; pixel-space sampling (FakeVAE,
+    scale factor 1), FLOW_PRED shift 3.0, model timestep input 1 - sigma
+    (stable-diffusion.cpp:2333)."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import HiDreamO1Conditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import hidream_o1 as hd_mod
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.pipeline import HiDreamPipeline
+
+    if small:
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_VL_8B_CONFIG, num_layers=2, hidden_size=16,
+            intermediate_size=32, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=151936, mrope_sections=(2, 1, 1, 0))
+        dit_cfg = hd_mod.HiDreamO1Config(llm=llm_cfg, patch_size=4)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (hd_mod.detect_hidream_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else hd_mod.HIDREAM_O1_CONFIG)
+
+    dit_params = params.get("diffusion") or hd_mod.init_hidream_params(
+        dit_cfg, seed, dtype=dtype)
+
+    conditioner = HiDreamO1Conditioner(qwen_tokenizer,
+                                       patch_size=dit_cfg.patch_size)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        # t arrives as sigma*1000 (DiscreteFlowDenoiser); the model takes
+        # 1 - sigma and converts its x0 prediction to velocity internally
+        states = conditioner.states
+        t_model = 1.0 - t / 1000.0
+
+        def fwd(xx, tt, st):
+            return hd_mod.hidream_forward(
+                p, xx, tt,
+                jnp.asarray(st["input_ids"]),
+                jnp.asarray(st["position_ids"]),
+                jnp.asarray(st["attn_bias"]),
+                cfg=dit_cfg)
+
+        if len(states) == 2 and x.shape[0] % 2 == 0:
+            hb = x.shape[0] // 2
+            va = fwd(x[:hb], t_model[:hb], states[0])
+            vb = fwd(x[hb:], t_model[hb:], states[1])
+            return jnp.concatenate([va, vb], axis=0)
+        return fwd(x, t_model, states[0])
+
+    def vae_decode_fn(p, z):
+        return jnp.clip(z, -1.0, 1.0)
+
+    def vae_encode_fn(p, x, noise=None):
+        return x
+
+    return HiDreamPipeline(
+        version=SDVersion.HIDREAM_O1,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params={},
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=3.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=dit_cfg.in_channels,
+        scale_factor=1,
+        compute_dtype=dtype,
     )
 
 

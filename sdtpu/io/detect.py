@@ -30,6 +30,10 @@ def detect_version(
     if any("lq_proj.latent_proj.0.weight" in n for n in names):
         # PiD super-resolution (reference model_loader.cpp:473)
         return SDVersion.PID
+    if any(n.endswith("x_embedder.proj1.weight") for n in names) and any(
+            "language_model.layers.0.self_attn.q_proj.weight" in n for n in names):
+        # HiDream-O1 unified LLM-DiT (reference model_loader.cpp:489)
+        return SDVersion.HIDREAM_O1
     if has_prefix("model.diffusion_model.joint_blocks") or has_prefix("joint_blocks"):
         return SDVersion.SD3
     if has_prefix("model.diffusion_model.double_blocks") or has_prefix("double_blocks"):

@@ -82,7 +82,20 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
     audio_vae: Dict[str, np.ndarray] = {}
     text_projection: Dict[str, np.ndarray] = {}
 
+    # HiDream-O1 stores the whole LLM-DiT at top-level "model." with the
+    # vision tower under "model.visual." (reference HiDreamO1Runner prefix
+    # "model", hidream_o1.hpp:347)
+    hidream = version == SDVersion.HIDREAM_O1
+
     for name, arr in canon.items():
+        if hidream and name.startswith("model.") and not name.startswith(
+                "model.diffusion_model."):
+            local = name[len("model.") :]
+            if local.startswith("visual."):
+                llm[local] = arr  # Qwen3-VL vision tower (edit conditioner)
+            else:
+                diffusion[local] = arr
+            continue
         if name.startswith("model.diffusion_model."):
             local = name[len("model.diffusion_model.") :]
             # PiD nests the PixelDiT under "net." (reference PiDRunner

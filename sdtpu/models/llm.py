@@ -53,6 +53,9 @@ class LLMConfig:
     attention_sinks: bool = False   # per-head sink logits (GPT-OSS)
     num_experts: int = 0            # MoE expert count (GPT-OSS)
     num_experts_per_tok: int = 0
+    # interleaved M-RoPE (Qwen-VL family): per-pair (t,h,w,extra) stream
+    # assignment; rope_style "imrope" consumes position_ids [4, L]
+    mrope_sections: Tuple[int, ...] = ()
 
 
 QWEN25_VL_7B_CONFIG = LLMConfig()
@@ -66,6 +69,15 @@ QWEN3_4B_CONFIG = LLMConfig(
     arch="qwen3", num_layers=36, hidden_size=2560, intermediate_size=9728,
     num_heads=32, num_kv_heads=8, head_dim=128, qkv_bias=False, qk_norm=True,
     vocab_size=151936,
+)
+# Qwen3-VL-8B text tower — the HiDream-O1 unified LLM-DiT backbone
+# (reference HiDreamO1Config::detect_from_weights, hidream_o1.hpp:30 +
+# llm.hpp:1112: IMROPE sections {24,20,20}, theta 5e6)
+QWEN3_VL_8B_CONFIG = LLMConfig(
+    arch="qwen3_vl", num_layers=36, hidden_size=4096, intermediate_size=12288,
+    num_heads=32, num_kv_heads=8, head_dim=128, qkv_bias=False, qk_norm=True,
+    vocab_size=151936, rope_theta=5e6, rope_style="imrope",
+    mrope_sections=(24, 20, 20, 0),
 )
 GEMMA2_2B_CONFIG = LLMConfig(
     arch="gemma2_2b", num_layers=26, hidden_size=2304, intermediate_size=9216,
@@ -117,6 +129,7 @@ def detect_llm_config(names, shapes, arch: str = "qwen2.5vl") -> LLMConfig:
     base = {
         "qwen2.5vl": QWEN25_VL_7B_CONFIG,
         "qwen3": QWEN3_8B_CONFIG,
+        "qwen3_vl": QWEN3_VL_8B_CONFIG,
         "gemma2_2b": GEMMA2_2B_CONFIG,
         "gemma3_12b": GEMMA3_12B_CONFIG,
         "mistral_small_3_2": MISTRAL_SMALL_32_CONFIG,
@@ -182,6 +195,29 @@ def _neox_rope(x: jnp.ndarray, pos: jnp.ndarray, theta: float,
         o1 = x1 * cos - x2 * sin
         o2 = x2 * cos + x1 * sin
         return jnp.stack([o1, o2], axis=-1).reshape(b, h, l, d).astype(x.dtype)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    o1 = x1 * cos - x2 * sin
+    o2 = x2 * cos + x1 * sin
+    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+
+def _imrope(x: jnp.ndarray, pos4: jnp.ndarray, theta: float,
+            sections) -> jnp.ndarray:
+    """Interleaved M-RoPE (ggml GGML_ROPE_TYPE_IMROPE, Qwen3-VL): pair j
+    takes its position from stream (j % 3) while j < 3*sections[j%3], else
+    the 4th (extra) stream; neox split-half rotation.  x: [B,H,L,D],
+    pos4: [4, L] int."""
+    b, h, l, d = x.shape
+    half = d // 2
+    freq = 1.0 / (theta ** (np.arange(0, half, dtype=np.float64) * 2 / d))
+    j = np.arange(half)
+    stream = np.full(half, 3, dtype=np.int32)
+    for s in range(3):
+        stream[(j % 3 == s) & (j < 3 * sections[s])] = s
+    pos_sel = pos4[jnp.asarray(stream)]  # [half, L]
+    ang = (pos_sel.astype(jnp.float32).T
+           * jnp.asarray(freq, dtype=jnp.float32)[None, :])  # [L, half]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
     x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
     o1 = x1 * cos - x2 * sin
     o2 = x2 * cos + x1 * sin
@@ -261,6 +297,8 @@ def llm_forward(
     output_layer: int = -1,
     all_hidden_states: bool = False,
     output_layers=(),
+    input_embeds: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """input_ids: [B, L] → hidden states [B, L, hidden] after `output_layer`
     decoder layers (-1 = final norm output, as the reference's per-model
@@ -272,10 +310,14 @@ def llm_forward(
     axis — [B, L, (num_layers+1)*hidden]: scaled embeddings, each layer
     output except the last, final-norm output (TextModel::forward_embeds,
     llm.hpp:1283)."""
-    b, l = input_ids.shape
-    h = p["model.embed_tokens.weight"][input_ids]
-    if cfg.normalize_input or cfg.arch.startswith("gemma"):
-        h = h * jnp.asarray(cfg.hidden_size**0.5, h.dtype)
+    if input_embeds is not None:
+        h = input_embeds
+        b, l = h.shape[:2]
+    else:
+        b, l = input_ids.shape
+        h = p["model.embed_tokens.weight"][input_ids]
+        if cfg.normalize_input or cfg.arch.startswith("gemma"):
+            h = h * jnp.asarray(cfg.hidden_size**0.5, h.dtype)
     states = [h] if all_hidden_states else None
 
     # causal + padding mask, additive [B, 1, L, L]
@@ -335,10 +377,16 @@ def llm_forward(
                 qw, kw = qw + 1.0, kw + 1.0
             q = rms_norm(q, qw, eps=cfg.rms_norm_eps)
             k = rms_norm(k, kw, eps=cfg.rms_norm_eps)
-        q = _neox_rope(q, pos, thetas[rope_idx], scales[rope_idx],
-                       cfg.rope_style, cfg.rope_yarn, cfg.rope_orig_ctx)
-        k = _neox_rope(k, pos, thetas[rope_idx], scales[rope_idx],
-                       cfg.rope_style, cfg.rope_yarn, cfg.rope_orig_ctx)
+        if cfg.rope_style == "imrope":
+            pos4 = (position_ids if position_ids is not None
+                    else jnp.stack([pos, pos, pos, jnp.zeros_like(pos)]))
+            q = _imrope(q, pos4, thetas[rope_idx], cfg.mrope_sections)
+            k = _imrope(k, pos4, thetas[rope_idx], cfg.mrope_sections)
+        else:
+            q = _neox_rope(q, pos, thetas[rope_idx], scales[rope_idx],
+                           cfg.rope_style, cfg.rope_yarn, cfg.rope_orig_ctx)
+            k = _neox_rope(k, pos, thetas[rope_idx], scales[rope_idx],
+                           cfg.rope_style, cfg.rope_yarn, cfg.rope_orig_ctx)
         # GQA: repeat kv heads
         if nkv != nh:
             k = jnp.repeat(k, nh // nkv, axis=1)

@@ -1012,6 +1012,39 @@ def _pad_tokens_by_repeat(x: jnp.ndarray, target: int) -> jnp.ndarray:
     return jnp.concatenate([x, pad], axis=1)
 
 
+class HiDreamPipeline(DiffusionPipeline):
+    """HiDream-O1: per-prompt conditioning state (token ids, IMROPE position
+    ids, attention bias) is baked into the compiled sampling program as
+    trace-time constants — the LLM backbone needs static sequence shapes.
+    The program cache is invalidated when the state fingerprint changes
+    (same pattern as LTXAVPipeline's av_state)."""
+
+    def _hd_key(self):
+        return tuple(
+            (tuple(int(v) for v in s["input_ids"]), s["position_ids"].shape[1])
+            for s in self.conditioner.states)
+
+    def generate(self, gp, **kw):
+        self.conditioner.states = []
+        return super().generate(gp, **kw)
+
+    def _jit_sampler(self, method, steps, has_uncond, eta, sigmas, *a, **kw):
+        self._hd_invalidate()
+        return super()._jit_sampler(method, steps, has_uncond, eta, sigmas,
+                                    *a, **kw)
+
+    def _sample_program(self, *a, **kw):
+        self._hd_invalidate()
+        return super()._sample_program(*a, **kw)
+
+    def _hd_invalidate(self):
+        key = ("hdkey", self._hd_key())
+        if self._program_cache.get("_last_hd") != key:
+            # state is baked into BOTH the scan ("run") and stepwise programs
+            self._program_cache = {"_last_hd": key}
+            self._stepwise_step_cache.clear()
+
+
 class LTXAVPipeline(DiffusionPipeline):
     """LTX-2 audio-video pipeline: jointly samples packed video+audio
     latents, supports first/last-frame image conditioning with per-token
