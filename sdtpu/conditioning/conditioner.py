@@ -675,6 +675,54 @@ class LensConditioner:
         return SDCondition(c_crossattn=h[:, drop:])
 
 
+class LingBotConditioner:
+    """LingBot-Video: Qwen3-VL prompted with a video prompt-enhancement
+    system instruction; final-norm hidden states with the template prefix
+    dropped (reference LLMEmbedder for lingbot_video,
+    conditioner.hpp:2129-2212)."""
+
+    PREFIX = (
+        "<|im_start|>system\nGiven a user input that may include a text "
+        "prompt alone, a text prompt with an image reference, or a text "
+        "prompt with a video reference or a video reference alone, generate "
+        "an \"Enhanced prompt\" that provides detailed visual descriptions "
+        "suitable for video generation. Evaluate the level of detail in the "
+        "user's input: if it is simple, enrich it by adding specifics about "
+        "colors, shapes, sizes, textures, lighting, motion dynamics, camera "
+        "movement, temporal progression, and spatial relationships to create "
+        "vivid, concrete, and temporally coherent scenes to create vivid and "
+        "concrete scenes. Please generate only the enhanced description for "
+        "the prompt below and avoid including any additional commentary or "
+        "evaluations:<|im_end|>\n<|im_start|>user\n"
+    )
+    SUFFIX = "<|im_end|>\n<|im_start|>assistant\n"
+
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg,
+                 max_len: int = 1024):
+        from sdtpu.models.llm import llm_forward
+
+        self.tokenizer = qwen_tokenizer
+        self.pl, self.cl = llm_params, llm_cfg
+        self.max_len = max_len
+
+        def fwd(pl, ids):
+            return llm_forward(pl, ids, self.cl)
+
+        self._jit_forward = jax.jit(fwd)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        if self.tokenizer is not None:
+            drop = len(self.tokenizer.encode(self.PREFIX))
+            ids = self.tokenizer.encode(
+                self.PREFIX + text + self.SUFFIX)[: self.max_len]
+            drop = min(drop, max(0, len(ids) - 1))
+        else:  # tests without a tokenizer file
+            ids, drop = list(range(12)), 3
+        h = self._jit_forward(
+            self.pl, jnp.asarray(np.asarray(ids, dtype=np.int32)[None]))
+        return SDCondition(c_crossattn=h[:, drop:])
+
+
 class HiDreamO1Conditioner:
     """HiDream-O1: the conditioner only TOKENIZES — the Qwen3-VL LLM is the
     diffusion backbone itself, so conditioning state (input ids, IMROPE

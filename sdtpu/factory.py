@@ -110,6 +110,11 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version == SDVersion.LINGBOT_VIDEO:
+        return _create_lingbot_pipeline(
+            params, rng_type, dtype, small, seed, flow_shift,
+            qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+        )
     if version == SDVersion.HIDREAM_O1:
         return _create_hidream_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
@@ -561,6 +566,85 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
         default_schedule="flux2",
+    )
+
+
+def _create_lingbot_pipeline(params, rng_type, dtype, small, seed, flow_shift,
+                             qwen_tokenizer=None):
+    """LingBot-Video (reference stable-diffusion.cpp:1133 + lingbot_video.hpp):
+    Qwen3-VL conditioner with a video prompt-enhancement template, sparse-MoE
+    video DiT over the Wan 2.1 VAE; FLOW_PRED shift 3.0."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import LingBotConditioner
+    from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
+    from sdtpu.models import lingbot_video as lb_mod
+    from sdtpu.models import llm as llm_mod
+    from sdtpu.models import wan_vae as wan_vae_mod
+
+    if small:
+        dit_cfg = lb_mod.LingBotVideoConfig(
+            hidden_size=32, num_heads=2, depth=3, intermediate_size=64,
+            text_dim=16, freq_dim=16, axes_dim=(4, 6, 6), in_channels=4,
+            out_channels=4, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=8, n_group=2, topk_group=1,
+            sparse_layers=(1,))
+        llm_cfg = dataclasses.replace(
+            llm_mod.QWEN3_VL_4B_CONFIG, num_layers=2, hidden_size=16,
+            intermediate_size=32, num_heads=2, num_kv_heads=1, head_dim=8,
+            vocab_size=64, mrope_sections=(2, 1, 1, 0))
+        vae_cfg = wan_vae_mod.WanVAEConfig(dim=8, z_dim=4, num_res_blocks=1)
+    else:
+        d = params.get("diffusion")
+        dit_cfg = (lb_mod.detect_lingbot_config(
+            d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+            if d else lb_mod.LINGBOT_VIDEO_CONFIG)
+        llm = params.get("llm")
+        llm_cfg = (llm_mod.detect_llm_config(
+            llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
+            arch="qwen3_vl") if llm else llm_mod.QWEN3_VL_4B_CONFIG)
+        vae_cfg = (_detect_wan_vae_config(params["vae"], wan_vae_mod)
+                   if params.get("vae") else wan_vae_mod.WAN21_VAE_CONFIG)
+
+    dit_params = params.get("diffusion") or lb_mod.init_lingbot_params(
+        dit_cfg, seed, dtype=dtype)
+    llm_params = params.get("llm") or llm_mod.init_llm_params(
+        llm_cfg, seed + 3, dtype=dtype)
+    vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = LingBotConditioner(qwen_tokenizer, llm_params, llm_cfg)
+
+    def diffusion_fn(p, x, t, ctx, y):
+        return lb_mod.lingbot_forward(p, x, t, ctx, cfg=dit_cfg)
+
+    use_stats = vae_cfg.z_dim == 16
+
+    def vae_decode_fn(p, z):
+        if use_stats:
+            z = wan_vae_mod.diffusion_to_vae_latents(z)
+        return wan_vae_mod.wan_vae_decode(p, z, vae_cfg)
+
+    def vae_encode_fn(p, x, noise=None):
+        z = wan_vae_mod.wan_vae_encode(p, x, vae_cfg)
+        if use_stats:
+            z = wan_vae_mod.vae_to_diffusion_latents(z)
+        return z
+
+    return DiffusionPipeline(
+        version=SDVersion.LINGBOT_VIDEO,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=DiscreteFlowDenoiser(shift=3.0 if flow_shift is None else flow_shift),
+        rng_type=rng_type,
+        latent_channels=vae_cfg.z_dim,
+        scale_factor=8,
+        compute_dtype=dtype,
+        temporal_scale=4,
     )
 
 

@@ -27,6 +27,9 @@ def detect_version(
     if any("cap_embedder.0.weight" in n for n in names):
         # Z-Image / Lumina-2 style (reference model_loader.cpp:528)
         return SDVersion.Z_IMAGE
+    if any(n.endswith("patch_embedder.weight") for n in names):
+        # LingBot-Video (reference model_loader.cpp:543)
+        return SDVersion.LINGBOT_VIDEO
     if any("lq_proj.latent_proj.0.weight" in n for n in names):
         # PiD super-resolution (reference model_loader.cpp:473)
         return SDVersion.PID

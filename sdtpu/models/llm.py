@@ -79,6 +79,10 @@ QWEN3_VL_8B_CONFIG = LLMConfig(
     vocab_size=151936, rope_theta=5e6, rope_style="imrope",
     mrope_sections=(24, 20, 20, 0),
 )
+# Qwen3-VL-4B — the LingBot-Video text tower (text_dim 2560).
+QWEN3_VL_4B_CONFIG = dataclasses.replace(
+    QWEN3_VL_8B_CONFIG, hidden_size=2560, intermediate_size=9728,
+)
 GEMMA2_2B_CONFIG = LLMConfig(
     arch="gemma2_2b", num_layers=26, hidden_size=2304, intermediate_size=9216,
     num_heads=8, num_kv_heads=4, head_dim=256, qkv_bias=False,
