@@ -675,6 +675,34 @@ class LensConditioner:
         return SDCondition(c_crossattn=h[:, drop:])
 
 
+class SVDConditioner:
+    """Stable Video Diffusion: image-only conditioning — the text prompt is
+    ignored; context is the CLIP-ViT-H image embedding (filled in by the
+    pipeline's video_condition_fn; the conditioner supplies the ZERO
+    embedding used for the uncond branch) and c_vector packs sinusoidal
+    embeddings of (fps_id, motion_bucket_id, cond_aug), 256 dims each
+    (reference FrozenCLIPVisionEmbedder conditioner.hpp:537 + SVD
+    adm_in_channels 768, unet.hpp:62)."""
+
+    def __init__(self, fps_id: float = 6.0, motion_bucket_id: float = 127.0,
+                 cond_aug: float = 0.02, context_dim: int = 1024):
+        self.fps_id = fps_id
+        self.motion_bucket_id = motion_bucket_id
+        self.cond_aug = cond_aug
+        self.context_dim = context_dim
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        from sdtpu.ops import timestep_embedding
+
+        vec = jnp.concatenate([
+            timestep_embedding(jnp.asarray([self.fps_id]), 256),
+            timestep_embedding(jnp.asarray([self.motion_bucket_id]), 256),
+            timestep_embedding(jnp.asarray([self.cond_aug]), 256),
+        ], axis=-1)  # [1, 768]
+        return SDCondition(
+            c_crossattn=jnp.zeros((1, 1, self.context_dim)), c_vector=vec)
+
+
 class LingBotConditioner:
     """LingBot-Video: Qwen3-VL prompted with a video prompt-enhancement
     system instruction; final-norm hidden states with the template prefix

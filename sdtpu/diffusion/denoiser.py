@@ -173,6 +173,11 @@ class EDMVDenoiser(CompVisVDenoiser):
     def sigma_to_t(self, sigma):
         return 0.25 * np.log(sigma)
 
+    def sigma_to_t_jnp(self, sigma):
+        import jax.numpy as jnp
+
+        return 0.25 * jnp.log(sigma)
+
 
 def time_snr_shift(alpha: float, t):
     if alpha == 1.0:

@@ -110,6 +110,9 @@ def create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
+    if version == SDVersion.SVD:
+        return _create_svd_pipeline(params, rng_type, dtype, small, seed,
+                                    flow_shift)
     if version == SDVersion.LINGBOT_VIDEO:
         return _create_lingbot_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
@@ -567,6 +570,132 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         uses_distilled_guidance=dit_cfg.guidance_embed,
         default_schedule="flux2",
     )
+
+
+def _create_svd_pipeline(params, rng_type, dtype, small, seed, flow_shift):
+    """Stable Video Diffusion img2vid (reference unet.hpp SVD paths +
+    EDMVDenoiser, denoiser.hpp:1182): spatial-video UNet with frames in the
+    batch dimension, CLIP-ViT-H image-embedding context, first-frame latent
+    concat (noise-augmented), (fps, motion bucket, aug) label vector."""
+    import dataclasses
+
+    from sdtpu.conditioning.conditioner import SVDConditioner
+    from sdtpu.diffusion.denoiser import EDMVDenoiser
+    from sdtpu.models import unet as unet_mod
+
+    if small:
+        dit_cfg = dataclasses.replace(
+            unet_mod.SVD_UNET_CONFIG, model_channels=32, num_res_blocks=1,
+            channel_mult=(1, 2), transformer_depth=(1, 1), context_dim=48,
+            adm_in_channels=24, num_head_channels=16,
+            attention_resolutions=(1, 2))
+        vae_cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 2, 2),
+                                    num_res_blocks=1, z_channels=4)
+        cv_params = cv_cfg = None
+        ctx_dim, adm = 48, 24
+    else:
+        d = params.get("diffusion")
+        dit_cfg = unet_mod.SVD_UNET_CONFIG
+        vae_cfg = vae_mod.SD_VAE_CONFIG
+        cv_params = params.get("clip_vision") or params.get("clip_l")
+        cv_cfg = None
+        if cv_params is not None:
+            from sdtpu.models.clip import CLIP_VIT_H_CONFIG
+
+            cv_cfg = CLIP_VIT_H_CONFIG
+        ctx_dim, adm = 1024, 768
+
+    dit_params = params.get("diffusion") or unet_mod.init_unet_params(
+        dit_cfg, seed, dtype=dtype)
+    vae_params = params.get("vae") or vae_mod.init_vae_params(
+        vae_cfg, seed=seed, dtype=dtype)
+
+    conditioner = SVDConditioner(context_dim=ctx_dim)
+    if small:
+        # tiny adm: truncate the 768 embedding to the test dim
+        _orig = conditioner.get_learned_condition
+
+        def _small_cond(text, **kw):
+            c = _orig(text, **kw)
+            c.c_vector = c.c_vector[:, :adm]
+            return c
+        conditioner.get_learned_condition = _small_cond
+
+    def diffusion_fn(p, x, t, ctx, y):
+        # frames ride the TIME axis of the video pipeline; the pipeline's
+        # model wrapper has already concatenated the first-frame conditioning
+        # channels onto x (→ 8ch); the UNet wants frames stacked in batch
+        b, tl, hh, ww, c = x.shape
+        xf = x.reshape(b * tl, hh, ww, c)
+        tf = jnp.repeat(t, tl)
+        ctxf = jnp.repeat(ctx, tl, axis=0)
+        yf = jnp.repeat(y, tl, axis=0) if y is not None else None
+        out = unet_mod.unet_forward(p, xf, tf, ctxf, y=yf, cfg=dit_cfg,
+                                    num_frames=tl)
+        return out.reshape(b, tl, hh, ww, -1)
+
+    def vae_decode_fn(p, z):
+        # per-frame image VAE decode: [B,T,h,w,4] → [B,T,H,W,3]
+        b, tl = z.shape[:2]
+        img = vae_mod.vae_decode(p, z.reshape((b * tl,) + z.shape[2:]), vae_cfg)
+        return img.reshape((b, tl) + img.shape[1:])
+
+    def vae_encode_fn(p, x, noise=None):
+        return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
+
+    pipe = DiffusionPipeline(
+        version=SDVersion.SVD,
+        diffusion_params=dit_params,
+        diffusion_fn=diffusion_fn,
+        conditioner=conditioner,
+        vae_params=vae_params,
+        vae_decode_fn=vae_decode_fn,
+        vae_encode_fn=vae_encode_fn,
+        denoiser=EDMVDenoiser(),
+        rng_type=rng_type,
+        latent_channels=vae_cfg.z_channels,
+        scale_factor=8,
+        compute_dtype=dtype,
+        temporal_scale=1,
+        default_schedule="karras",
+    )
+
+    _enc = jax.jit(lambda pr, xx: vae_encode_fn(pr, xx))
+
+    def video_condition_fn(init_image, frames, w, h):
+        """→ (c_concat [1,T,lh,lw,4], None, ctx_override [1,1,ctx]):
+        noise-augmented first-frame latent replicated per frame + CLIP-vision
+        image embedding as the cond context."""
+        from sdtpu.pipeline import _to_pm1
+        from sdtpu.utils.image import resize_image
+
+        lh, lw = h // 8, w // 8
+        if init_image is None:
+            return (np.zeros((1, frames, lh, lw, vae_cfg.z_channels),
+                             dtype=np.float32), None, None)
+        img = np.asarray(init_image)[..., :3]
+        if img.dtype != np.uint8:
+            img = np.clip(img * (255.0 if img.max() <= 1.5 else 1.0),
+                          0, 255).astype(np.uint8)
+        img = resize_image(img, w, h)
+        pm1 = _to_pm1(img)[None]
+        aug = conditioner.cond_aug
+        pm1 = pm1 + aug * np.random.default_rng(seed).standard_normal(
+            pm1.shape).astype(np.float32)
+        z = np.asarray(_enc(vae_params, jnp.asarray(pm1)), dtype=np.float32)
+        c_concat = np.broadcast_to(z[:, None], (1, frames) + z.shape[1:])
+        ctx = None
+        if cv_params is not None and cv_cfg is not None:
+            from sdtpu.models.clip import clip_preprocess, clip_vision_forward
+
+            emb = clip_vision_forward(
+                cv_params, clip_preprocess(img, cv_cfg.image_size).astype(dtype),
+                cv_cfg)
+            ctx = np.asarray(emb, dtype=np.float32).reshape(1, 1, -1)
+        return c_concat, None, ctx
+
+    pipe.video_condition_fn = video_condition_fn
+    return pipe
 
 
 def _create_lingbot_pipeline(params, rng_type, dtype, small, seed, flow_shift,

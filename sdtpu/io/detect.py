@@ -92,6 +92,11 @@ def detect_version(
     if unet_key is None:
         return SDVersion.UNKNOWN
 
+    if any("time_mixer.mix_factor" in n and "block" in n for n in names):
+        # SVD spatial-video UNet (reference fingerprint
+        # input_blocks.8.0.time_mixer.mix_factor, model_loader.cpp:567)
+        return SDVersion.SVD
+
     in_channels = shapes.get(unet_key, (0, 4, 3, 3))[1]
     is_sdxl = (
         has_prefix("conditioner.embedders.1")

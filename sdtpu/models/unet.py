@@ -40,6 +40,7 @@ class UNetConfig:
     num_head_channels: Optional[int] = None
     use_linear_in_transformer: bool = False
     adm_in_channels: Optional[int] = None  # SDXL conditioning vector
+    svd: bool = False  # spatial-video: VideoResBlock + SpatialVideoTransformer
 
 
 SD1_UNET_CONFIG = UNetConfig()
@@ -62,6 +63,14 @@ SDXL_INPAINT_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, in_channels=9)
 # SSD-1B / Vega prune transformer depth; configs detected from weights later.
 SDXL_SSD1B_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, transformer_depth=(0, 2, 4))
 SDXL_VEGA_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, transformer_depth=(0, 1, 2))
+# Stable Video Diffusion: 4ch latent + 4ch first-frame concat, CLIP-vision
+# context, 768-dim (fps, motion bucket, aug) label vector
+# (reference unet.hpp:58-66)
+SVD_UNET_CONFIG = UNetConfig(
+    in_channels=8, out_channels=4, context_dim=1024, num_heads=None,
+    num_head_channels=64, use_linear_in_transformer=True,
+    adm_in_channels=768, svd=True,
+)
 
 
 def _heads_for(cfg: UNetConfig, ch: int) -> int:
@@ -84,6 +93,56 @@ def resblock(p, pre: str, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
     if x.shape[-1] != out_ch:
         x = conv2d(x, p[f"{pre}.skip_connection.weight"], p[f"{pre}.skip_connection.bias"], padding=0)
     return x + h
+
+
+def _alpha_mix(p, pre: str, spatial: jnp.ndarray, temporal: jnp.ndarray) -> jnp.ndarray:
+    """AlphaBlender (reference block.hpp:580): sigmoid(mix_factor) weights the
+    spatial branch."""
+    a = jnp.asarray(jax_sigmoid(p[f"{pre}.mix_factor"].astype(jnp.float32)),
+                    dtype=spatial.dtype)
+    return spatial * a + temporal * (1.0 - a)
+
+
+def jax_sigmoid(x):
+    import jax
+
+    return jax.nn.sigmoid(x)
+
+
+def _temporal_conv(x: jnp.ndarray, w5, b) -> jnp.ndarray:
+    """Conv over the FRAME axis only (kernel (3,1,1), reference ResBlock
+    conv_nd dims=3, block.hpp:84-85).  x: [B, T, S, C]; w5: [out,in,3,1,1]."""
+    w4 = w5.reshape(w5.shape[0], w5.shape[1], w5.shape[2], 1)
+    return conv2d(x, w4, b, padding=((w5.shape[2] // 2, w5.shape[2] // 2), (0, 0)))
+
+
+def temporal_resblock(p, pre: str, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    """SVD time_stack ResBlock on [B, T, S, C] (spatial flattened): GN→SiLU→
+    temporal conv, +emb per frame, GN→SiLU→temporal conv (reference
+    VideoResBlock.time_stack, block.hpp:615-662)."""
+    h = group_norm(x, p[f"{pre}.in_layers.0.weight"], p[f"{pre}.in_layers.0.bias"], eps=1e-5)
+    h = silu(h)
+    h = _temporal_conv(h, p[f"{pre}.in_layers.2.weight"], p[f"{pre}.in_layers.2.bias"])
+    emb_out = linear(silu(emb), p[f"{pre}.emb_layers.1.weight"], p[f"{pre}.emb_layers.1.bias"])
+    h = h + emb_out[:, :, None, :].astype(h.dtype)  # [B,T,1,C]
+    h = group_norm(h, p[f"{pre}.out_layers.0.weight"], p[f"{pre}.out_layers.0.bias"], eps=1e-5)
+    h = silu(h)
+    h = _temporal_conv(h, p[f"{pre}.out_layers.3.weight"], p[f"{pre}.out_layers.3.bias"])
+    return x + h
+
+
+def video_resblock(p, pre: str, x: jnp.ndarray, emb: jnp.ndarray,
+                   num_frames: int) -> jnp.ndarray:
+    """Spatial ResBlock + alpha-blended temporal ResBlock (reference
+    VideoResBlock, block.hpp:615).  x: [B*T, H, W, C] (frames in batch)."""
+    x = resblock(p, pre, x, emb)
+    bt, hh, ww, c = x.shape
+    b = bt // num_frames
+    x4 = x.reshape(b, num_frames, hh * ww, c)
+    emb4 = emb.reshape(b, num_frames, emb.shape[-1])
+    mixed = temporal_resblock(p, f"{pre}.time_stack", x4, emb4)
+    x4 = _alpha_mix(p, f"{pre}.time_mixer", x4, mixed)
+    return x4.reshape(bt, hh, ww, c)
 
 
 def cross_attention(
@@ -140,6 +199,10 @@ def transformer_block(
 ) -> jnp.ndarray:
     from sdtpu.ops import layer_norm
 
+    if f"{pre}.norm_in.weight" in p:
+        # ff_in variant (SVD time_stack, reference block.hpp:441-450)
+        h = layer_norm(x, p[f"{pre}.norm_in.weight"], p[f"{pre}.norm_in.bias"])
+        x = x + geglu_ff(p, f"{pre}.ff_in", h)
     h = layer_norm(x, p[f"{pre}.norm1.weight"], p[f"{pre}.norm1.bias"])
     x = x + cross_attention(p, f"{pre}.attn1", h, None, num_heads)
     h = layer_norm(x, p[f"{pre}.norm2.weight"], p[f"{pre}.norm2.bias"])
@@ -152,7 +215,7 @@ def transformer_block(
 
 def spatial_transformer(
     p, pre: str, x: jnp.ndarray, context: jnp.ndarray, cfg: UNetConfig, depth: int,
-    ip_context=None, ip_scale: float = 1.0,
+    ip_context=None, ip_scale: float = 1.0, num_frames: int = 1,
 ) -> jnp.ndarray:
     b, hh, ww, c = x.shape
     num_heads = _heads_for(cfg, c)
@@ -163,11 +226,42 @@ def spatial_transformer(
     else:
         h = conv2d(h, p[f"{pre}.proj_in.weight"], p[f"{pre}.proj_in.bias"], padding=0)
         h = h.reshape(b, hh * ww, c)
-    for k in range(depth):
-        h = transformer_block(
-            p, f"{pre}.transformer_blocks.{k}", h, context, num_heads,
-            ip_context=ip_context, ip_scale=ip_scale,
-        )
+    if cfg.svd and num_frames > 1:
+        # SpatialVideoTransformer (reference unet.hpp:150-297): after each
+        # spatial block, a time_stack block attends across frames per spatial
+        # position, blended by sigmoid(mix_factor)
+        bt = b
+        bb = bt // num_frames
+        s = hh * ww
+        t_emb = timestep_embedding(
+            jnp.arange(num_frames, dtype=jnp.float32), c).astype(h.dtype)
+        t_emb = linear(t_emb, p[f"{pre}.time_pos_embed.0.weight"],
+                       p[f"{pre}.time_pos_embed.0.bias"])
+        t_emb = linear(silu(t_emb), p[f"{pre}.time_pos_embed.2.weight"],
+                       p[f"{pre}.time_pos_embed.2.bias"])  # [T, C]
+        # temporal cross-attn context: the FIRST frame's spatial context,
+        # shared across every spatial position
+        tctx = context.reshape(bb, num_frames, context.shape[1], -1)[:, 0]
+        tctx = jnp.broadcast_to(tctx[:, None], (bb, s) + tctx.shape[1:]
+                                ).reshape(bb * s, context.shape[1], -1)
+        for k in range(depth):
+            h = transformer_block(
+                p, f"{pre}.transformer_blocks.{k}", h, context, num_heads,
+                ip_context=ip_context, ip_scale=ip_scale,
+            )
+            hm = h + jnp.tile(t_emb, (bb, 1))[:, None, :]
+            hm = (hm.reshape(bb, num_frames, s, c).transpose(0, 2, 1, 3)
+                  .reshape(bb * s, num_frames, c))
+            hm = transformer_block(p, f"{pre}.time_stack.{k}", hm, tctx, num_heads)
+            hm = (hm.reshape(bb, s, num_frames, c).transpose(0, 2, 1, 3)
+                  .reshape(bt, s, c))
+            h = _alpha_mix(p, f"{pre}.time_mixer", h, hm)
+    else:
+        for k in range(depth):
+            h = transformer_block(
+                p, f"{pre}.transformer_blocks.{k}", h, context, num_heads,
+                ip_context=ip_context, ip_scale=ip_scale,
+            )
     if cfg.use_linear_in_transformer:
         h = linear(h, p[f"{pre}.proj_out.weight"], p[f"{pre}.proj_out.bias"])
         h = h.reshape(b, hh, ww, c)
@@ -264,23 +358,28 @@ def unet_forward(
             if kind == "conv":
                 h = conv2d(h, p[f"{pre}.weight"], p[f"{pre}.bias"])
             elif kind == "res":
-                h = resblock(p, pre, h, emb)
+                h = (video_resblock(p, pre, h, emb, num_frames)
+                     if cfg.svd and num_frames > 1 else resblock(p, pre, h, emb))
                 is_res = True
             elif kind == "down":
                 h = conv2d(h, p[f"{pre}.op.weight"], p[f"{pre}.op.bias"], stride=2)
                 level += 1
                 res_j = 0
             elif isinstance(kind, tuple) and kind[0] == "attn":
-                h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale)
+                h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale, num_frames=num_frames)
         if is_res:
             h = motion(h, f"down_blocks.{level}.motion_modules.{res_j}")
             res_j += 1
         hs.append(h)
 
-    h = resblock(p, "middle_block.0", h, emb)
+    def _res(pre, hh):
+        return (video_resblock(p, pre, hh, emb, num_frames)
+                if cfg.svd and num_frames > 1 else resblock(p, pre, hh, emb))
+
+    h = _res("middle_block.0", h)
     mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
-    h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth, ip_context=ip_context, ip_scale=ip_scale)
-    h = resblock(p, "middle_block.2", h, emb)
+    h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth, ip_context=ip_context, ip_scale=ip_scale, num_frames=num_frames)
+    h = _res("middle_block.2", h)
     h = motion(h, "mid_block.motion_modules.0")
 
     if controls is not None:
@@ -295,11 +394,11 @@ def unet_forward(
         for j, kind in enumerate(blk):
             pre = f"output_blocks.{i}.{j}"
             if kind == "res":
-                h = resblock(p, pre, h, emb)
+                h = _res(pre, h)
             elif kind == "up":
                 did_up = True
             elif isinstance(kind, tuple) and kind[0] == "attn":
-                h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale)
+                h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale, num_frames=num_frames)
         h = motion(h, f"up_blocks.{i // n_out_per_level}.motion_modules.{i % n_out_per_level}")
         if did_up:
             up_j = len(blk) - 1
@@ -331,6 +430,11 @@ def unet_param_shapes(cfg: UNetConfig) -> dict:
         w(f"{name}.weight", out_c, in_c, k, k)
         p[f"{name}.bias"] = ("b", (out_c,))
 
+    def tconv(name, out_c, in_c, k=3):
+        # temporal conv (k, 1, 1) (reference conv_nd dims=3, block.hpp:84)
+        w(f"{name}.weight", out_c, in_c, k, 1, 1)
+        p[f"{name}.bias"] = ("b", (out_c,))
+
     def res(pre, in_c, out_c, emb_dim):
         norm(f"{pre}.in_layers.0", in_c)
         conv(f"{pre}.in_layers.2", out_c, in_c)
@@ -339,6 +443,14 @@ def unet_param_shapes(cfg: UNetConfig) -> dict:
         conv(f"{pre}.out_layers.3", out_c, out_c)
         if in_c != out_c:
             conv(f"{pre}.skip_connection", out_c, in_c, k=1)
+        if cfg.svd:
+            ts = f"{pre}.time_stack"
+            norm(f"{ts}.in_layers.0", out_c)
+            tconv(f"{ts}.in_layers.2", out_c, out_c)
+            lin(f"{ts}.emb_layers.1", out_c, emb_dim)
+            norm(f"{ts}.out_layers.0", out_c)
+            tconv(f"{ts}.out_layers.3", out_c, out_c)
+            p[f"{pre}.time_mixer.mix_factor"] = ("b", (1,))
 
     def attn_block(pre, dim, ctx):
         lin(f"{pre}.to_q", dim, dim, bias=False)
@@ -365,6 +477,16 @@ def unet_param_shapes(cfg: UNetConfig) -> dict:
             conv(f"{pre}.proj_out", dim, dim, k=1)
         for k in range(depth):
             trans_block(f"{pre}.transformer_blocks.{k}", dim, cfg.context_dim)
+        if cfg.svd:
+            for k in range(depth):
+                ts = f"{pre}.time_stack.{k}"
+                norm(f"{ts}.norm_in", dim)
+                lin(f"{ts}.ff_in.net.0.proj", dim * 8, dim)
+                lin(f"{ts}.ff_in.net.2", dim, dim * 4)
+                trans_block(ts, dim, cfg.context_dim)
+            lin(f"{pre}.time_pos_embed.0", dim * 4, dim)
+            lin(f"{pre}.time_pos_embed.2", dim, dim * 4)
+            p[f"{pre}.time_mixer.mix_factor"] = ("b", (1,))
 
     mc = cfg.model_channels
     emb_dim = 4 * mc

@@ -627,8 +627,18 @@ class DiffusionPipeline:
         vkw = {}
         if self.video_condition_fn is not None:
             # i2v: first-frame conditioning (reference wan i2v concat_latent +
-            # clip_vision_output, stable-diffusion.cpp:5855-5911)
-            c_concat, clip_fea = self.video_condition_fn(init_image, frames, w, h)
+            # clip_vision_output, stable-diffusion.cpp:5855-5911).  A 3-tuple
+            # return additionally overrides the COND context (SVD: CLIP-vision
+            # image embedding; uncond keeps the conditioner's zero embed)
+            vres = self.video_condition_fn(init_image, frames, w, h)
+            if len(vres) == 3:
+                c_concat, clip_fea, ctx_override = vres
+                if ctx_override is not None:
+                    ctx_c = jnp.asarray(np.broadcast_to(
+                        np.asarray(ctx_override),
+                        (bc,) + np.asarray(ctx_override).shape[1:]))
+            else:
+                c_concat, clip_fea = vres
             if c_concat is not None:
                 vkw["c_concat"] = jnp.asarray(
                     np.broadcast_to(c_concat, (bc,) + c_concat.shape[1:])
