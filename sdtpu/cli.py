@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--dtype", default=None, choices=["f32", "f16", "bf16"],
                     help="compute dtype (default: bf16 on TPU, f32 elsewhere)")
+    ap.add_argument("--preview", default="none", choices=["none", "proj", "tae", "vae"],
+                    help="per-step latent preview mode (reference --preview)")
+    ap.add_argument("--preview-interval", type=int, default=1)
+    ap.add_argument("--preview-path", default="preview.png")
     ap.add_argument("--no-progress", action="store_true",
                     help="disable the per-step progress bar (fastest path: "
                     "the whole sigma schedule runs as one on-device scan)")
@@ -363,12 +367,33 @@ def _img_gen(args) -> int:
             img, _ = read_png(path)
             ref_images.append(img[..., :3])
 
+    preview_cb = None
+    if args.preview != "none":
+        from sdtpu.utils.image import write_png
+
+        def preview_cb(step, latent_np):
+            import numpy as np
+
+            if args.preview == "proj":
+                from sdtpu.utils.latent_preview import preview_latent
+
+                img = preview_latent(latent_np[0], pipe.version.value)
+            else:  # tae / vae: decode with the pipeline's (possibly TAE) VAE
+                import jax.numpy as jnp
+
+                dec = pipe._decode_program()
+                img = np.asarray(dec(pipe.vae_params, jnp.asarray(latent_np[:1])))[0]
+                img = np.clip((img + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+            write_png(args.preview_path, img, None)
+
     t0 = time.time()
     res = pipe.generate(
         gp,
         init_image=init_image,
         mask_image=mask_image,
         ref_images=ref_images,
+        preview_callback=preview_cb,
+        preview_interval=args.preview_interval,
         control_image=control_image,
         control_strength=args.control_strength,
         ip_image=ip_image,

@@ -26,7 +26,11 @@ def group_lora_tensors(tensors: Dict[str, np.ndarray]):
     """Group raw LoRA checkpoint tensors → {module_key: {down, up, alpha, mid}}."""
     groups: Dict[str, dict] = {}
     for name, arr in tensors.items():
-        m = re.match(r"(.*)\.(lora_down|lora_up|lora_A|lora_B|alpha|lora_mid|dora_scale)\.?(weight)?$", name)
+        m = re.match(
+            r"(.*)\.(lora_down|lora_up|lora_A|lora_B|alpha|lora_mid|dora_scale"
+            r"|hada_w1_a|hada_w1_b|hada_t1|hada_w2_a|hada_w2_b|hada_t2"
+            r"|lokr_w1_a|lokr_w1_b|lokr_w1|lokr_w2_a|lokr_w2_b|lokr_w2"
+            r")\.?(weight)?$", name)
         if not m:
             m2 = re.match(r"(.*)\.alpha$", name)
             if m2:
@@ -42,6 +46,8 @@ def group_lora_tensors(tensors: Dict[str, np.ndarray]):
             g["mid"] = arr
         elif kind == "alpha":
             g["alpha"] = float(np.asarray(arr).reshape(-1)[0])
+        else:  # LoHa / LoKr factors keep their own names
+            g[kind] = arr
     return groups
 
 
@@ -89,10 +95,79 @@ def build_lookup(param_names_by_module: Dict[str, list]) -> Dict[str, Dict[str, 
     return out
 
 
+def _loha_delta(g: dict, mult: float) -> Optional[np.ndarray]:
+    """LoHa: (w1_a @ w1_b) ⊙ (w2_a @ w2_b) * alpha/rank (reference
+    get_loha_weight_diff, lora.hpp:302-404; tucker t1/t2 variants)."""
+    parts = []
+    for k in ("1", "2"):
+        a = g.get(f"hada_w{k}_a")
+        b = g.get(f"hada_w{k}_b")
+        if a is None or b is None:
+            return None
+        t = g.get(f"hada_t{k}")
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
+        if t is not None:
+            # tucker: t [r, r, kh, kw]; a/b [r, dim]
+            w = np.einsum("rsxy,ro,si->oixy", t.astype(np.float32), a, b)
+        elif b.ndim > 2:
+            r = b.shape[0]
+            w = (a.reshape(-1, r) @ b.reshape(r, -1)).reshape((a.shape[0],) + b.shape[1:])
+        else:
+            w = a @ b
+        parts.append(w)
+    if parts[0].shape != parts[1].shape:
+        return None
+    rank = g["hada_w1_b"].shape[0]
+    alpha = g.get("alpha", float(rank))
+    return parts[0] * parts[1] * (mult * alpha / rank)
+
+
+def _lokr_delta(g: dict, mult: float) -> Optional[np.ndarray]:
+    """LoKr: kron(w1, w2) * alpha/rank (reference get_lokr_weight_diff,
+    lora.hpp:405-524); either factor may itself be low-rank (a @ b)."""
+    rank = 1
+
+    def factor(k):
+        nonlocal rank
+        w = g.get(f"lokr_w{k}")
+        if w is not None:
+            return w.astype(np.float32)
+        a, b = g.get(f"lokr_w{k}_a"), g.get(f"lokr_w{k}_b")
+        if a is None or b is None:
+            return None
+        rank = b.shape[0]
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
+        if b.ndim > 2:
+            r = b.shape[0]
+            return (a.reshape(-1, r) @ b.reshape(r, -1)).reshape(
+                (a.shape[0],) + b.shape[1:])
+        return a @ b
+
+    w1, w2 = factor(1), factor(2)
+    if w1 is None or w2 is None:
+        return None
+    alpha = g.get("alpha", float(rank))
+    scale = 1.0 if rank == 1 else alpha / rank
+    if w2.ndim > 2:  # conv kron: w1 [o1,i1], w2 [o2,i2,kh,kw]
+        out = np.einsum("ab,cdxy->acbdxy", w1, w2)
+        out = out.reshape(w1.shape[0] * w2.shape[0], w1.shape[1] * w2.shape[1],
+                          *w2.shape[2:])
+    else:
+        out = np.kron(w1, w2)
+    return out * (mult * scale)
+
+
 def lora_delta(g: dict, mult: float) -> Optional[np.ndarray]:
-    """delta W for one group: mult * (alpha/rank) * up @ (mid?) @ down."""
+    """delta W for one group: mult * (alpha/rank) * up @ (mid?) @ down.
+    Falls through to LoHa / LoKr compositions by key presence."""
     down, up = g.get("down"), g.get("up")
     if down is None or up is None:
+        if "hada_w1_a" in g:
+            return _loha_delta(g, mult)
+        if any(k.startswith("lokr_") for k in g):
+            return _lokr_delta(g, mult)
         return None
     rank = down.shape[0]
     alpha = g.get("alpha", float(rank))

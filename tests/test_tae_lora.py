@@ -160,3 +160,44 @@ def test_runtime_lora_on_quantized_weights():
     ref2 = np.asarray(x) @ (w + 1.0 * up @ down).T
     rel2 = np.abs(got2 - ref2).mean() / np.abs(ref2).mean()
     assert rel2 < 0.02, rel2
+
+
+def test_loha_delta():
+    """LoHa: (w1_a@w1_b) ⊙ (w2_a@w2_b) * alpha/rank (reference
+    get_loha_weight_diff, lora.hpp:302)."""
+    import numpy as np
+
+    from sdtpu.models.lora import group_lora_tensors, lora_delta
+
+    g = np.random.default_rng(0)
+    t = {
+        "lora.m.hada_w1_a.weight": g.standard_normal((6, 2), dtype=np.float32),
+        "lora.m.hada_w1_b.weight": g.standard_normal((2, 4), dtype=np.float32),
+        "lora.m.hada_w2_a.weight": g.standard_normal((6, 2), dtype=np.float32),
+        "lora.m.hada_w2_b.weight": g.standard_normal((2, 4), dtype=np.float32),
+        "lora.m.alpha": np.asarray(2.0, dtype=np.float32),
+    }
+    d = lora_delta(group_lora_tensors(t)["lora.m"], 1.0)
+    want = (t["lora.m.hada_w1_a.weight"] @ t["lora.m.hada_w1_b.weight"]) * \
+           (t["lora.m.hada_w2_a.weight"] @ t["lora.m.hada_w2_b.weight"])
+    np.testing.assert_allclose(d, want, atol=1e-5)
+
+
+def test_lokr_delta():
+    """LoKr: kron(w1, w2) * alpha/rank with optionally factored halves
+    (reference get_lokr_weight_diff, lora.hpp:405)."""
+    import numpy as np
+
+    from sdtpu.models.lora import group_lora_tensors, lora_delta
+
+    g = np.random.default_rng(1)
+    w1 = g.standard_normal((3, 2), dtype=np.float32)
+    t = {
+        "lora.k.lokr_w1": w1,
+        "lora.k.lokr_w2_a.weight": g.standard_normal((4, 2), dtype=np.float32),
+        "lora.k.lokr_w2_b.weight": g.standard_normal((2, 5), dtype=np.float32),
+        "lora.k.alpha": np.asarray(1.0, dtype=np.float32),
+    }
+    d = lora_delta(group_lora_tensors(t)["lora.k"], 1.0)
+    w2 = t["lora.k.lokr_w2_a.weight"] @ t["lora.k.lokr_w2_b.weight"]
+    np.testing.assert_allclose(d, np.kron(w1, w2) * 0.5, atol=1e-5)
