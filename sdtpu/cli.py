@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reference image (PiD low-quality input; repeatable)")
     ap.add_argument("--ip-scale", type=float, default=1.0)
     ap.add_argument("--clip-vision", help="CLIP vision encoder checkpoint (ip-adapter)")
+    ap.add_argument("--photo-maker", help="PhotoMaker checkpoint (v1/v2)")
+    ap.add_argument("--pm-id-images-dir", help="PhotoMaker input ID images dir")
+    ap.add_argument("--pm-id-embed-path", help="PhotoMaker v2 insightface id embed file")
+    ap.add_argument("--pm-style-strength", type=float, default=20.0)
+    ap.add_argument("--pulid-weights", help="PuLID pulid_ca weights file")
+    ap.add_argument("--pulid-id-embedding", help="PuLID id embedding file")
+    ap.add_argument("--pulid-id-weight", type=float, default=1.0)
     ap.add_argument("--cache", default=None,
                     choices=["easycache", "ucache", "taylorseer", "spectrum"],
                     help="step cache: skip diffusion forwards (reference docs/caching.md)")
@@ -359,6 +366,43 @@ def _img_gen(args) -> int:
         cast = lambda d: {k: jnp.asarray(v, dtype=pipe.compute_dtype) for k, v in d.items()}
         pipe.set_ip_adapter(cast(proj), cast(extra), cast(vis_raw), vis_cfg)
         ip_image, _ = read_png(args.ip_image)
+
+    if args.photo_maker and args.pm_id_images_dir:
+        import numpy as np
+
+        from sdtpu.io.model_loader import read_checkpoint_file
+        from sdtpu.utils.image import read_png
+
+        pm_raw = read_checkpoint_file(args.photo_maker)
+        pm_params = {k[len("pmid."):] if k.startswith("pmid.") else k:
+                     __import__("jax.numpy", fromlist=["asarray"]).asarray(v)
+                     for k, v in pm_raw.items() if "lora" not in k}
+        id_imgs = []
+        for fn in sorted(os.listdir(args.pm_id_images_dir)):
+            if fn.lower().endswith((".png", ".jpg", ".jpeg")):
+                img, _ = read_png(os.path.join(args.pm_id_images_dir, fn))
+                id_imgs.append(img[..., :3])
+        id_embeds = None
+        if args.pm_id_embed_path:
+            id_embeds = np.fromfile(args.pm_id_embed_path, dtype=np.float32)
+            id_embeds = id_embeds.reshape(-1, 512)
+        pipe.set_photomaker(pm_params, id_imgs,
+                            style_strength=args.pm_style_strength,
+                            id_embeds=id_embeds)
+
+    if args.pulid_weights and args.pulid_id_embedding:
+        import numpy as np
+
+        from sdtpu.io.model_loader import read_checkpoint_file
+
+        pl_raw = read_checkpoint_file(args.pulid_weights)
+        jnp_ = __import__("jax.numpy", fromlist=["asarray"])
+        pl_params = {k: jnp_.asarray(v) for k, v in pl_raw.items()
+                     if k.startswith("pulid_ca.")}
+        id_emb = read_checkpoint_file(args.pulid_id_embedding)
+        id_arr = next(iter(id_emb.values())) if isinstance(id_emb, dict) else id_emb
+        pipe.set_pulid(pl_params, np.asarray(id_arr)[None] if np.asarray(id_arr).ndim == 2
+                       else np.asarray(id_arr), args.pulid_id_weight)
 
     ref_images = None
     if args.ref_image:

@@ -317,6 +317,71 @@ class SDXLConditioner:
         })
         return SDCondition(c_crossattn=c, c_vector=vec)
 
+    def get_learned_condition_with_trigger(
+        self, text: str, trigger_word: str, trigger_count: int,
+        clip_skip: int = -1, width: int = 1024, height: int = 1024,
+    ):
+        """PhotoMaker conditioning: encode with the trigger word replaced by
+        repeated class tokens → (SDCondition, class_mask [77]) (reference
+        get_photomaker_condition_with_trigger,
+        photomaker_extension.cpp:65-87)."""
+        if clip_skip <= 0:
+            clip_skip = 2
+        tokens, weights, mask = tokenize_photomaker_trigger(
+            self.tokenizer, text, trigger_word, trigger_count, 0)
+        chunks = tokens.reshape(1, CHUNK_LEN)
+        chunks_g = chunks.copy()
+        eos_pos = int(np.argmax(chunks_g[0] == self.tokenizer.eos_token_id))
+        if chunks_g[0, eos_pos] == self.tokenizer.eos_token_id and eos_pos + 1 < CHUNK_LEN:
+            chunks_g[0, eos_pos + 1:] = 0
+        hidden, pooled = self._jit_forward(
+            self.pl, self.pg, jnp.asarray(chunks), jnp.asarray(chunks_g),
+            jnp.asarray(weights.reshape(1, CHUNK_LEN)), clip_skip)
+        c = hidden.reshape(1, CHUNK_LEN, hidden.shape[-1])
+        vec = sdxl_size_vector(pooled[:1], width, height)
+        return SDCondition(c_crossattn=c, c_vector=vec), mask
+
+
+def tokenize_photomaker_trigger(tokenizer, text: str, trigger_word: str,
+                                trigger_count: int, pad_token_id: int):
+    """→ (tokens [77], weights [77], class_mask [77]): the trigger word is
+    removed and the preceding CLASS token repeated trigger_count times
+    (reference tokenize_photomaker_trigger,
+    photomaker_extension.cpp:13-63)."""
+    image_token = tokenizer.encode(trigger_word)
+    assert len(image_token) == 1, "trigger word must be a single token"
+    image_token = image_token[0]
+    raw_tokens: list = []
+    raw_weights: list = []
+    for span, weight in parse_prompt_attention(text):
+        for tid in tokenizer.encode(span):
+            raw_tokens.append(tid)
+            raw_weights.append(weight)
+    tokens: list = []
+    weights: list = []
+    class_idx = -1
+    for tid, wgt in zip(raw_tokens, raw_weights):
+        if tid == image_token:
+            if tokens:
+                class_idx = len(tokens) - 1
+                for _ in range(trigger_count - 1):
+                    tokens.append(tokens[class_idx])
+                    weights.append(weights[class_idx])
+            continue
+        tokens.append(tid)
+        weights.append(wgt)
+    tokens = [tokenizer.bos_token_id] + tokens[: CHUNK_LEN - 2] + [tokenizer.eos_token_id]
+    weights = [1.0] + weights[: CHUNK_LEN - 2] + [1.0]
+    pad = CHUNK_LEN - len(tokens)
+    tokens += [pad_token_id] * pad
+    weights += [1.0] * pad
+    mask = np.zeros(CHUNK_LEN, dtype=bool)
+    if class_idx >= 0:
+        lo = class_idx + 1  # +1 for BOS
+        mask[lo: lo + trigger_count] = True
+    return (np.asarray(tokens, dtype=np.int32),
+            np.asarray(weights, dtype=np.float32), mask)
+
 
 class WanConditioner:
     """Wan 2.x: UMT5-XXL only, 512-token chunk, attention-masked encoding with

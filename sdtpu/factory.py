@@ -364,9 +364,11 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
             t5_seq_len=t5_seq,
         )
 
-    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=(),
+                     pulid_id=None, pulid_weight=None):
         return flux_mod.flux_forward(p, x, t, ctx, y, guidance=guidance, cfg=dit_cfg,
-                                     skip_layers=skip_layers)
+                                     skip_layers=skip_layers, pulid_id=pulid_id,
+                                     pulid_weight=pulid_weight)
 
     def vae_decode_fn(p, z):
         return vae_mod.vae_decode(p, z, vae_cfg)

@@ -300,6 +300,33 @@ def _radiance_nerf_decode(p, tokens, x_pad, cfg: FluxConfig) -> jnp.ndarray:
                   p.get("nerf_final_layer_conv.conv.bias"), padding=1)
 
 
+def _pulid_ca(p, idx: int, id_emb, img, weight):
+    """PuLID perceiver cross-attn injection (reference
+    PuLIDPerceiverAttentionCA, pulid.hpp:7 + flux.hpp:1120-1160):
+    img += weight * to_out(attn(q=norm(img), kv=norm(id)))."""
+    pre = f"pulid_ca.{idx}"
+    b, l, hid = img.shape
+    idn = layer_norm(id_emb.astype(img.dtype), p[f"{pre}.norm1.weight"],
+                     p[f"{pre}.norm1.bias"])
+    imn = layer_norm(img, p[f"{pre}.norm2.weight"], p[f"{pre}.norm2.bias"])
+    q = linear(imn, p[f"{pre}.to_q.weight"])
+    kv = linear(idn, p[f"{pre}.to_kv.weight"])
+    inner = q.shape[-1]
+    k, v = kv[..., :inner], kv[..., inner:]
+    heads = max(1, inner // 128)
+    d = inner // heads
+
+    def hs(t):
+        return t.reshape(b, t.shape[1], heads, d).transpose(0, 2, 1, 3)
+
+    o = attention(hs(q), hs(k), hs(v)).transpose(0, 2, 1, 3).reshape(b, l, inner)
+    o = linear(o, p[f"{pre}.to_out.weight"])
+    w = weight if weight is not None else 1.0
+    if hasattr(w, "ndim") and w.ndim == 1:
+        w = w[:, None, None]
+    return img + o * w
+
+
 def flux_forward(
     p,
     x: jnp.ndarray,
@@ -309,6 +336,8 @@ def flux_forward(
     guidance: Optional[jnp.ndarray] = None,
     cfg: FluxConfig = FLUX_DEV_CONFIG,
     skip_layers: Tuple[int, ...] = (),
+    pulid_id: Optional[jnp.ndarray] = None,
+    pulid_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """x: [B,H,W,16] latent NHWC; timesteps: [B] (sigma in [0,1]);
     context: [B,L,4096] T5; y: [B,768] clip pooled; guidance: [B] distilled
@@ -417,8 +446,13 @@ def flux_forward(
         shared_txt = _modulation(p, "double_stream_modulation_txt", vec, 6)
         shared_ss = _modulation(p, "single_stream_modulation", vec, 3)
 
+    pulid_run = pulid_id is not None and not skip_layers
+    pulid_ca_idx = 0
     for i in range(cfg.depth):
         pre = f"double_blocks.{i}"
+        if pulid_run and i % 2 == 0:  # pulid_double_interval (flux.hpp:59)
+            img = _pulid_ca(p, pulid_ca_idx, pulid_id, img, pulid_weight)
+            pulid_ca_idx += 1
         if cfg.share_modulation:
             img_mods, txt_mods = shared_img, shared_txt
         elif cfg.is_chroma:
@@ -455,6 +489,11 @@ def flux_forward(
     for i in range(cfg.depth_single):
         if (i + cfg.depth) in skip_layers:
             continue
+        if pulid_run and i % 4 == 0:  # pulid_single_interval (flux.hpp:60)
+            img_part = _pulid_ca(p, pulid_ca_idx, pulid_id, xx[:, l_txt:],
+                                 pulid_weight)
+            pulid_ca_idx += 1
+            xx = jnp.concatenate([xx[:, :l_txt], img_part], axis=1)
         pre = f"single_blocks.{i}"
         if cfg.share_modulation:
             mods = shared_ss

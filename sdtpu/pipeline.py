@@ -120,6 +120,8 @@ class DiffusionPipeline:
         self._ip_proj = None
         self._ip_clip_params = None
         self._ip_clip_cfg = None
+        self._photomaker = None
+        self._pulid = None
         self._vae_tiling = False
         self._vae_tile = 64
         self._vae_overlap = 8
@@ -143,6 +145,74 @@ class DiffusionPipeline:
         self._vae_tile = tile_size
         self._vae_overlap = overlap
         self._decode_cache.clear()
+
+    def set_photomaker(self, pmid_params, id_images, style_strength: float = 20.0,
+                       trigger_word: str = "img", id_embeds=None,
+                       vision_cfg=None) -> None:
+        """Attach PhotoMaker (reference PhotoMakerExtension,
+        photomaker_extension.cpp): id_images ([H,W,3] arrays) are encoded by
+        the checkpoint's CLIP-vision tower; the prompt's trigger word is
+        replaced by fused ID class tokens and that condition takes over after
+        style_strength%% of steps.  id_embeds: [N, 512] insightface
+        embeddings (required for v2 checkpoints).  Pass pmid_params=None to
+        detach."""
+        if pmid_params is None:
+            self._photomaker = None
+            return
+        self._photomaker = {
+            "params": pmid_params,
+            "id_images": list(id_images),
+            "style_strength": float(style_strength),
+            "trigger_word": trigger_word,
+            "id_embeds": id_embeds,
+            "vision_cfg": vision_cfg,
+        }
+
+    def _photomaker_condition(self, gp, steps: int):
+        """→ (id_ctx [1,77,D], id_vec, start_merge_step, cleaned_prompt)."""
+        from sdtpu.models.clip import clip_preprocess
+        from sdtpu.models.pmid import detect_pmid_vision_config, photomaker_encode
+
+        pm = self._photomaker
+        v2 = any("qformer_perceiver" in k for k in pm["params"])
+        n_img = len(pm["id_images"])
+        trigger_count = 2 * n_img if v2 else n_img
+        cond, mask = self.conditioner.get_learned_condition_with_trigger(
+            gp.prompt, pm["trigger_word"], trigger_count,
+            clip_skip=gp.clip_skip, width=gp.width, height=gp.height)
+        if not mask.any():
+            log_info(f"PhotoMaker trigger word {pm['trigger_word']!r} not in "
+                     "prompt; PhotoMaker disabled for this request")
+            return None
+        pixels = jnp.concatenate(
+            [clip_preprocess(np.asarray(img)[..., :3], 224)
+             for img in pm["id_images"]], axis=0)
+        ide = pm["id_embeds"]
+        vcfg = pm["vision_cfg"] or detect_pmid_vision_config(pm["params"])
+        id_ctx = photomaker_encode(
+            pm["params"], pixels.astype(self.compute_dtype),
+            cond.c_crossattn, mask,
+            id_embeds=None if ide is None else jnp.asarray(ide),
+            vision_cfg=vcfg)
+        start = int(pm["style_strength"] / 100.0 * steps)
+        # the plain condition drops the trigger word entirely
+        cleaned = gp.prompt.replace(pm["trigger_word"], "").replace("  ", " ")
+        return id_ctx, cond.c_vector, start, cleaned
+
+    def set_pulid(self, pulid_params, id_embedding, id_weight: float = 1.0) -> None:
+        """Attach PuLID FLUX identity conditioning (reference
+        PuLIDExtension + pulid.hpp): pulid_ca.* perceiver cross-attn weights
+        merge into the diffusion params; id_embedding [1, n, 2048] (from the
+        offline pulid_extract_id tooling) is injected into the double blocks
+        every 2 layers and the single blocks every 4.  Pass None to detach."""
+        if pulid_params is None:
+            self._pulid = None
+            return
+        self.diffusion_params = {**self.diffusion_params, **pulid_params}
+        self._program_cache.clear()
+        self._stepwise_step_cache.clear()
+        self._pulid = {"id": jnp.asarray(id_embedding),
+                       "weight": float(id_weight)}
 
     def set_ip_adapter(self, proj_params, unet_extra, clip_vision_params,
                        clip_vision_cfg) -> None:
@@ -200,6 +270,9 @@ class DiffusionPipeline:
             ip_cond=None,
             ip_uncond=None,
             ip_scale=None,
+            ctx_cond2=None,
+            y_cond2=None,
+            ctx_switch_step=None,
             _stepwise_cb=None,
             _step_cache=None,  # (kind, options) → host-driven cached sampling
         ):
@@ -225,12 +298,25 @@ class DiffusionPipeline:
                 "ip_cond": ip_cond,
                 "ip_uncond": ip_uncond,
                 "ip_scale": ip_scale,
+                "ctx_cond2": ctx_cond2,
+                "y_cond2": y_cond2,
+                "ctx_switch_step": ctx_switch_step,
             }
 
             def make_model_fn(mi):
                 def model_fn(xt, sigma, i):
                     c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
                     t = denoiser.sigma_to_t_jnp(sigma)
+                    # style-merge context switch (PhotoMaker: the fused ID
+                    # condition takes over after start_merge_step; reference
+                    # before_condition, photomaker_extension.cpp:283)
+                    ctx_cond_eff = mi["ctx_cond"]
+                    y_cond_eff = mi["y_cond"]
+                    if mi["ctx_cond2"] is not None:
+                        use2 = (i > mi["ctx_switch_step"])
+                        ctx_cond_eff = jnp.where(use2, mi["ctx_cond2"], ctx_cond_eff)
+                        if y_cond_eff is not None and mi["y_cond2"] is not None:
+                            y_cond_eff = jnp.where(use2, mi["y_cond2"], y_cond_eff)
 
                     def _tt(nb):
                         # SeFi passes a [sem, tex] sigma vector → [nb, 2]
@@ -275,9 +361,9 @@ class DiffusionPipeline:
                     if has_uncond:
                         x_both = jnp.concatenate([x_in, x_in], axis=0)
                         xc_both = jnp.concatenate([x_core, x_core], axis=0)
-                        ctx = jnp.concatenate([mi["ctx_cond"], mi["ctx_uncond"]], axis=0)
+                        ctx = jnp.concatenate([ctx_cond_eff, mi["ctx_uncond"]], axis=0)
                         y = (
-                            jnp.concatenate([mi["y_cond"], mi["y_uncond"]], axis=0)
+                            jnp.concatenate([y_cond_eff, mi["y_uncond"]], axis=0)
                             if mi["y_cond"] is not None
                             else None
                         )
@@ -324,7 +410,7 @@ class DiffusionPipeline:
                     else:
                         tt = _tt(b)
                         out = apply_model(
-                            x_in, x_core, tt, mi["ctx_cond"], mi["y_cond"], mi["extras"]
+                            x_in, x_core, tt, ctx_cond_eff, y_cond_eff, mi["extras"]
                         ).astype(jnp.float32)
                         pred = c_skip * xt + c_out * out
                         den_uncond = pred
@@ -448,6 +534,9 @@ class DiffusionPipeline:
             ip_cond=None,
             ip_uncond=None,
             ip_scale=None,
+            ctx_cond2=None,
+            y_cond2=None,
+            ctx_switch_step=None,
         ):
             return program(
                 params,
@@ -469,6 +558,9 @@ class DiffusionPipeline:
                 ip_cond=ip_cond,
                 ip_uncond=ip_uncond,
                 ip_scale=ip_scale,
+                ctx_cond2=ctx_cond2,
+                y_cond2=y_cond2,
+                ctx_switch_step=ctx_switch_step,
             )
 
         self._program_cache[key] = run
@@ -759,6 +851,14 @@ class DiffusionPipeline:
         bc = gp.batch_count
         is_inpaint_model = sd_version_is_inpaint(self.version)
 
+        pm_prompt = gp.prompt
+        if getattr(self, "_photomaker", None):
+            # base condition drops the trigger word (reference
+            # remove_photomaker_trigger_from_prompt)
+            tw = self._photomaker["trigger_word"]
+            gp = dataclasses.replace(
+                gp, prompt=" ".join(gp.prompt.replace(tw, " ").split()))
+
         cond = self.conditioner.get_learned_condition(
             gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
         )
@@ -945,6 +1045,24 @@ class DiffusionPipeline:
             kwargs["control_strength"] = jnp.float32(control_strength)
         if self.uses_distilled_guidance:
             kwargs["extras"] = {"guidance": jnp.full((bc,), gp.guidance, dtype=jnp.float32)}
+        if getattr(self, "_pulid", None):
+            ex = kwargs.setdefault("extras", {})
+            pid = np.asarray(self._pulid["id"])
+            ex["pulid_id"] = jnp.asarray(np.broadcast_to(pid, (bc,) + pid.shape[1:]))
+            ex["pulid_weight"] = jnp.full((bc,), self._pulid["weight"],
+                                          dtype=jnp.float32)
+        if getattr(self, "_photomaker", None):
+            pmres = self._photomaker_condition(
+                dataclasses.replace(gp, prompt=pm_prompt), steps)
+            if pmres is not None:
+                id_ctx, id_vec, start_merge, _cleaned = pmres
+                kwargs["ctx_cond2"] = jnp.asarray(np.broadcast_to(
+                    np.asarray(id_ctx), (bc,) + id_ctx.shape[1:]))
+                if y_c is not None and id_vec is not None:
+                    kwargs["y_cond2"] = jnp.asarray(np.broadcast_to(
+                        np.asarray(id_vec), (bc,) + id_vec.shape[1:]))
+                kwargs["ctx_switch_step"] = jnp.int32(start_merge)
+                log_info(f"PhotoMaker: ID condition from step {start_merge}")
         if ref_images is not None and self.ref_extras_fn is not None:
             ex = kwargs.setdefault("extras", {})
             for k2, v2 in self.ref_extras_fn(ref_images).items():
