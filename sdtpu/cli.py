@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--end-img", help="last-frame conditioning image (LTX FLF2V)")
     ap.add_argument("--no-audio", action="store_true",
                     help="skip audio generation for audio-video models (LTX-2)")
+    ap.add_argument("--control-video", action="append", default=[],
+                    help="VACE control frame image (repeatable, in order)")
+    ap.add_argument("--vace-strength", type=float, default=1.0)
     ap.add_argument("--upscale-model",
                     help="LTX latent spatial upsampler checkpoint (hires video)")
     ap.add_argument("--flow-shift", type=float, default=None)
@@ -517,6 +520,10 @@ def _vid_gen(args) -> int:
             from sdtpu.io.model_loader import read_checkpoint_file
 
             vkw["upsampler_params"] = read_checkpoint_file(args.upscale_model)
+    if args.control_video:
+        vkw["control_frames"] = [read_png(pth)[0][..., :3]
+                                 for pth in args.control_video]
+        vkw["vace_strength"] = args.vace_strength
     t0 = time.time()
     res = pipe.generate_video(gp, frames=args.video_frames,
                               init_image=init_image, **vkw)

@@ -1383,8 +1383,10 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
 
     conditioner = WanConditioner(t5_tokenizer, t5_params, t5_cfg, seq_len=t5_seq)
 
-    def diffusion_fn(p, x, t, ctx, y):
-        return wan_mod.wan_forward(p, x, t, ctx, clip_fea=y, cfg=dit_cfg)
+    def diffusion_fn(p, x, t, ctx, y, vace_context=None, vace_strength=None):
+        vs = 1.0 if vace_strength is None else vace_strength[:, None, None]
+        return wan_mod.wan_forward(p, x, t, ctx, clip_fea=y, cfg=dit_cfg,
+                                   vace_context=vace_context, vace_strength=vs)
 
     use_stats = vae_cfg.z_dim == 16  # per-channel stats only for the real VAE
 
@@ -1399,10 +1401,36 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
             z = wan_vae_mod.vae_to_diffusion_latents(z)
         return z
 
+    def _vace_prepare(control_frames, frames, w, h):
+        """control frames + full-regenerate mask → [1, Tl, lh, lw, 96]
+        (reference VACE context prep, stable-diffusion.cpp:5977-6030):
+        inactive = grey (mask=1 everywhere), reactive = control video;
+        mask pixel-shuffled 8x8 into 64 channels."""
+        from sdtpu.pipeline import _to_pm1
+        from sdtpu.utils.image import resize_image
+
+        enc2 = jax.jit(lambda pp, xx: vae_encode_fn(pp, xx))
+        vid = np.zeros((1, frames, h, w, 3), dtype=np.float32)
+        for i, f in enumerate(control_frames[:frames]):
+            img = np.asarray(f)[..., :3]
+            if img.dtype != np.uint8:
+                img = np.clip(img * (255.0 if img.max() <= 1.5 else 1.0),
+                              0, 255).astype(np.uint8)
+            vid[0, i] = _to_pm1(resize_image(img, w, h))
+        mask = np.ones((1, frames, h, w, 1), dtype=np.float32)
+        inactive = vid * (1.0 - mask)  # pm1 grey = 0
+        reactive = vid * mask
+        zi = np.asarray(enc2(vae_params, jnp.asarray(inactive)), dtype=np.float32)
+        zr = np.asarray(enc2(vae_params, jnp.asarray(reactive)), dtype=np.float32)
+        tl, lh, lw = zi.shape[1:4]
+        # mask context: 8x8 pixel-shuffle of the (first-frame-aligned) mask
+        m = mask[0, :1, :, :, 0]  # latent-frame mask is uniform here
+        m = m.reshape(1, lh, 8, lw, 8).transpose(0, 1, 3, 2, 4).reshape(1, lh, lw, 64)
+        mctx = np.broadcast_to(m[None], (1, tl, lh, lw, 64))
+        return np.concatenate([zi, zr, mctx.astype(np.float32)], axis=-1)
+
     video_condition_fn = None
     if dit_cfg.model_type == "i2v":
-        import numpy as np
-
         clip_vision_params = params.get("clip_vision")
         cv_cfg = None
         if clip_vision_params is not None:
@@ -1446,7 +1474,7 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
                 clip_fea = np.zeros((1, 257, 1280), dtype=np.float32)
             return c_concat, clip_fea
 
-    return DiffusionPipeline(
+    pipe = DiffusionPipeline(
         version=version,
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
@@ -1462,6 +1490,8 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         temporal_scale=4,
         video_condition_fn=video_condition_fn,
     )
+    pipe.vace_prepare_fn = _vace_prepare
+    return pipe
 
 
 def _create_sd3_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift):

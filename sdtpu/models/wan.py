@@ -42,6 +42,9 @@ class WanConfig:
     eps: float = 1e-6
     theta: int = 10000
     axes_dim: Tuple[int, ...] = (44, 42, 42)
+    # VACE video editing/control blocks (reference wan.hpp:382,572-593)
+    vace_layers: int = 0
+    vace_in_dim: int = 96
 
 
 WAN21_T2V_1_3B_CONFIG = WanConfig()
@@ -59,10 +62,13 @@ WAN22_TI2V_5B_CONFIG = WanConfig(
 def detect_wan_config(names, shapes, version: str = "wan2.1") -> WanConfig:
     """Config from checkpoint fingerprints (reference wan.hpp:42 + :808)."""
     num_layers = 0
+    vace_layers = 0
     is_i2v = False
     for n in names:
         if n.startswith("blocks."):
             num_layers = max(num_layers, int(n.split(".")[1]) + 1)
+        if n.startswith("vace_blocks."):
+            vace_layers = max(vace_layers, int(n.split(".")[1]) + 1)
         if "img_emb" in n:
             is_i2v = True
     in_dim = shapes.get("patch_embedding.weight", (0, 16))[1]
@@ -77,6 +83,9 @@ def detect_wan_config(names, shapes, version: str = "wan2.1") -> WanConfig:
         in_dim=in_dim or base.in_dim,
         num_layers=num_layers or base.num_layers,
         model_type="i2v" if is_i2v else base.model_type,
+        vace_layers=vace_layers,
+        vace_in_dim=shapes.get("vace_patch_embedding.weight",
+                               (0, base.vace_in_dim))[1],
     )
     # prefer exact dims from the weights; every published Wan uses d_head=128
     dim = shapes.get("patch_embedding.weight", (0,))[0]
@@ -149,6 +158,8 @@ def wan_forward(
     context: jnp.ndarray,
     clip_fea: Optional[jnp.ndarray] = None,
     cfg: WanConfig = WAN21_T2V_1_3B_CONFIG,
+    vace_context: Optional[jnp.ndarray] = None,
+    vace_strength: float = 1.0,
 ) -> jnp.ndarray:
     """x: [B, T, H, W, C] video latent (NTHWC); timesteps: [B] in [0,1000];
     context: [B, 512, text_dim] UMT5 states; clip_fea: [B, 257, 1280] (i2v).
@@ -197,9 +208,7 @@ def wan_forward(
     ids[:, 0], ids[:, 1], ids[:, 2] = ti.reshape(-1), hi.reshape(-1), wi.reshape(-1)
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
-    h = img
-    for i in range(cfg.num_layers):
-        pre = f"blocks.{i}"
+    def _block(pre, h):
         es = (e0 + p[f"{pre}.modulation"].reshape(1, 6, cfg.dim)).astype(h.dtype)
         shift_sa, scale_sa, gate_sa = es[:, 0, None], es[:, 1, None], es[:, 2, None]
         shift_ff, scale_ff, gate_ff = es[:, 3, None], es[:, 4, None], es[:, 5, None]
@@ -220,7 +229,38 @@ def wan_forward(
         y = layer_norm(h, eps=cfg.eps) * (1 + scale_ff) + shift_ff
         y = linear(y, p[f"{pre}.ffn.0.weight"], p[f"{pre}.ffn.0.bias"])
         y = linear(gelu_tanh(y), p[f"{pre}.ffn.2.weight"], p[f"{pre}.ffn.2.bias"])
-        h = h + y * gate_ff
+        return h + y * gate_ff
+
+    # VACE (reference wan.hpp:695-731): the control stream c runs its own
+    # attention blocks spliced every num_layers/vace_layers layers; each
+    # vace block's after_proj lands on x scaled by vace_strength
+    c = None
+    vace_map = {}
+    if vace_context is not None and cfg.vace_layers > 0:
+        vc = vace_context
+        if pad_t or pad_h or pad_w:
+            vc = jnp.pad(vc, ((0, 0), (0, pad_t), (0, pad_h), (0, pad_w), (0, 0)))
+        vc = vc.reshape(b, tl, pt, hl, ph, wl, pw, cfg.vace_in_dim)
+        vc = vc.transpose(0, 1, 3, 5, 7, 2, 4, 6).reshape(
+            b, tl * hl * wl, cfg.vace_in_dim * pt * ph * pw)
+        wv = p["vace_patch_embedding.weight"].reshape(cfg.dim, -1)
+        c = linear(vc.astype(img.dtype), wv, p["vace_patch_embedding.bias"])
+        step = cfg.num_layers // cfg.vace_layers
+        vace_map = {n * step: n for n in range(cfg.vace_layers)}
+
+    h = img
+    x_orig = img
+    for i in range(cfg.num_layers):
+        h = _block(f"blocks.{i}", h)
+        if i in vace_map:
+            n = vace_map[i]
+            if n == 0:
+                c = linear(c, p["vace_blocks.0.before_proj.weight"],
+                           p["vace_blocks.0.before_proj.bias"]) + x_orig
+            c = _block(f"vace_blocks.{n}", c)
+            c_skip = linear(c, p[f"vace_blocks.{n}.after_proj.weight"],
+                            p[f"vace_blocks.{n}.after_proj.bias"])
+            h = h + c_skip * vace_strength
 
     # head (reference wan.hpp:433): e repeated ×2 + modulation → shift/scale
     e2 = (e[:, None, :] + p["head.modulation"].reshape(1, 2, cfg.dim)).astype(h.dtype)
@@ -281,6 +321,28 @@ def init_wan_params(cfg: WanConfig = WAN21_T2V_1_3B_CONFIG, seed: int = 0, dtype
         p[f"{pre}.modulation"] = jnp.asarray(
             g.standard_normal((1, 6, dim), dtype=np.float32) * 0.02, dtype=dtype
         )
+    for n in range(cfg.vace_layers):
+        pre = f"vace_blocks.{n}"
+        for attn in ("self_attn", "cross_attn"):
+            for ln in ("q", "k", "v", "o"):
+                lin(f"{pre}.{attn}.{ln}", dim, dim)
+            norm(f"{pre}.{attn}.norm_q", dim)
+            norm(f"{pre}.{attn}.norm_k", dim)
+        if cfg.cross_attn_norm:
+            norm(f"{pre}.norm3", dim, bias=True)
+        lin(f"{pre}.ffn.0", cfg.ffn_dim, dim)
+        lin(f"{pre}.ffn.2", dim, cfg.ffn_dim)
+        p[f"{pre}.modulation"] = jnp.asarray(
+            g.standard_normal((1, 6, dim), dtype=np.float32) * 0.02, dtype=dtype
+        )
+        if n == 0:
+            lin(f"{pre}.before_proj", dim, dim)
+        lin(f"{pre}.after_proj", dim, dim)
+    if cfg.vace_layers:
+        p["vace_patch_embedding.weight"] = jnp.asarray(
+            g.standard_normal((dim, cfg.vace_in_dim, pt, ph, pw),
+                              dtype=np.float32) * 0.02, dtype=dtype)
+        p["vace_patch_embedding.bias"] = jnp.zeros((dim,), dtype=dtype)
     if cfg.model_type == "i2v":
         lin("img_emb.proj.1", 1280, 1280)
         lin("img_emb.proj.3", dim, 1280)

@@ -122,6 +122,7 @@ class DiffusionPipeline:
         self._ip_clip_cfg = None
         self._photomaker = None
         self._pulid = None
+        self.vace_prepare_fn = None
         self._vae_tiling = False
         self._vae_tile = 64
         self._vae_overlap = 8
@@ -638,6 +639,8 @@ class DiffusionPipeline:
         init_image: Optional[np.ndarray] = None,
         high_noise_params=None,
         moe_boundary: float = 0.875,
+        control_frames: Optional[list] = None,
+        vace_strength: float = 1.0,
     ) -> VideoResult:
         """txt2vid / img2vid (reference generate_video,
         stable-diffusion.cpp:6374).  frames must satisfy 1+4k for the causal
@@ -717,6 +720,16 @@ class DiffusionPipeline:
                 log_info(f"Wan MoE: high-noise model for steps 0..{switch}")
 
         vkw = {}
+        if control_frames is not None and getattr(self, "vace_prepare_fn", None):
+            # VACE video editing/control (reference stable-diffusion.cpp:
+            # 5970-6030: inactive/reactive VAE encodes + pixel-shuffle mask)
+            vc = self.vace_prepare_fn(control_frames, frames, w, h)
+            vkw["extras"] = {
+                "vace_context": jnp.asarray(
+                    np.broadcast_to(vc, (bc,) + vc.shape[1:])),
+                "vace_strength": jnp.full((bc,), vace_strength,
+                                          dtype=jnp.float32),
+            }
         if self.video_condition_fn is not None:
             # i2v: first-frame conditioning (reference wan i2v concat_latent +
             # clip_vision_output, stable-diffusion.cpp:5855-5911).  A 3-tuple
