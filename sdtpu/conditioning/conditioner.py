@@ -483,23 +483,84 @@ class QwenImageConditioner:
     (reference LLMEmbedder, conditioner.hpp:2213-2284,
     prompt_template_encode_start_idx=34)."""
 
+    EDIT_TEMPLATE_PREFIX = (
+        "<|im_start|>system\nDescribe the key features of the input image "
+        "(color, shape, size, texture, objects, background), then explain "
+        "how the user's text instruction should alter or modify the image. "
+        "Generate a new image that meets the user's requirements while "
+        "maintaining consistency with the original input where appropriate."
+        "<|im_end|>\n<|im_start|>user\n"
+    )
+    EDIT_DROP_IDX = 64
+
     def __init__(self, qwen_tokenizer, llm_params, llm_cfg, template: str = "qwen_image",
-                 max_len: int = 1024):
+                 max_len: int = 1024, vision_params=None, vision_cfg=None,
+                 picture_word: str = "Picture"):
         from sdtpu.models.llm import CHAT_TEMPLATES
 
         self.tokenizer = qwen_tokenizer
         self.pl, self.cl = llm_params, llm_cfg
         self.template, self.drop_idx = CHAT_TEMPLATES[template]
         self.max_len = max_len
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
+        self.picture_word = picture_word  # "Image" for Mage-Flow edit
 
         from sdtpu.models.llm import llm_forward
 
         def fwd(pl, ids, mask):
             return llm_forward(pl, ids, self.cl, attention_mask=mask)
 
-        self._jit_forward = jax.jit(fwd)
+        def fwd_embeds(pl, embeds):
+            return llm_forward(pl, None, self.cl, input_embeds=embeds)
 
-    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        self._jit_forward = jax.jit(fwd)
+        self._jit_forward_embeds = jax.jit(fwd_embeds)
+
+    def _edit_condition(self, text: str, ref_images) -> SDCondition:
+        """Edit path (reference QwenImageEditPlusPipeline branch,
+        conditioner.hpp:2213-2273): vision tokens spliced into the token
+        embeddings at the <|image_pad|> positions, 64-token prefix dropped."""
+        from sdtpu.models.qwen_vl_vision import clip_smart_resize, qwen_vision_encode
+        from sdtpu.utils.image import resize_image
+
+        vcfg = self.vision_cfg
+        factor = vcfg.patch_size * vcfg.spatial_merge_size
+        embeds = []
+        img_prompt = ""
+        for i, img in enumerate(ref_images):
+            arr = np.asarray(img)[..., :3]
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
+                              0, 255).astype(np.uint8)
+            nh, nw = clip_smart_resize(arr.shape[0], arr.shape[1], factor,
+                                       max_pixels=560 * 560)
+            arr = resize_image(arr, nw, nh).astype(np.float32) / 255.0
+            from sdtpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+            arr = (arr - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
+            emb = qwen_vision_encode(self.vision_params, arr, vcfg)
+            embeds.append(emb[0])
+            img_prompt += (f"{self.picture_word} {i + 1}: <|vision_start|>"
+                           + "<|image_pad|>" * emb.shape[1] + "<|vision_end|>")
+        prompt = (self.EDIT_TEMPLATE_PREFIX + img_prompt + text
+                  + "<|im_end|>\n<|im_start|>assistant\n")
+        ids = self.tokenizer.encode(prompt)
+        pad_id = self.tokenizer.special.get("<|image_pad|>")
+        ids_arr = np.asarray(ids, dtype=np.int32)
+        tok_embeds = self.pl["model.embed_tokens.weight"][jnp.asarray(ids_arr)]
+        pos = np.nonzero(ids_arr == pad_id)[0]
+        vis = jnp.concatenate(embeds, axis=0).astype(tok_embeds.dtype)
+        assert len(pos) == vis.shape[0], (len(pos), vis.shape)
+        tok_embeds = tok_embeds.at[jnp.asarray(pos)].set(vis)
+        h = self._jit_forward_embeds(self.pl, tok_embeds[None])
+        return SDCondition(c_crossattn=h[:, self.EDIT_DROP_IDX:])
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1,
+                              ref_images=None, **kw) -> SDCondition:
+        if (ref_images and self.vision_params is not None
+                and self.tokenizer is not None):
+            return self._edit_condition(text, ref_images)
         if self.tokenizer is not None:
             ids = self.tokenizer.encode(self.template.format(text))[: self.max_len]
             drop = self.drop_idx

@@ -1171,10 +1171,22 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
     llm_params = params.get("llm") or llm_mod.init_llm_params(llm_cfg, seed + 3, dtype=dtype)
     vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(vae_cfg, seed=seed, dtype=dtype)
 
-    conditioner = QwenImageConditioner(qwen_tokenizer, llm_params, llm_cfg)
+    # vision tower (edit pipelines) lives inside the llm bundle
+    vis_keys = {k: v for k, v in llm_params.items() if k.startswith("visual.")}
+    vision_cfg = None
+    if vis_keys:
+        from sdtpu.models.qwen_vl_vision import detect_vision_config
 
-    def diffusion_fn(p, x, t, ctx, y):
-        return qi_mod.qwen_image_forward(p, x, t, ctx, cfg=dit_cfg)
+        vision_cfg = detect_vision_config(
+            vis_keys.keys(), {k: tuple(v.shape) for k, v in vis_keys.items()})
+    conditioner = QwenImageConditioner(
+        qwen_tokenizer, llm_params, llm_cfg,
+        vision_params=vis_keys or None, vision_cfg=vision_cfg)
+
+    def diffusion_fn(p, x, t, ctx, y, **ex):
+        refs = [ex[k] for k in sorted(k2 for k2 in ex if k2.startswith("ref_latent_"))]
+        return qi_mod.qwen_image_forward(p, x, t, ctx, cfg=dit_cfg,
+                                         ref_latents=refs or None)
 
     use_stats = vae_cfg.z_dim == 16
 
@@ -1191,6 +1203,29 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
             zv = wan_vae_mod.vae_to_diffusion_latents(zv)
         return zv[:, 0]
 
+    _enc_ref = jax.jit(lambda pp, xx: vae_encode_fn(pp, xx))
+
+    def ref_extras_fn(refs):
+        """VAE-encode edit reference images → ref_latent_i extras for the
+        DiT token stream (reference ref_latents, stable-diffusion.cpp:4860)."""
+        from sdtpu.pipeline import _to_pm1
+        from sdtpu.utils.image import resize_image
+
+        out = {}
+        for i, r in enumerate(refs):
+            arr = np.asarray(r)[..., :3]
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
+                              0, 255).astype(np.uint8)
+            # multiple-of-16 pixel sizes keep the 2x2-patched latent aligned
+            nh = max(16, (arr.shape[0] // 16) * 16)
+            nw = max(16, (arr.shape[1] // 16) * 16)
+            arr = resize_image(arr, nw, nh)
+            out[f"ref_latent_{i}"] = np.asarray(
+                _enc_ref(vae_params, jnp.asarray(_to_pm1(arr))[None]),
+                dtype=np.float32)
+        return out
+
     return DiffusionPipeline(
         version=SDVersion.QWEN_IMAGE,
         diffusion_params=dit_params,
@@ -1204,6 +1239,7 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
         latent_channels=dit_cfg.out_channels,
         scale_factor=8,
         compute_dtype=dtype,
+        ref_extras_fn=ref_extras_fn,
     )
 
 
@@ -2169,10 +2205,24 @@ def _create_mage_flow_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     vae_params = params.get("vae") or mv_mod.init_mage_vae_params(
         seed=seed + 1, dtype=dtype, n_blocks=vae_blocks)
 
-    conditioner = QwenImageConditioner(qwen_tokenizer, llm_params, llm_cfg)
+    vis_keys = {k: v for k, v in llm_params.items() if k.startswith("visual.")}
+    vision_cfg = None
+    if vis_keys:
+        from sdtpu.models.qwen_vl_vision import detect_vision_config
 
-    def diffusion_fn(p, x, t, ctx, y):
-        return qi_mod.qwen_image_forward(p, x, t, ctx, cfg=dit_cfg)
+        vision_cfg = detect_vision_config(
+            vis_keys.keys(), {k: tuple(v.shape) for k, v in vis_keys.items()})
+    # Mage-Flow edit uses "Image N:" markers and max 384px VLM refs
+    # (reference conditioner.hpp:2215-2231)
+    conditioner = QwenImageConditioner(
+        qwen_tokenizer, llm_params, llm_cfg,
+        vision_params=vis_keys or None, vision_cfg=vision_cfg,
+        picture_word="Image")
+
+    def diffusion_fn(p, x, t, ctx, y, **ex):
+        refs = [ex[k] for k in sorted(k2 for k2 in ex if k2.startswith("ref_latent_"))]
+        return qi_mod.qwen_image_forward(p, x, t, ctx, cfg=dit_cfg,
+                                         ref_latents=refs or None)
 
     def vae_decode_fn(p, z):
         return jnp.clip(mv_mod.mage_vae_decode(p, z, n_blocks=vae_blocks), -1.0, 1.0)

@@ -101,17 +101,33 @@ def qwen_image_forward(
     timesteps: jnp.ndarray,
     context: jnp.ndarray,
     cfg: QwenImageConfig = QWEN_IMAGE_CONFIG,
+    ref_latents=None,
 ) -> jnp.ndarray:
     """x: [B, H, W, 16] latent NHWC; timesteps: [B] in [0,1]; context:
-    [B, L, 3584] Qwen2.5-VL hidden states → velocity [B, H, W, 16]."""
+    [B, L, 3584] Qwen2.5-VL hidden states → velocity [B, H, W, 16].
+    ref_latents: list of [B, rh, rw, 16] edit reference latents appended to
+    the image token stream with incrementing rope indices (reference
+    QwenImageModel::forward ref concat, qwen_image.hpp:530-535)."""
     b, h, w, c = x.shape
     ps = cfg.patch_size
     hp, wp = h // ps, w // ps
     inner = cfg.num_heads * cfg.head_dim
 
-    img = x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5).reshape(
-        b, hp * wp, ps * ps * c
-    )
+    def _patchify(t):
+        tb, th, tw, tc = t.shape
+        return (t.reshape(tb, th // ps, ps, tw // ps, ps, tc)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(tb, (th // ps) * (tw // ps), ps * ps * tc))
+
+    img = _patchify(x)
+    n_img = img.shape[1]
+    ref_shapes = []
+    if ref_latents:
+        parts = [img]
+        for ref in ref_latents:
+            parts.append(_patchify(ref.astype(x.dtype)))
+            ref_shapes.append((ref.shape[1] // ps, ref.shape[2] // ps))
+        img = jnp.concatenate(parts, axis=1)
     img = linear(img, p["img_in.weight"], p["img_in.bias"])
     txt = rms_norm(context.astype(x.dtype), p["txt_norm.weight"], eps=1e-6)
     txt = linear(txt, p["txt_in.weight"], p["txt_in.bias"])
@@ -134,7 +150,8 @@ def qwen_image_forward(
     temb = linear(t_emb, p[f"{pre}.linear_1.weight"], p[f"{pre}.linear_1.bias"])
     temb = linear(silu(temb), p[f"{pre}.linear_2.weight"], p[f"{pre}.linear_2.bias"])
 
-    ids = np.zeros((lt + hp * wp, 3), dtype=np.float64)
+    n_ref_tok = sum(rh * rw for rh, rw in ref_shapes)
+    ids = np.zeros((lt + hp * wp + n_ref_tok, 3), dtype=np.float64)
     if cfg.rope_scheme == "mage":
         # Mage-Flow: zero text ids, image grid centered with ceil-half offset
         # (gen_mage_flow_pe, rope.hpp:657)
@@ -148,8 +165,19 @@ def qwen_image_forward(
         ids[:lt] = (txt_start + np.arange(lt))[:, None]
         hi, wi = np.meshgrid(
             np.arange(hp) - hp // 2, np.arange(wp) - wp // 2, indexing="ij")
-    ids[lt:, 1] = hi.reshape(-1)
-    ids[lt:, 2] = wi.reshape(-1)
+    ids[lt:lt + hp * wp, 1] = hi.reshape(-1)
+    ids[lt:lt + hp * wp, 2] = wi.reshape(-1)
+    # ref latents: incrementing axis-0 index from 1, centered grids
+    # (reference gen_refs_ids INCREASE + scale_rope, rope.hpp:350-396)
+    off = lt + hp * wp
+    for ri, (rh, rw) in enumerate(ref_shapes):
+        rhi, rwi = np.meshgrid(np.arange(rh) - rh // 2,
+                               np.arange(rw) - rw // 2, indexing="ij")
+        n = rh * rw
+        ids[off:off + n, 0] = ri + 1
+        ids[off:off + n, 1] = rhi.reshape(-1)
+        ids[off:off + n, 2] = rwi.reshape(-1)
+        off += n
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
     for i in range(cfg.num_layers):
@@ -170,6 +198,7 @@ def qwen_image_forward(
         img = img + _ff(p, f"{blk}.img_mlp", img_n) * im[5]
         txt = txt + _ff(p, f"{blk}.txt_mlp", txt_n) * tm[5]
 
+    img = img[:, :n_img]  # drop ref tokens (reference out slice, :541)
     # AdaLayerNormContinuous: note (scale, shift) chunk order
     # (reference qwen_image.hpp:407-414)
     m = linear(silu(temb), p["norm_out.linear.weight"], p["norm_out.linear.bias"])

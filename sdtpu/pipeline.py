@@ -873,12 +873,14 @@ class DiffusionPipeline:
                 gp, prompt=" ".join(gp.prompt.replace(tw, " ").split()))
 
         cond = self.conditioner.get_learned_condition(
-            gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
+            gp.prompt, clip_skip=gp.clip_skip, width=w, height=h,
+            ref_images=ref_images,
         )
         has_uncond = gp.cfg_scale != 1.0
         uncond = (
             self.conditioner.get_learned_condition(
-                gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h
+                gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h,
+                ref_images=ref_images,
             )
             if has_uncond
             else None
