@@ -28,6 +28,34 @@ from sdtpu.pipeline import DiffusionPipeline
 from sdtpu.tokenizers import CLIPTokenizer
 
 
+def _make_ref_extras_fn(vae_params, vae_encode_fn, multiple: int = 16):
+    """Build a ref_extras_fn: reference/Kontext edit images → VAE latents as
+    ``ref_latent_i`` extras for a DiT token stream (reference ref_latents
+    plumbing, stable-diffusion.cpp:4860).  Images resize down to pixel
+    multiples of ``multiple`` so patched latent grids stay integral."""
+    _enc = jax.jit(lambda pp, xx: vae_encode_fn(pp, xx))
+
+    def ref_extras_fn(refs):
+        from sdtpu.pipeline import _to_pm1
+        from sdtpu.utils.image import resize_image
+
+        out = {}
+        for i, r in enumerate(refs):
+            arr = np.asarray(r)[..., :3]
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
+                              0, 255).astype(np.uint8)
+            nh = max(multiple, (arr.shape[0] // multiple) * multiple)
+            nw = max(multiple, (arr.shape[1] // multiple) * multiple)
+            arr = resize_image(arr, nw, nh)
+            out[f"ref_latent_{i}"] = np.asarray(
+                _enc(vae_params, jnp.asarray(_to_pm1(arr))[None]),
+                dtype=np.float32)
+        return out
+
+    return ref_extras_fn
+
+
 def unet_config_for(version: SDVersion, small: bool = False):
     if small:
         import dataclasses
@@ -365,10 +393,12 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         )
 
     def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=(),
-                     pulid_id=None, pulid_weight=None):
+                     pulid_id=None, pulid_weight=None, **ex):
+        refs = [ex[k] for k in sorted(k2 for k2 in ex if k2.startswith("ref_latent_"))]
         return flux_mod.flux_forward(p, x, t, ctx, y, guidance=guidance, cfg=dit_cfg,
                                      skip_layers=skip_layers, pulid_id=pulid_id,
-                                     pulid_weight=pulid_weight)
+                                     pulid_weight=pulid_weight,
+                                     ref_latents=refs or None)
 
     def vae_decode_fn(p, z):
         return vae_mod.vae_decode(p, z, vae_cfg)
@@ -378,6 +408,7 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
 
     return DiffusionPipeline(
         version=SDVersion.CHROMA if is_chroma else SDVersion.FLUX,
+        ref_extras_fn=_make_ref_extras_fn(vae_params, vae_encode_fn),
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
         conditioner=conditioner,
@@ -454,9 +485,11 @@ def _create_flux_llm_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     conditioner = cond_cls(qwen_tokenizer, llm_params, llm_cfg,
                            content_len=content_len)
 
-    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=(), **ex):
+        refs = [ex[k] for k in sorted(k2 for k2 in ex if k2.startswith("ref_latent_"))]
         return flux_mod.flux_forward(p, x, t, ctx, None, guidance=guidance,
-                                     cfg=dit_cfg, skip_layers=skip_layers)
+                                     cfg=dit_cfg, skip_layers=skip_layers,
+                                     ref_latents=refs or None)
 
     def vae_decode_fn(p, z):
         return vae_mod.vae_decode(p, z, vae_cfg)
@@ -478,6 +511,7 @@ def _create_flux_llm_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         latent_channels=dit_cfg.in_channels // 4,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
+        ref_extras_fn=_make_ref_extras_fn(vae_params, vae_encode_fn),
     )
 
 
@@ -538,9 +572,11 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         qwen_tokenizer if klein else mistral_tokenizer, llm_params, llm_cfg,
         klein=klein, out_layers=out_layers, min_len=min_len)
 
-    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=()):
+    def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=(), **ex):
+        refs = [ex[k] for k in sorted(k2 for k2 in ex if k2.startswith("ref_latent_"))]
         return flux_mod.flux_forward(p, x, t, ctx, None, guidance=guidance,
-                                     cfg=dit_cfg, skip_layers=skip_layers)
+                                     cfg=dit_cfg, skip_layers=skip_layers,
+                                     ref_latents=refs or None)
 
     if small:
         # tiny config: plain 4-ch VAE with a 2x2 pack, no statistics
@@ -571,6 +607,7 @@ def _create_flux2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
         default_schedule="flux2",
+        ref_extras_fn=_make_ref_extras_fn(vae_params, vae_encode_fn),
     )
 
 
@@ -1203,28 +1240,7 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
             zv = wan_vae_mod.vae_to_diffusion_latents(zv)
         return zv[:, 0]
 
-    _enc_ref = jax.jit(lambda pp, xx: vae_encode_fn(pp, xx))
-
-    def ref_extras_fn(refs):
-        """VAE-encode edit reference images → ref_latent_i extras for the
-        DiT token stream (reference ref_latents, stable-diffusion.cpp:4860)."""
-        from sdtpu.pipeline import _to_pm1
-        from sdtpu.utils.image import resize_image
-
-        out = {}
-        for i, r in enumerate(refs):
-            arr = np.asarray(r)[..., :3]
-            if arr.dtype != np.uint8:
-                arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
-                              0, 255).astype(np.uint8)
-            # multiple-of-16 pixel sizes keep the 2x2-patched latent aligned
-            nh = max(16, (arr.shape[0] // 16) * 16)
-            nw = max(16, (arr.shape[1] // 16) * 16)
-            arr = resize_image(arr, nw, nh)
-            out[f"ref_latent_{i}"] = np.asarray(
-                _enc_ref(vae_params, jnp.asarray(_to_pm1(arr))[None]),
-                dtype=np.float32)
-        return out
+    ref_extras_fn = _make_ref_extras_fn(vae_params, vae_encode_fn)
 
     return DiffusionPipeline(
         version=SDVersion.QWEN_IMAGE,

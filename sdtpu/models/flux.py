@@ -64,6 +64,13 @@ class FluxConfig:
     nerf_max_freqs: int = 8
     radiance_x0: bool = False  # __x0__ marker: convert x0 pred to velocity
     fake_patch_x2: bool = False  # __32x32__ marker: half-res conv embed
+    # Kontext-style reference latents appended to the img token stream.
+    # FIXED (default): every ref shares axis-0 id 1 and tiles diagonally in
+    # (h, w) id space; INCREASE (FLUX.2/SeFi): ref k gets axis-0 id
+    # (k+1)*ref_index_scale at origin (reference rope.hpp:351-397,
+    # flux.hpp:1543-1545)
+    ref_index_increase: bool = False
+    ref_index_scale: float = 1.0
 
 
 FLUX_DEV_CONFIG = FluxConfig()
@@ -72,7 +79,8 @@ FLUX2_DEV_CONFIG = FluxConfig(
     in_channels=128, mlp_ratio=3.0, theta=2000, axes_dim=(32, 32, 32, 32),
     vec_in_dim=0, guidance_embed=True, share_modulation=True, disable_bias=True,
     mlp_silu=True, qkv_bias=False, txt_arange_axes=(3,), depth=8, depth_single=48,
-    patch_size=1, context_in_dim=15360,
+    patch_size=1, context_in_dim=15360, ref_index_increase=True,
+    ref_index_scale=10.0,
 )
 FLUX2_KLEIN_CONFIG = dataclasses.replace(
     FLUX2_DEV_CONFIG, depth=5, depth_single=20, guidance_embed=False,
@@ -338,10 +346,13 @@ def flux_forward(
     skip_layers: Tuple[int, ...] = (),
     pulid_id: Optional[jnp.ndarray] = None,
     pulid_weight: Optional[jnp.ndarray] = None,
+    ref_latents=None,
 ) -> jnp.ndarray:
     """x: [B,H,W,16] latent NHWC; timesteps: [B] (sigma in [0,1]);
     context: [B,L,4096] T5; y: [B,768] clip pooled; guidance: [B] distilled
-    guidance scale. Returns velocity [B,H,W,16]."""
+    guidance scale; ref_latents: list of [B,rh,rw,C] Kontext reference
+    latents appended to the img token stream (reference flux.hpp:1320-1335).
+    Returns velocity [B,H,W,16]."""
     b, h, w, c = x.shape
     ps = cfg.patch_size
     hidden = cfg.hidden_size
@@ -370,6 +381,19 @@ def flux_forward(
         img = (x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
                .reshape(b, hp * wp, ps * ps * c))
         img = linear(img, p["img_in.weight"], p.get("img_in.bias"))
+    n_img = img.shape[1]
+    ref_grids = []
+    if ref_latents and not cfg.is_radiance:
+        toks = [img]
+        for r in ref_latents:
+            rb, rh, rw, rc = r.shape
+            rhp, rwp = rh // ps, rw // ps
+            rt = (r.astype(x.dtype)
+                  .reshape(rb, rhp, ps, rwp, ps, rc).transpose(0, 1, 3, 2, 4, 5)
+                  .reshape(rb, rhp * rwp, ps * ps * rc))
+            toks.append(linear(rt, p["img_in.weight"], p.get("img_in.bias")))
+            ref_grids.append((rhp, rwp, rh, rw))
+        img = jnp.concatenate(toks, axis=1)
     ctx_in = context.astype(x.dtype)
     if cfg.semantic_txt_norm:
         ctx_in = rms_norm(ctx_in, p["txt_norm.weight"], eps=1e-6)
@@ -384,7 +408,7 @@ def flux_forward(
         modt = _chroma_mod_vectors(p, timesteps, guidance, cfg, x.dtype)
         vec = None
         if y is not None:
-            pad = jnp.zeros((b, hp * wp), dtype=y.dtype)
+            pad = jnp.zeros((b, img.shape[1]), dtype=y.dtype)
             attn_mask = (
                 jnp.concatenate([y, pad], axis=1).astype(jnp.float32)[:, None, None, :]
             )
@@ -430,6 +454,33 @@ def flux_forward(
         ids[l_txt:, 2] = jj.reshape(-1)
         for a in cfg.txt_arange_axes:
             ids[:l_txt, a] = np.arange(l_txt)
+    if ref_grids:
+        # FIXED: refs share axis-0 id (x_index+1), tiling diagonally with
+        # offsets accumulated in RAW latent units; INCREASE: ref k at origin
+        # with axis-0 id (x_index+1+k)*scale (reference rope.hpp:351-397)
+        base_off = l_txt if cfg.longcat_rope else 0
+        x_index = 1 if cfg.longcat_rope else 0
+        index = x_index + 1
+        curr_h = curr_w = 0
+        ref_id_list = [ids]
+        for rhp, rwp, rh, rw in ref_grids:
+            h_off = w_off = 0
+            if not cfg.ref_index_increase:
+                if rh + curr_h > rw + curr_w:
+                    w_off = curr_w
+                else:
+                    h_off = curr_h
+            rid = np.zeros((rhp * rwp, n_axes), dtype=np.int64)
+            ri, rj = np.meshgrid(np.arange(rhp), np.arange(rwp), indexing="ij")
+            rid[:, 0] = int(index * cfg.ref_index_scale)
+            rid[:, 1] = ri.reshape(-1) + h_off + base_off
+            rid[:, 2] = rj.reshape(-1) + w_off + base_off
+            if cfg.ref_index_increase:
+                index += 1
+            curr_h = max(curr_h, rh + h_off)
+            curr_w = max(curr_w, rw + w_off)
+            ref_id_list.append(rid)
+        ids = np.concatenate(ref_id_list, axis=0)
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
     nh = cfg.num_heads
@@ -521,7 +572,7 @@ def flux_forward(
         )
         xx = xx + mods[2][:, None] * out
 
-    img = xx[:, l_txt:]
+    img = xx[:, l_txt:l_txt + n_img]
     if cfg.is_radiance:
         out = _radiance_nerf_decode(p, img, x_pad, cfg)
         if cfg.radiance_x0:
