@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-W", "--width", type=int, default=512)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cfg-scale", type=float, default=7.0)
+    ap.add_argument("--img-cfg-scale", type=float, default=None,
+                    help="separate image guidance scale (pix2pix / ref-image models)")
     ap.add_argument("--guidance", type=float, default=3.5)
     ap.add_argument("--sampling-method", default="euler_a")
     ap.add_argument("--schedule", default="discrete")
@@ -313,6 +315,7 @@ def _img_gen(args) -> int:
         height=args.height,
         sample_steps=args.steps,
         cfg_scale=args.cfg_scale,
+        img_cfg_scale=args.img_cfg_scale,
         guidance=args.guidance,
         sample_method=args.sampling_method,
         schedule=args.schedule,

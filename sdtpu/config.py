@@ -111,6 +111,12 @@ def sd_version_is_inpaint(v: SDVersion) -> bool:
     return v in {SDVersion.SD1_INPAINT, SDVersion.SD2_INPAINT, SDVersion.SDXL_INPAINT, SDVersion.FLUX_FILL}
 
 
+def sd_version_is_unet_edit(v: SDVersion) -> bool:
+    """instruct-pix2pix-style UNets: edit-image latent concatenated to the
+    model input (reference sd_version_is_unet_edit)."""
+    return v in {SDVersion.SD1_PIX2PIX, SDVersion.SDXL_PIX2PIX}
+
+
 @dataclasses.dataclass
 class ContextParams:
     """Pipeline construction options (reference sd_ctx_params_t)."""

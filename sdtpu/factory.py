@@ -16,6 +16,7 @@ import numpy as np
 from sdtpu.config import (
     SDVersion,
     sd_version_is_inpaint,
+    sd_version_is_unet_edit,
     sd_version_is_sd2,
     sd_version_is_sdxl,
 )
@@ -74,8 +75,15 @@ def unet_config_for(version: SDVersion, small: bool = False):
             base = dataclasses.replace(base, context_dim=96, adm_in_channels=48 + 1536)
         if sd_version_is_inpaint(version):
             base = dataclasses.replace(base, in_channels=9)
+        if sd_version_is_unet_edit(version):
+            # pix2pix: 4 latent + 4 edit-image channels
+            base = dataclasses.replace(base, in_channels=8)
         return base
+    import dataclasses
+
     if sd_version_is_sdxl(version):
+        if sd_version_is_unet_edit(version):
+            return dataclasses.replace(unet_mod.SDXL_UNET_CONFIG, in_channels=8)
         return (
             unet_mod.SDXL_INPAINT_UNET_CONFIG
             if sd_version_is_inpaint(version)
@@ -87,6 +95,8 @@ def unet_config_for(version: SDVersion, small: bool = False):
             if sd_version_is_inpaint(version)
             else unet_mod.SD2_UNET_CONFIG
         )
+    if sd_version_is_unet_edit(version):
+        return dataclasses.replace(unet_mod.SD1_UNET_CONFIG, in_channels=8)
     return (
         unet_mod.SD1_INPAINT_UNET_CONFIG
         if sd_version_is_inpaint(version)

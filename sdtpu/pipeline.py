@@ -25,6 +25,7 @@ from sdtpu.config import (
     GenerationParams,
     SDVersion,
     sd_version_is_inpaint,
+    sd_version_is_unet_edit,
     sd_version_is_sd2,
     sd_version_is_sdxl,
 )
@@ -238,11 +239,15 @@ class DiffusionPipeline:
         return self.default_schedule if schedule == "discrete" else schedule
 
     def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float,
-                        use_control: bool = False, slg=None, apg=None):
+                        use_control: bool = False, slg=None, apg=None,
+                        img_mode=None):
         """slg: (scale, skip_layers, i0, i1) — Skip-Layer Guidance window
         (reference guidance.h:43-98 + sample loop :2752); apg: APGParams for
-        Adaptive Projected Guidance in place of plain CFG."""
-        key = (method, steps, has_uncond, eta, use_control, slg, apg)
+        Adaptive Projected Guidance in place of plain CFG; img_mode: separate
+        image-CFG third forward (reference guidance.cpp:164-168) — "refs"
+        drops ref_latent extras (negative prompt without reference images),
+        "concat" swaps in img_uncond_concat channels (pix2pix/inpaint)."""
+        key = (method, steps, has_uncond, eta, use_control, slg, apg, img_mode)
         prog = self._program_cache.get(key)
         if prog is not None:
             return prog
@@ -274,6 +279,9 @@ class DiffusionPipeline:
             ctx_cond2=None,
             y_cond2=None,
             ctx_switch_step=None,
+            img_cfg_scale=None,
+            ctx_img_uncond=None,
+            img_uncond_concat=None,
             _stepwise_cb=None,
             _step_cache=None,  # (kind, options) → host-driven cached sampling
         ):
@@ -302,6 +310,9 @@ class DiffusionPipeline:
                 "ctx_cond2": ctx_cond2,
                 "y_cond2": y_cond2,
                 "ctx_switch_step": ctx_switch_step,
+                "img_cfg_scale": img_cfg_scale,
+                "ctx_img_uncond": ctx_img_uncond,
+                "img_uncond_concat": img_uncond_concat,
             }
 
             def make_model_fn(mi):
@@ -378,14 +389,45 @@ class DiffusionPipeline:
                         )
                         den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
                         den_cond, den_uncond = den_both[:b], den_both[b:]
+                        den_img_u = None
+                        img_scale = 1.0
+                        if img_mode is not None:
+                            # third forward for separate image guidance
+                            # (reference img_uncond pass, :2735-2744)
+                            tt1 = _tt(b)
+                            if img_mode == "refs":
+                                ex_nr = {
+                                    k: v for k, v in mi["extras"].items()
+                                    if not k.startswith("ref_latent_")
+                                }
+                                ctx_iu = (mi["ctx_img_uncond"]
+                                          if mi["ctx_img_uncond"] is not None
+                                          else mi["ctx_uncond"])
+                                out_iu = apply_model(
+                                    x_in, x_core, tt1, ctx_iu, mi["y_uncond"],
+                                    ex_nr)
+                            else:  # "concat"
+                                x_iu = jnp.concatenate(
+                                    [x_core,
+                                     mi["img_uncond_concat"].astype(x_core.dtype)],
+                                    axis=-1)
+                                out_iu = apply_model(
+                                    x_iu, x_core, tt1, mi["ctx_uncond"],
+                                    mi["y_uncond"], mi["extras"])
+                            den_img_u = c_skip * xt + c_out * out_iu.astype(
+                                jnp.float32)
+                            img_scale = mi["img_cfg_scale"]
                         if apg is not None:
                             from sdtpu.diffusion.guidance import apg_combine
 
                             pred, _ = apg_combine(
-                                den_cond, den_uncond, None, mi["cfg_scale"], apg
+                                den_cond, den_uncond, den_img_u,
+                                mi["cfg_scale"], apg,
+                                image_guidance_scale=img_scale,
                             )
                         else:
-                            pred = cfg_combine(den_cond, den_uncond, None, mi["cfg_scale"])
+                            pred = cfg_combine(den_cond, den_uncond, den_img_u,
+                                               mi["cfg_scale"], img_scale)
                         if slg is not None:
                             # cond-only forward with layers skipped, applied
                             # inside the [i0, i1) step window
@@ -505,15 +547,15 @@ class DiffusionPipeline:
         return program
 
     def _jit_sampler(self, method, steps, has_uncond, eta, sigmas, use_control=False,
-                     slg=None, apg=None):
+                     slg=None, apg=None, img_mode=None):
         """jit with sigmas baked (host-precomputed coefficients)."""
         key = ("run", method, steps, has_uncond, eta, sigmas.tobytes(), use_control,
-               slg, apg)
+               slg, apg, img_mode)
         cached = self._program_cache.get(key)
         if cached is not None:
             return cached
         program = self._sample_program(method, steps, has_uncond, eta, use_control,
-                                       slg=slg, apg=apg)
+                                       slg=slg, apg=apg, img_mode=img_mode)
 
         @jax.jit
         def run(
@@ -538,6 +580,9 @@ class DiffusionPipeline:
             ctx_cond2=None,
             y_cond2=None,
             ctx_switch_step=None,
+            img_cfg_scale=None,
+            ctx_img_uncond=None,
+            img_uncond_concat=None,
         ):
             return program(
                 params,
@@ -562,6 +607,9 @@ class DiffusionPipeline:
                 ctx_cond2=ctx_cond2,
                 y_cond2=y_cond2,
                 ctx_switch_step=ctx_switch_step,
+                img_cfg_scale=img_cfg_scale,
+                ctx_img_uncond=ctx_img_uncond,
+                img_uncond_concat=img_uncond_concat,
             )
 
         self._program_cache[key] = run
@@ -904,6 +952,7 @@ class DiffusionPipeline:
         # ---- latent prep (reference prepare_image_generation_latents :4716)
         latent_mask = None
         c_concat = None
+        img_uncond_concat = None
         if init_image is not None and init_latent is None:
             init_latent = self.encode_image(init_image)  # [1,lh,lw,zc]
         if init_latent is not None:
@@ -941,7 +990,26 @@ class DiffusionPipeline:
             )
             # UNet input channels: [x, mask, masked_latent] (CompVis inpaint)
             c_concat = np.concatenate([lm, masked_latent], axis=-1)
+            img_uncond_concat = np.concatenate(
+                [lm, np.zeros_like(masked_latent)], axis=-1)
             latent_mask = None  # inpaint models handle the mask via concat
+        if sd_version_is_unet_edit(self.version):
+            # instruct-pix2pix: edit-image latent concatenated to the UNet
+            # input; image guidance runs against a zeroed concat
+            # (reference stable-diffusion.cpp:4975-4978)
+            src = (ref_images[0] if ref_images else init_image)
+            if src is not None:
+                edit_lat = np.asarray(self.encode_image(src), dtype=np.float32)
+                if edit_lat.shape[1:3] != (lh, lw):
+                    edit_lat = np.asarray(jax.image.resize(
+                        jnp.asarray(edit_lat),
+                        (edit_lat.shape[0], lh, lw, edit_lat.shape[-1]),
+                        method="bilinear"))
+                c_concat = edit_lat
+            else:
+                c_concat = np.zeros((1, lh, lw, self.latent_channels),
+                                    dtype=np.float32)
+            img_uncond_concat = np.zeros_like(c_concat)
 
         steps = len(sigmas) - 1
 
@@ -995,6 +1063,18 @@ class DiffusionPipeline:
                 log_info("APG momentum is applied statelessly per step in the "
                          "scan path; use the stepwise path for exact parity")
 
+        # separate image guidance (reference img_cfg, guidance.cpp:164-168)
+        img_mode = None
+        if (has_uncond and gp.img_cfg_scale is not None
+                and float(gp.img_cfg_scale) != float(gp.cfg_scale)):
+            if ref_images is not None and self.ref_extras_fn is not None:
+                img_mode = "refs"
+            elif img_uncond_concat is not None:
+                img_mode = "concat"
+            else:
+                log_info("img_cfg_scale ignored: no reference images or "
+                         "image-concat conditioning on this model")
+
         stepwise = (
             progress_callback is not None
             or preview_callback is not None
@@ -1004,7 +1084,7 @@ class DiffusionPipeline:
         if stepwise:
             program = self._sample_program(
                 gp.sample_method, steps, has_uncond, gp.eta, use_control,
-                slg=slg, apg=apg,
+                slg=slg, apg=apg, img_mode=img_mode,
             )
 
             def _cb(i, xi):
@@ -1027,7 +1107,7 @@ class DiffusionPipeline:
         else:
             run = self._jit_sampler(
                 gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control,
-                slg=slg, apg=apg,
+                slg=slg, apg=apg, img_mode=img_mode,
             )
         kwargs = {}
         if ip_image is not None and self._ip_proj is not None:
@@ -1085,6 +1165,17 @@ class DiffusionPipeline:
                 ex[k2] = jnp.asarray(np.broadcast_to(v2, (bc,) + v2.shape[1:]))
         if c_concat is not None:
             kwargs["c_concat"] = jnp.asarray(np.broadcast_to(c_concat, (bc,) + c_concat.shape[1:]))
+        if img_mode is not None:
+            kwargs["img_cfg_scale"] = jnp.float32(gp.img_cfg_scale)
+            if img_mode == "refs":
+                # negative-prompt condition WITHOUT reference images
+                # (reference img_uncond encode, stable-diffusion.cpp:5088-5093)
+                iu = self.conditioner.get_learned_condition(
+                    gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h)
+                kwargs["ctx_img_uncond"] = _tile(iu.c_crossattn, bc)
+            else:
+                kwargs["img_uncond_concat"] = jnp.asarray(np.broadcast_to(
+                    img_uncond_concat, (bc,) + img_uncond_concat.shape[1:]))
         if latent_mask is not None and init_latent is not None:
             kwargs["denoise_mask"] = jnp.asarray(np.broadcast_to(latent_mask, (bc,) + latent_mask.shape[1:]))
             kwargs["masked_target"] = jnp.asarray(x0)
