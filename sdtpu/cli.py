@@ -77,7 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pulid-id-embedding", help="PuLID id embedding file")
     ap.add_argument("--pulid-id-weight", type=float, default=1.0)
     ap.add_argument("--cache", default=None,
-                    choices=["easycache", "ucache", "taylorseer", "spectrum"],
+                    choices=["easycache", "ucache", "taylorseer", "spectrum",
+                             "dbcache", "cache_dit"],
                     help="step cache: skip diffusion forwards (reference docs/caching.md)")
     ap.add_argument("--cache-option", default="",
                     help="key=value,... options for the step cache")

@@ -294,11 +294,139 @@ class Spectrum:
         return pred, uncond
 
 
+def parse_scm_mask(mask_str: str) -> list:
+    """"1,1,0,0,1" → [1,1,0,0,1] per-step computation mask (reference
+    parse_scm_mask, cache_dit.hpp:558-575).  Also accepts ':' separators so
+    the mask survives inside comma-separated key=value option strings."""
+    if not mask_str:
+        return []
+    return [int(tok) for tok in str(mask_str).replace(":", ",").split(",")
+            if tok.strip() != ""]
+
+
+def generate_scm_mask(compute_bins, cache_bins, total_steps: int) -> list:
+    """Interleave compute/cache run lengths into a step mask; the final step
+    is always computed (reference generate_scm_mask, cache_dit.hpp:577-606)."""
+    mask: list = []
+    ci = ki = 0
+    while len(mask) < total_steps:
+        if ci < len(compute_bins):
+            mask.extend([1] * min(compute_bins[ci], total_steps - len(mask)))
+            ci += 1
+        if ki < len(cache_bins) and len(mask) < total_steps:
+            mask.extend([0] * min(cache_bins[ki], total_steps - len(mask)))
+            ki += 1
+        if ci >= len(compute_bins) and ki >= len(cache_bins):
+            break
+    if mask:
+        mask[-1] = 1
+    return mask
+
+
+@dataclasses.dataclass
+class DBCacheConfig:
+    residual_diff_threshold: float = 0.08
+    Fn_compute_blocks: int = 8
+    Bn_compute_blocks: int = 0
+    max_warmup_steps: int = 8
+    max_cached_steps: int = -1
+    max_continuous_cached_steps: int = -1
+    max_accumulated_residual_diff: float = -1.0
+    scm_mask: str = ""  # "1,0,0,1,…" per-step computation mask (SCM)
+    scm_policy_dynamic: bool = True
+    start_percent: float = 0.15
+    end_percent: float = 0.95
+
+
+class DBCache:
+    """DBCache / cache_dit (reference CacheDitConditionState,
+    cache_dit.hpp:779-875): skip a step when the input's relative L1 drift
+    vs. the previous computed input stays under an Fn/Bn-confidence-adjusted
+    threshold; skipped steps re-apply the cached input→output residual.
+    SCM step-computation masks: mask[i]==1 forces compute; with the static
+    policy mask[i]==0 forces a cache hit, with the dynamic policy it only
+    allows the threshold decision (reference begin_step,
+    cache_dit.hpp:254-283)."""
+
+    def __init__(self, model_fn: Callable, config: DBCacheConfig, denoiser=None,
+                 total_steps: int = 0):
+        self.model_fn = model_fn
+        self.config = config
+        n = max(total_steps, 1)
+        self.start_step = min(int(config.start_percent * n), n - 1)
+        self.end_step = min(int(config.end_percent * n), n - 1)
+        self.mask = (config.scm_mask if isinstance(config.scm_mask, list)
+                     else parse_scm_mask(config.scm_mask))
+        self.reset()
+
+    def reset(self):
+        self.warmup_remaining = self.config.max_warmup_steps
+        self.prev_input = None
+        self.cache_diff = None
+        self.cached_steps: list = []
+        self.continuous_cached = 0
+        self.accumulated_diff = 0.0
+        self.steps_skipped = 0
+
+    def _effective_threshold(self) -> float:
+        # Fn raises confidence (more compute blocks → trust the diff more),
+        # Bn lowers it (reference before_condition, cache_dit.hpp:843-855)
+        t = self.config.residual_diff_threshold
+        if self.config.Fn_compute_blocks > 0:
+            t *= min(2.0, max(0.5, 1.0 + 0.02 * (self.config.Fn_compute_blocks - 8)))
+        if self.config.Bn_compute_blocks > 0:
+            t *= min(1.0, max(0.5, 1.0 - 0.03 * self.config.Bn_compute_blocks))
+        return t
+
+    def __call__(self, x, sigma, i):
+        i = int(i)
+        xin = np.asarray(x, dtype=np.float32)
+        active = self.start_step <= i <= self.end_step
+        if active and self.warmup_remaining > 0:
+            self.warmup_remaining -= 1
+            active = False
+        force_compute = False
+        force_cache = False
+        if active and self.mask and i < len(self.mask):
+            if self.mask[i] == 1:
+                force_compute = True
+            elif not self.config.scm_policy_dynamic:
+                force_cache = True
+        if active and not force_compute and self.cache_diff is not None:
+            cfg = self.config
+            caps_ok = (
+                (cfg.max_cached_steps < 0
+                 or len(self.cached_steps) < cfg.max_cached_steps)
+                and (cfg.max_continuous_cached_steps < 0
+                     or self.continuous_cached < cfg.max_continuous_cached_steps)
+                and (cfg.max_accumulated_residual_diff < 0
+                     or self.accumulated_diff < cfg.max_accumulated_residual_diff)
+            )
+            if caps_ok:
+                denom = float(np.abs(self.prev_input).sum()) + 1e-6
+                diff = float(np.abs(xin - self.prev_input).sum()) / denom
+                if force_cache or diff < self._effective_threshold():
+                    self.steps_skipped += 1
+                    self.cached_steps.append(i)
+                    self.continuous_cached += 1
+                    self.accumulated_diff += diff
+                    pred = xin + self.cache_diff
+                    return pred, pred
+        pred, uncond = self.model_fn(x, sigma, i)
+        out = np.asarray(pred, dtype=np.float32)
+        self.cache_diff = out - xin
+        self.prev_input = xin
+        self.continuous_cached = 0
+        return pred, uncond
+
+
 CACHE_TYPES = {
     "easycache": (EasyCache, EasyCacheConfig),
     "ucache": (UCache, UCacheConfig),
     "taylorseer": (TaylorSeer, TaylorSeerConfig),
     "spectrum": (Spectrum, SpectrumConfig),
+    "dbcache": (DBCache, DBCacheConfig),
+    "cache_dit": (DBCache, DBCacheConfig),
 }
 
 
