@@ -477,6 +477,60 @@ class ChromaConditioner:
         )
 
 
+def encode_vlm_ref_images(vision_params, vision_cfg, ref_images,
+                          max_pixels: int, min_pixels: int = 0):
+    """Reference/edit images → list of [n_tokens, D] VL vision-tower token
+    embeddings, smart-resized to patch-factor multiples within the pixel-area
+    bounds (reference resize_image_dims + llm->encode_image,
+    conditioner.hpp:2228-2252)."""
+    from sdtpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+    from sdtpu.models.qwen_vl_vision import clip_smart_resize, qwen_vision_encode
+    from sdtpu.utils.image import resize_image
+
+    factor = vision_cfg.patch_size * vision_cfg.spatial_merge_size
+    out = []
+    for img in ref_images:
+        arr = np.asarray(img)[..., :3]
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
+                          0, 255).astype(np.uint8)
+        nh, nw = clip_smart_resize(arr.shape[0], arr.shape[1], factor,
+                                   min_pixels=min_pixels, max_pixels=max_pixels)
+        arr = resize_image(arr, nw, nh).astype(np.float32) / 255.0
+        arr = (arr - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
+        out.append(qwen_vision_encode(vision_params, arr, vision_cfg)[0])
+    return out
+
+
+def splice_vision_states(tokenizer, llm_params, prompt: str, vis_embeds,
+                         jit_fwd_embeds, pad_to: int = 0):
+    """Tokenize ``prompt``, replace the <|image_pad|> token embeddings with
+    the vision-tower embeddings (in order), and run the LLM on input
+    embeddings → hidden states [1, L, D] (reference image_embeds splice,
+    conditioner.hpp:2153-2284).  pad_to > 0 right-pads with masked pad
+    tokens to a minimum length."""
+    ids = list(tokenizer.encode(prompt))
+    mask = [1.0] * len(ids)
+    if pad_to and len(ids) < pad_to:
+        pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+        mask += [0.0] * (pad_to - len(ids))
+        ids += [pad_id] * (pad_to - len(ids))
+    ids_arr = np.asarray(ids, dtype=np.int32)
+    image_pad = tokenizer.special.get("<|image_pad|>")
+    tok = llm_params["model.embed_tokens.weight"][jnp.asarray(ids_arr)]
+    pos = np.nonzero(ids_arr == image_pad)[0]
+    vis = jnp.concatenate(vis_embeds, axis=0).astype(tok.dtype)
+    assert len(pos) == vis.shape[0], (len(pos), vis.shape)
+    tok = tok.at[jnp.asarray(pos)].set(vis)
+    return jit_fwd_embeds(
+        llm_params, tok[None],
+        jnp.asarray(np.asarray(mask, dtype=np.float32)[None]))
+
+
+def vision_pad_segment(n_tokens: int) -> str:
+    return "<|vision_start|>" + "<|image_pad|>" * n_tokens + "<|vision_end|>"
+
+
 class QwenImageConditioner:
     """Qwen-Image: Qwen2.5-VL decoder LLM prompted with a chat template;
     hidden states after the final norm with the template prefix dropped
@@ -495,7 +549,8 @@ class QwenImageConditioner:
 
     def __init__(self, qwen_tokenizer, llm_params, llm_cfg, template: str = "qwen_image",
                  max_len: int = 1024, vision_params=None, vision_cfg=None,
-                 picture_word: str = "Picture"):
+                 picture_word: str = "Picture", vlm_min_pixels: int = -1,
+                 vlm_max_pixels: int = -1):
         from sdtpu.models.llm import CHAT_TEMPLATES
 
         self.tokenizer = qwen_tokenizer
@@ -505,14 +560,23 @@ class QwenImageConditioner:
         self.vision_params = vision_params
         self.vision_cfg = vision_cfg
         self.picture_word = picture_word  # "Image" for Mage-Flow edit
+        # VLM resize bounds (reference conditioner.hpp:2221-2233): qwen edit
+        # min 384² / max 560²; Mage-Flow no min / max 384²
+        if picture_word == "Image":
+            self.vlm_min = 0 if vlm_min_pixels < 0 else vlm_min_pixels
+            self.vlm_max = 384 * 384 if vlm_max_pixels < 0 else vlm_max_pixels
+        else:
+            self.vlm_min = 384 * 384 if vlm_min_pixels < 0 else vlm_min_pixels
+            self.vlm_max = 560 * 560 if vlm_max_pixels < 0 else vlm_max_pixels
 
         from sdtpu.models.llm import llm_forward
 
         def fwd(pl, ids, mask):
             return llm_forward(pl, ids, self.cl, attention_mask=mask)
 
-        def fwd_embeds(pl, embeds):
-            return llm_forward(pl, None, self.cl, input_embeds=embeds)
+        def fwd_embeds(pl, embeds, mask):
+            return llm_forward(pl, None, self.cl, input_embeds=embeds,
+                               attention_mask=mask)
 
         self._jit_forward = jax.jit(fwd)
         self._jit_forward_embeds = jax.jit(fwd_embeds)
@@ -521,39 +585,16 @@ class QwenImageConditioner:
         """Edit path (reference QwenImageEditPlusPipeline branch,
         conditioner.hpp:2213-2273): vision tokens spliced into the token
         embeddings at the <|image_pad|> positions, 64-token prefix dropped."""
-        from sdtpu.models.qwen_vl_vision import clip_smart_resize, qwen_vision_encode
-        from sdtpu.utils.image import resize_image
-
-        vcfg = self.vision_cfg
-        factor = vcfg.patch_size * vcfg.spatial_merge_size
-        embeds = []
-        img_prompt = ""
-        for i, img in enumerate(ref_images):
-            arr = np.asarray(img)[..., :3]
-            if arr.dtype != np.uint8:
-                arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
-                              0, 255).astype(np.uint8)
-            nh, nw = clip_smart_resize(arr.shape[0], arr.shape[1], factor,
-                                       max_pixels=560 * 560)
-            arr = resize_image(arr, nw, nh).astype(np.float32) / 255.0
-            from sdtpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
-
-            arr = (arr - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
-            emb = qwen_vision_encode(self.vision_params, arr, vcfg)
-            embeds.append(emb[0])
-            img_prompt += (f"{self.picture_word} {i + 1}: <|vision_start|>"
-                           + "<|image_pad|>" * emb.shape[1] + "<|vision_end|>")
+        embeds = encode_vlm_ref_images(self.vision_params, self.vision_cfg,
+                                       ref_images, max_pixels=self.vlm_max,
+                                       min_pixels=self.vlm_min)
+        img_prompt = "".join(
+            f"{self.picture_word} {i + 1}: " + vision_pad_segment(e.shape[0])
+            for i, e in enumerate(embeds))
         prompt = (self.EDIT_TEMPLATE_PREFIX + img_prompt + text
                   + "<|im_end|>\n<|im_start|>assistant\n")
-        ids = self.tokenizer.encode(prompt)
-        pad_id = self.tokenizer.special.get("<|image_pad|>")
-        ids_arr = np.asarray(ids, dtype=np.int32)
-        tok_embeds = self.pl["model.embed_tokens.weight"][jnp.asarray(ids_arr)]
-        pos = np.nonzero(ids_arr == pad_id)[0]
-        vis = jnp.concatenate(embeds, axis=0).astype(tok_embeds.dtype)
-        assert len(pos) == vis.shape[0], (len(pos), vis.shape)
-        tok_embeds = tok_embeds.at[jnp.asarray(pos)].set(vis)
-        h = self._jit_forward_embeds(self.pl, tok_embeds[None])
+        h = splice_vision_states(self.tokenizer, self.pl, prompt, embeds,
+                                 self._jit_forward_embeds)
         return SDCondition(c_crossattn=h[:, self.EDIT_DROP_IDX:])
 
     def get_learned_condition(self, text: str, clip_skip: int = -1,
@@ -1064,7 +1105,10 @@ class OvisImageConditioner:
 class LongCatConditioner(OvisImageConditioner):
     """LongCat-Image: Qwen2.5-VL with a captioning system prompt; final-norm
     hidden states, 36-token template prefix dropped, padded to 512 content
-    tokens (reference LLMEmbedder for longcat, conditioner.hpp:2425-2492)."""
+    tokens (reference LLMEmbedder for longcat, conditioner.hpp:2425-2492).
+    Edit path: editing-expert system prompt with the reference images
+    vision-spliced before the instruction, 67-token prefix dropped
+    (reference LongCatEditPipeline branch, conditioner.hpp:2430-2480)."""
 
     TEMPLATE = ("<|im_start|>system\nAs an image captioning expert, generate "
                 "a descriptive text prompt based on an image content, "
@@ -1072,11 +1116,53 @@ class LongCatConditioner(OvisImageConditioner):
                 "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n")
     START_IDX = 36
     CONTENT_LEN = 512
+    EDIT_PREFIX = (
+        "<|im_start|>system\nAs an image editing expert, first analyze the "
+        "content and attributes of the input image(s). Then, based on the "
+        "user's editing instructions, clearly and precisely determine how to "
+        "modify the given image(s), ensuring that only the specified parts "
+        "are altered and all other aspects remain consistent with the "
+        "original(s).<|im_end|>\n<|im_start|>user\n")
+    EDIT_START_IDX = 67
 
     def __init__(self, qwen_tokenizer, llm_params, llm_cfg,
-                 start_idx: int = START_IDX, content_len: int = CONTENT_LEN):
+                 start_idx: int = START_IDX, content_len: int = CONTENT_LEN,
+                 vision_params=None, vision_cfg=None, vlm_min_pixels: int = -1,
+                 vlm_max_pixels: int = -1, edit_start_idx: int = -1):
         super().__init__(qwen_tokenizer, llm_params, llm_cfg,
                          start_idx=start_idx, content_len=content_len)
+        from sdtpu.models.llm import llm_forward
+
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
+        self.vlm_min = 384 * 384 if vlm_min_pixels < 0 else vlm_min_pixels
+        self.vlm_max = 560 * 560 if vlm_max_pixels < 0 else vlm_max_pixels
+        self.edit_start_idx = (self.EDIT_START_IDX if edit_start_idx < 0
+                               else edit_start_idx)
+
+        def fwd_embeds(pl, embeds, mask):
+            return llm_forward(pl, None, self.cl, input_embeds=embeds,
+                               attention_mask=mask)
+
+        self._jit_forward_embeds = jax.jit(fwd_embeds)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1,
+                              ref_images=None, **kw) -> SDCondition:
+        if not (ref_images and self.vision_params is not None
+                and self.tokenizer is not None):
+            return super().get_learned_condition(text, clip_skip=clip_skip, **kw)
+        embeds = encode_vlm_ref_images(self.vision_params, self.vision_cfg,
+                                       ref_images, max_pixels=self.vlm_max,
+                                       min_pixels=self.vlm_min)
+        img_prompt = "".join(vision_pad_segment(e.shape[0]) for e in embeds)
+        prompt = (self.EDIT_PREFIX + img_prompt + text
+                  + "<|im_end|>\n<|im_start|>assistant\n")
+        n_ids = len(self.tokenizer.encode(prompt))
+        start = min(self.edit_start_idx, max(0, n_ids - 1))
+        h = splice_vision_states(
+            self.tokenizer, self.pl, prompt, embeds, self._jit_forward_embeds,
+            pad_to=start + self.content_len)
+        return SDCondition(c_crossattn=h[:, start:])
 
 
 class ErnieImageConditioner:
@@ -1241,26 +1327,60 @@ class AnimaConditioner:
 
 class BooguConditioner:
     """Boogu-Image: Qwen3-VL with a system+user chat wrap, final-norm hidden
-    states (reference LLMEmbedder boogu branch, conditioner.hpp:2287)."""
+    states (reference LLMEmbedder boogu branch, conditioner.hpp:2287).
+    Edit path: editing system prompt with reference images vision-spliced
+    before the instruction (reference BooguImageEditPipeline,
+    conditioner.hpp:2297-2355; VLM resize bounds 384²)."""
 
     T2I_SYSTEM = ("You are a helpful assistant that generates high-quality "
                   "images based on user instructions. The instructions are "
                   "as follows.")
+    EDIT_SYSTEM = ("Describe the key features of the input image (color, "
+                   "shape, size, texture, objects, background), then explain "
+                   "how the user's text instruction should alter or modify "
+                   "the image. Generate a new image that meets the user's "
+                   "requirements while maintaining consistency with the "
+                   "original input where appropriate.")
 
-    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, max_len: int = 1024):
+    def __init__(self, qwen_tokenizer, llm_params, llm_cfg, max_len: int = 1024,
+                 vision_params=None, vision_cfg=None, vlm_min_pixels: int = -1,
+                 vlm_max_pixels: int = -1):
         from sdtpu.models.llm import llm_forward
 
         self.tokenizer = qwen_tokenizer
         self.pl, self.cl = llm_params, llm_cfg
         self.max_len = max_len
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
+        self.vlm_min = 384 * 384 if vlm_min_pixels < 0 else vlm_min_pixels
+        self.vlm_max = 384 * 384 if vlm_max_pixels < 0 else vlm_max_pixels
 
         def fwd(pl, ids):
             return llm_forward(pl, ids, self.cl)
 
-        self._jit_forward = jax.jit(fwd)
+        def fwd_embeds(pl, embeds, mask):
+            return llm_forward(pl, None, self.cl, input_embeds=embeds,
+                               attention_mask=mask)
 
-    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
-        prompt = (f"<|im_start|>system\n{self.T2I_SYSTEM}<|im_end|>\n"
+        self._jit_forward = jax.jit(fwd)
+        self._jit_forward_embeds = jax.jit(fwd_embeds)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1,
+                              ref_images=None, **kw) -> SDCondition:
+        if (ref_images and self.vision_params is not None
+                and self.tokenizer is not None):
+            embeds = encode_vlm_ref_images(
+                self.vision_params, self.vision_cfg, ref_images,
+                max_pixels=self.vlm_max, min_pixels=self.vlm_min)
+            img_prompt = "".join(vision_pad_segment(e.shape[0]) for e in embeds)
+            prompt = (f"<|im_start|>system\n{self.EDIT_SYSTEM}<|im_end|>\n"
+                      f"<|im_start|>user\n{img_prompt}{text}<|im_end|>\n")
+            h = splice_vision_states(self.tokenizer, self.pl, prompt, embeds,
+                                     self._jit_forward_embeds)
+            return SDCondition(c_crossattn=h)
+        # empty prompt → edit system text (reference text_empty switch)
+        system = self.T2I_SYSTEM if text.strip() else self.EDIT_SYSTEM
+        prompt = (f"<|im_start|>system\n{system}<|im_end|>\n"
                   f"<|im_start|>user\n{text}<|im_end|>\n")
         if self.tokenizer is not None:
             ids = self.tokenizer.encode(prompt)[: self.max_len]
@@ -1284,21 +1404,47 @@ class Krea2Conditioner:
     OUT_LAYERS = (2, 5, 8, 11, 14, 17, 20, 23, 26, 29, 32, 35)
 
     def __init__(self, qwen_tokenizer, llm_params, llm_cfg, out_layers=None,
-                 max_len: int = 1024):
+                 max_len: int = 1024, vision_params=None, vision_cfg=None,
+                 vlm_min_pixels: int = -1, vlm_max_pixels: int = -1):
         from sdtpu.models.llm import llm_forward
 
         self.tokenizer = qwen_tokenizer
         self.pl, self.cl = llm_params, llm_cfg
         self.max_len = max_len
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
+        # reference krea2 branch: min 384², max 1024² (conditioner.hpp:2370)
+        self.vlm_min = 384 * 384 if vlm_min_pixels < 0 else vlm_min_pixels
+        self.vlm_max = 1024 * 1024 if vlm_max_pixels < 0 else vlm_max_pixels
         layers = tuple(out_layers or self.OUT_LAYERS)
         layers = tuple(min(li, llm_cfg.num_layers + 1) for li in layers)
 
         def fwd(pl, ids):
             return llm_forward(pl, ids, self.cl, output_layers=layers)
 
-        self._jit_forward = jax.jit(fwd)
+        def fwd_embeds(pl, embeds, mask):
+            return llm_forward(pl, None, self.cl, input_embeds=embeds,
+                               attention_mask=mask, output_layers=layers)
 
-    def get_learned_condition(self, text: str, clip_skip: int = -1, **kw) -> SDCondition:
+        self._jit_forward = jax.jit(fwd)
+        self._jit_forward_embeds = jax.jit(fwd_embeds)
+
+    def get_learned_condition(self, text: str, clip_skip: int = -1,
+                              ref_images=None, **kw) -> SDCondition:
+        if (ref_images and self.vision_params is not None
+                and self.tokenizer is not None):
+            # reference images "Picture N:"-spliced into the user turn
+            # (reference krea2 ref branch, conditioner.hpp:2368-2421)
+            embeds = encode_vlm_ref_images(
+                self.vision_params, self.vision_cfg, ref_images,
+                max_pixels=self.vlm_max, min_pixels=self.vlm_min)
+            img_prompt = "".join(
+                f"Picture {i + 1}: " + vision_pad_segment(e.shape[0])
+                for i, e in enumerate(embeds))
+            prompt = self.TEMPLATE.format(img_prompt + text)
+            h = splice_vision_states(self.tokenizer, self.pl, prompt, embeds,
+                                     self._jit_forward_embeds)
+            return SDCondition(c_crossattn=h[:, self.DROP_IDX:])
         if self.tokenizer is not None:
             ids = self.tokenizer.encode(self.TEMPLATE.format(text))[: self.max_len]
             drop = min(self.DROP_IDX, max(0, len(ids) - 1))

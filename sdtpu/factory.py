@@ -57,6 +57,18 @@ def _make_ref_extras_fn(vae_params, vae_encode_fn, multiple: int = 16):
     return ref_extras_fn
 
 
+def _extract_vision_tower(llm_params):
+    """Split the Qwen-VL vision tower (``visual.*`` keys) out of an LLM
+    bundle → (params, detected config) or (None, None)."""
+    vis = {k: v for k, v in llm_params.items() if k.startswith("visual.")}
+    if not vis:
+        return None, None
+    from sdtpu.models.qwen_vl_vision import detect_vision_config
+
+    return vis, detect_vision_config(
+        vis.keys(), {k: tuple(v.shape) for k, v in vis.items()})
+
+
 def unet_config_for(version: SDVersion, small: bool = False):
     if small:
         import dataclasses
@@ -491,9 +503,14 @@ def _create_flux_llm_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     vae_params = params.get("vae") or vae_mod.init_vae_params(
         vae_cfg, seed=seed, dtype=dtype)
 
-    cond_cls = LongCatConditioner if longcat else OvisImageConditioner
-    conditioner = cond_cls(qwen_tokenizer, llm_params, llm_cfg,
-                           content_len=content_len)
+    if longcat:
+        vis_keys, vision_cfg = _extract_vision_tower(llm_params)
+        conditioner = LongCatConditioner(
+            qwen_tokenizer, llm_params, llm_cfg, content_len=content_len,
+            vision_params=vis_keys, vision_cfg=vision_cfg)
+    else:
+        conditioner = OvisImageConditioner(qwen_tokenizer, llm_params, llm_cfg,
+                                           content_len=content_len)
 
     def diffusion_fn(p, x, t, ctx, y, guidance=None, skip_layers=(), **ex):
         refs = [ex[k] for k in sorted(k2 for k2 in ex if k2.startswith("ref_latent_"))]
@@ -1219,13 +1236,7 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
     vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(vae_cfg, seed=seed, dtype=dtype)
 
     # vision tower (edit pipelines) lives inside the llm bundle
-    vis_keys = {k: v for k, v in llm_params.items() if k.startswith("visual.")}
-    vision_cfg = None
-    if vis_keys:
-        from sdtpu.models.qwen_vl_vision import detect_vision_config
-
-        vision_cfg = detect_vision_config(
-            vis_keys.keys(), {k: tuple(v.shape) for k, v in vis_keys.items()})
+    vis_keys, vision_cfg = _extract_vision_tower(llm_params)
     conditioner = QwenImageConditioner(
         qwen_tokenizer, llm_params, llm_cfg,
         vision_params=vis_keys or None, vision_cfg=vision_cfg)
@@ -2231,13 +2242,7 @@ def _create_mage_flow_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     vae_params = params.get("vae") or mv_mod.init_mage_vae_params(
         seed=seed + 1, dtype=dtype, n_blocks=vae_blocks)
 
-    vis_keys = {k: v for k, v in llm_params.items() if k.startswith("visual.")}
-    vision_cfg = None
-    if vis_keys:
-        from sdtpu.models.qwen_vl_vision import detect_vision_config
-
-        vision_cfg = detect_vision_config(
-            vis_keys.keys(), {k: tuple(v.shape) for k, v in vis_keys.items()})
+    vis_keys, vision_cfg = _extract_vision_tower(llm_params)
     # Mage-Flow edit uses "Image N:" markers and max 384px VLM refs
     # (reference conditioner.hpp:2215-2231)
     conditioner = QwenImageConditioner(
@@ -2395,7 +2400,10 @@ def _create_boogu_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     vae_params = params.get("vae") or vae_mod.init_vae_params(
         vae_cfg, seed=seed, dtype=dtype)
 
-    conditioner = BooguConditioner(qwen_tokenizer, llm_params, llm_cfg)
+    vis_keys, vision_cfg = _extract_vision_tower(llm_params)
+    conditioner = BooguConditioner(qwen_tokenizer, llm_params, llm_cfg,
+                                   vision_params=vis_keys,
+                                   vision_cfg=vision_cfg)
 
     def diffusion_fn(p, x, t, ctx, y):
         # timesteps enter as t/1000 (prepare_sample_timesteps,
@@ -2467,8 +2475,11 @@ def _create_krea2_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     vae_params = params.get("vae") or wan_vae_mod.init_wan_vae_params(
         vae_cfg, seed=seed, dtype=dtype)
 
+    vis_keys, vision_cfg = _extract_vision_tower(llm_params)
     conditioner = Krea2Conditioner(qwen_tokenizer, llm_params, llm_cfg,
-                                   out_layers=out_layers)
+                                   out_layers=out_layers,
+                                   vision_params=vis_keys,
+                                   vision_cfg=vision_cfg)
 
     def diffusion_fn(p, x, t, ctx, y):
         return k2_mod.krea2_forward(p, x, t, ctx, cfg=dit_cfg)

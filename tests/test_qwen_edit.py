@@ -75,7 +75,8 @@ def test_edit_conditioner_splices_vision_tokens():
         window_size=16, fullatt_block_indexes=(0,))
     vis_p = init_vision_params(vcfg, seed=1)
     cond = QwenImageConditioner(StubTokenizer(), llm_p, llm_cfg,
-                                vision_params=vis_p, vision_cfg=vcfg)
+                                vision_params=vis_p, vision_cfg=vcfg,
+                                vlm_min_pixels=0, vlm_max_pixels=64 * 64)
     ref = np.random.default_rng(2).random((24, 16, 3), dtype=np.float32)
     c1 = cond.get_learned_condition("turn the cat blue", ref_images=[ref])
     assert c1.c_crossattn.shape[-1] == 24
