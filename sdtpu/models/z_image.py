@@ -158,18 +158,33 @@ def _block(p, pre, x, rot, t_emb, cfg: ZImageConfig):
     return x + h
 
 
-def z_image_rope(hp: int, wp: int, n_txt_padded: int, cfg: ZImageConfig):
+def z_image_rope(hp: int, wp: int, n_txt_padded: int, cfg: ZImageConfig,
+                 ref_grids=()):
     """ids: txt axis0 = 1..L_txt (incl. padding), img axis0 = L_txt+1 with an
     (h, w) grid on axes 1/2; image pad tokens all-zero
-    (Rope::gen_z_image_ids, src/model/common/rope.hpp:896)."""
+    (Rope::gen_z_image_ids, src/model/common/rope.hpp:896).
+
+    ref_grids: (rhp, rwp) per reference latent — each ref gets its own grid
+    at the next axis-0 index.  The reference leaves ref ids unassigned
+    ("ignore ref_latents for now", rope.hpp:924); we give them proper grid
+    ids so attention can distinguish the streams."""
     n_img = hp * wp
-    n_img_pad = _bound_mod(n_img, SEQ_MULTI_OF)
-    ids = np.zeros((n_txt_padded + n_img + n_img_pad, 3), dtype=np.int64)
+    n_ref = sum(rh * rw for rh, rw in ref_grids)
+    n_img_pad = _bound_mod(n_img + n_ref, SEQ_MULTI_OF)
+    ids = np.zeros((n_txt_padded + n_img + n_ref + n_img_pad, 3),
+                   dtype=np.int64)
     ids[:n_txt_padded, 0] = np.arange(1, n_txt_padded + 1)
     ii, jj = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
     ids[n_txt_padded:n_txt_padded + n_img, 0] = n_txt_padded + 1
     ids[n_txt_padded:n_txt_padded + n_img, 1] = ii.reshape(-1)
     ids[n_txt_padded:n_txt_padded + n_img, 2] = jj.reshape(-1)
+    off = n_txt_padded + n_img
+    for k, (rh, rw) in enumerate(ref_grids):
+        ri, rj = np.meshgrid(np.arange(rh), np.arange(rw), indexing="ij")
+        ids[off:off + rh * rw, 0] = n_txt_padded + 2 + k
+        ids[off:off + rh * rw, 1] = ri.reshape(-1)
+        ids[off:off + rh * rw, 2] = rj.reshape(-1)
+        off += rh * rw
     return jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
 
@@ -179,10 +194,13 @@ def z_image_forward(
     timesteps: jnp.ndarray,
     context: jnp.ndarray,
     cfg: ZImageConfig = Z_IMAGE_CONFIG,
+    ref_latents=None,
 ) -> jnp.ndarray:
     """x: [B, H, W, C] latent; timesteps: [B] (already 1000-t scaled by the
     caller, /1000 applied here via t_embedder's raw input — the reference
-    passes the raw value); context: [B, L, cap_feat_dim]."""
+    passes the raw value); context: [B, L, cap_feat_dim]; ref_latents:
+    Z-Image-Omni reference latents appended to the img token stream and
+    sliced off the output (reference z_image.hpp:531-541)."""
     b, h, w, c = x.shape
     ps = cfg.patch_size
     pad_h, pad_w = (-h) % ps, (-w) % ps
@@ -195,6 +213,23 @@ def z_image_forward(
     img = x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
     img = img.reshape(b, hp * wp, ps * ps * c)
     img = linear(img, p["x_embedder.weight"], p.get("x_embedder.bias"))
+    n_img_main = hp * wp
+    ref_grids = []
+    if ref_latents:
+        toks = [img]
+        for r in ref_latents:
+            rb, rh, rw, rc = r.shape
+            rpad_h, rpad_w = (-rh) % ps, (-rw) % ps
+            if rpad_h or rpad_w:
+                r = jnp.pad(r, ((0, 0), (0, rpad_h), (0, rpad_w), (0, 0)))
+            rhp, rwp = (rh + rpad_h) // ps, (rw + rpad_w) // ps
+            rt = (r.astype(x.dtype)
+                  .reshape(rb, rhp, ps, rwp, ps, rc).transpose(0, 1, 3, 2, 4, 5)
+                  .reshape(rb, rhp * rwp, ps * ps * rc))
+            toks.append(linear(rt, p["x_embedder.weight"],
+                               p.get("x_embedder.bias")))
+            ref_grids.append((rhp, rwp))
+        img = jnp.concatenate(toks, axis=1)
 
     t_freq = timestep_embedding(timesteps, 256).astype(img.dtype)
     t_emb = linear(t_freq, p["t_embedder.mlp.0.weight"], p["t_embedder.mlp.0.bias"])
@@ -216,7 +251,7 @@ def z_image_forward(
                                (b, n_img_pad, cfg.hidden_size))
         img = jnp.concatenate([img, pad], axis=1)
 
-    rot = z_image_rope(hp, wp, n_txt + n_txt_pad, cfg)
+    rot = z_image_rope(hp, wp, n_txt + n_txt_pad, cfg, ref_grids=ref_grids)
     txt_rot = rot[: txt.shape[1]]
     img_rot = rot[txt.shape[1]:]
 
@@ -236,7 +271,7 @@ def z_image_forward(
     out = out * (1.0 + scale[:, None])
     out = linear(out, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
 
-    img_out = out[:, txt.shape[1]: txt.shape[1] + n_img]
+    img_out = out[:, txt.shape[1]: txt.shape[1] + n_img_main]
     img_out = img_out.reshape(b, hp, wp, ps, ps, cfg.out_channels)
     img_out = img_out.transpose(0, 1, 3, 2, 4, 5).reshape(
         b, hp * ps, wp * ps, cfg.out_channels)
