@@ -27,7 +27,10 @@ def create_mesh(
     so single-chip and multi-chip run the same code path.
     """
     if devices is None:
-        devices = jax.devices()
+        try:
+            devices = jax.devices()
+        except RuntimeError:
+            devices = []
         if shape is not None and len(devices) < int(np.prod(shape)):
             # single-chip + virtual-CPU-mesh setups (tests, driver dry runs):
             # fall back to the host platform's forced device count
