@@ -151,19 +151,42 @@ def _wan_cross_attention(p, pre, x, context, num_heads, eps, context_img_len=0):
     return linear(o, p[f"{pre}.o.weight"], p[f"{pre}.o.bias"])
 
 
-def wan_forward(
-    p,
-    x: jnp.ndarray,
-    timesteps: jnp.ndarray,
-    context: jnp.ndarray,
-    clip_fea: Optional[jnp.ndarray] = None,
-    cfg: WanConfig = WAN21_T2V_1_3B_CONFIG,
-    vace_context: Optional[jnp.ndarray] = None,
-    vace_strength: float = 1.0,
-) -> jnp.ndarray:
-    """x: [B, T, H, W, C] video latent (NTHWC); timesteps: [B] in [0,1000];
-    context: [B, 512, text_dim] UMT5 states; clip_fea: [B, 257, 1280] (i2v).
-    Returns velocity [B, T, H, W, out_dim]."""
+def wan_block_params(p, pre: str):
+    """Local (prefix-stripped) view of one transformer block's params."""
+    plen = len(pre) + 1
+    return {k[plen:]: v for k, v in p.items() if k.startswith(pre + ".")}
+
+
+def wan_block_forward(bp, h, e0, ctx, rot, cfg: WanConfig, context_img_len: int = 0):
+    """One Wan transformer block on local params (reference WanAttentionBlock,
+    wan.hpp:244).  Shared by the fully-jitted forward and the host-RAM
+    weight-streaming path (WanStreamer)."""
+    es = (e0 + bp["modulation"].reshape(1, 6, cfg.dim)).astype(h.dtype)
+    shift_sa, scale_sa, gate_sa = es[:, 0, None], es[:, 1, None], es[:, 2, None]
+    shift_ff, scale_ff, gate_ff = es[:, 3, None], es[:, 4, None], es[:, 5, None]
+
+    y = layer_norm(h, eps=cfg.eps) * (1 + scale_sa) + shift_sa
+    y = _wan_attention(bp, "self_attn", y, rot, cfg.num_heads, cfg.eps)
+    h = h + y * gate_sa
+
+    hn = (
+        layer_norm(h, bp["norm3.weight"], bp["norm3.bias"], eps=cfg.eps)
+        if cfg.cross_attn_norm
+        else h
+    )
+    h = h + _wan_cross_attention(
+        bp, "cross_attn", hn, ctx, cfg.num_heads, cfg.eps, context_img_len
+    )
+
+    y = layer_norm(h, eps=cfg.eps) * (1 + scale_ff) + shift_ff
+    y = linear(y, bp["ffn.0.weight"], bp["ffn.0.bias"])
+    y = linear(gelu_tanh(y), bp["ffn.2.weight"], bp["ffn.2.bias"])
+    return h + y * gate_ff
+
+
+def wan_prologue(p, x, timesteps, context, clip_fea, cfg: WanConfig):
+    """Patchify + embeddings + RoPE → (img, e, e0, ctx, context_img_len,
+    dims); dims are the static patch-grid sizes for the head."""
     b, t, hh, ww, c = x.shape
     pt, ph, pw = cfg.patch_size
     # pad to patch multiples (reference pad_to_patch_size, wan.hpp:598)
@@ -207,29 +230,48 @@ def wan_forward(
     ti, hi, wi = np.meshgrid(np.arange(tl), np.arange(hl), np.arange(wl), indexing="ij")
     ids[:, 0], ids[:, 1], ids[:, 2] = ti.reshape(-1), hi.reshape(-1), wi.reshape(-1)
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
+    return img, e, e0, ctx, context_img_len, rot, (b, t, hh, ww, tl, hl, wl)
+
+
+def wan_head(p, h, e, cfg: WanConfig, dims):
+    """Final modulated norm + head + unpatchify (reference wan.hpp:433)."""
+    b, t, hh, ww, tl, hl, wl = dims
+    pt, ph, pw = cfg.patch_size
+    e2 = (e[:, None, :] + p["head.modulation"].reshape(1, 2, cfg.dim)).astype(h.dtype)
+    h = layer_norm(h, eps=cfg.eps) * (1 + e2[:, 1, None]) + e2[:, 0, None]
+    h = linear(h, p["head.head.weight"], p["head.head.bias"])
+    out = h.reshape(b, tl, hl, wl, cfg.out_dim, pt, ph, pw)
+    out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4).reshape(
+        b, tl * pt, hl * ph, wl * pw, cfg.out_dim
+    )
+    return out[:, :t, :hh, :ww, :]
+
+
+def wan_forward(
+    p,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context: jnp.ndarray,
+    clip_fea: Optional[jnp.ndarray] = None,
+    cfg: WanConfig = WAN21_T2V_1_3B_CONFIG,
+    vace_context: Optional[jnp.ndarray] = None,
+    vace_strength: float = 1.0,
+) -> jnp.ndarray:
+    """x: [B, T, H, W, C] video latent (NTHWC); timesteps: [B] in [0,1000];
+    context: [B, 512, text_dim] UMT5 states; clip_fea: [B, 257, 1280] (i2v).
+    Returns velocity [B, T, H, W, out_dim]."""
+    b, t, hh, ww, c = x.shape
+    pt, ph, pw = cfg.patch_size
+    pad_t, pad_h, pad_w = (-t) % pt, (-hh) % ph, (-ww) % pw
+    img, e, e0, ctx, context_img_len, rot, dims = wan_prologue(
+        p, x, timesteps, context, clip_fea, cfg
+    )
+    tl, hl, wl = dims[4], dims[5], dims[6]
 
     def _block(pre, h):
-        es = (e0 + p[f"{pre}.modulation"].reshape(1, 6, cfg.dim)).astype(h.dtype)
-        shift_sa, scale_sa, gate_sa = es[:, 0, None], es[:, 1, None], es[:, 2, None]
-        shift_ff, scale_ff, gate_ff = es[:, 3, None], es[:, 4, None], es[:, 5, None]
-
-        y = layer_norm(h, eps=cfg.eps) * (1 + scale_sa) + shift_sa
-        y = _wan_attention(p, f"{pre}.self_attn", y, rot, cfg.num_heads, cfg.eps)
-        h = h + y * gate_sa
-
-        hn = (
-            layer_norm(h, p[f"{pre}.norm3.weight"], p[f"{pre}.norm3.bias"], eps=cfg.eps)
-            if cfg.cross_attn_norm
-            else h
+        return wan_block_forward(
+            wan_block_params(p, pre), h, e0, ctx, rot, cfg, context_img_len
         )
-        h = h + _wan_cross_attention(
-            p, f"{pre}.cross_attn", hn, ctx, cfg.num_heads, cfg.eps, context_img_len
-        )
-
-        y = layer_norm(h, eps=cfg.eps) * (1 + scale_ff) + shift_ff
-        y = linear(y, p[f"{pre}.ffn.0.weight"], p[f"{pre}.ffn.0.bias"])
-        y = linear(gelu_tanh(y), p[f"{pre}.ffn.2.weight"], p[f"{pre}.ffn.2.bias"])
-        return h + y * gate_ff
 
     # VACE (reference wan.hpp:695-731): the control stream c runs its own
     # attention blocks spliced every num_layers/vace_layers layers; each
@@ -262,17 +304,7 @@ def wan_forward(
                             p[f"vace_blocks.{n}.after_proj.bias"])
             h = h + c_skip * vace_strength
 
-    # head (reference wan.hpp:433): e repeated ×2 + modulation → shift/scale
-    e2 = (e[:, None, :] + p["head.modulation"].reshape(1, 2, cfg.dim)).astype(h.dtype)
-    h = layer_norm(h, eps=cfg.eps) * (1 + e2[:, 1, None]) + e2[:, 0, None]
-    h = linear(h, p["head.head.weight"], p["head.head.bias"])
-
-    # unpatchify [B, L, pt*ph*pw*out] → [B, T, H, W, out]
-    out = h.reshape(b, tl, hl, wl, cfg.out_dim, pt, ph, pw)
-    out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4).reshape(
-        b, tl * pt, hl * ph, wl * pw, cfg.out_dim
-    )
-    return out[:, :t, :hh, :ww, :]
+    return wan_head(p, h, e, cfg, dims)
 
 
 def init_wan_params(cfg: WanConfig = WAN21_T2V_1_3B_CONFIG, seed: int = 0, dtype=jnp.float32):

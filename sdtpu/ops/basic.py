@@ -26,7 +26,15 @@ def matmul_precision(dtype) -> jax.lax.Precision:
 
 
 def linear(x: jnp.ndarray, weight, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: [..., in], weight: [out, in] (dense or int8 QuantTensor) → [..., out]."""
+    """x: [..., in], weight: [out, in] (dense, int8 QuantTensor, or packed
+    4-bit Q4Tensor) → [..., out]."""
+    if type(weight).__name__ == "Q4Tensor":
+        from .quant import q4_matmul
+
+        y = q4_matmul(x, weight)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     if type(weight).__name__ in ("QuantTensor", "QuantLoraTensor"):
         from .quant import quant_matmul
 

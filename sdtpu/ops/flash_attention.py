@@ -1,9 +1,12 @@
 """Flash attention as a Pallas TPU kernel.
 
-Online-softmax tiling: grid over (batch*heads, query blocks); each program
-streams K/V through VMEM in chunks, keeping running max/denominator in f32.
-Replaces the reference's ggml_flash_attn_ext call (ggml_extend.hpp:1392) with
-a TPU-native kernel that keeps the whole score matrix out of HBM.
+Online-softmax tiling: grid over (batch*heads, query blocks, KV blocks); K/V
+tiles STREAM from HBM block-by-block (Pallas double-buffers the next tile
+while the current one computes) and the running max/denominator/accumulator
+carry lives in VMEM scratch across the KV grid dimension.  No program ever
+holds the full K/V in VMEM, so sequence length is bounded by HBM, not VMEM —
+Wan/LTX 32k+ token self-attention runs on-chip.  Replaces the reference's
+ggml_flash_attn_ext call (ggml_extend.hpp:1392).
 
 Head dims are zero-padded to the 128-lane width (the MXU pads internally
 anyway); query/key lengths are padded to block multiples, with out-of-range
@@ -42,54 +45,63 @@ def flash_supported(q, k, v, mask) -> bool:
     return True
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, kv_len: int, block_k: int):
-    # q_ref: [1, BQ, D], k_ref/v_ref: [1, LKp, D], bias_ref: [BQ, LKp] or None
+def _flash_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, scale: float, kv_len: int, block_k: int,
+):
+    # q_ref: [1, BQ, D], k_ref/v_ref: [1, BK, D] (one streamed KV tile),
+    # bias_ref: [BQ, BK] or None; acc/m/l: VMEM scratch carried across the
+    # KV grid dimension (innermost, sequential on TPU).
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
     in_dtype = q_ref.dtype
     # bf16 inputs: MXU passes in bf16 with f32 accumulation (fast path);
     # f32 inputs: full-precision passes (parity mode).
     prec = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
     q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale)).astype(in_dtype)  # [BQ, D]
-    bq, d = q.shape
-    lkp = k_ref.shape[1]
-    num_chunks = lkp // block_k
+    bq = q.shape[0]
+    kc = k_ref[0]  # [BK, D]
+    vc = v_ref[0]
+    s = jax.lax.dot_general(
+        q,
+        kc,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [BQ, BK] f32
+    if bias_ref is not None:
+        s = s + bias_ref[...].astype(jnp.float32)
+    # mask keys past the true kv_len
+    k_start = ki * block_k
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + k_start
+    s = jnp.where(kidx < kv_len, s, NEG_INF)
 
-    def body(ci, carry):
-        acc, m_prev, l_prev = carry
-        k_start = ci * block_k
-        kc = k_ref[0, pl.ds(k_start, block_k), :]  # [BK, D]
-        vc = v_ref[0, pl.ds(k_start, block_k), :]
-        s = jax.lax.dot_general(
-            q,
-            kc,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # [BQ, BK] f32
-        if bias_ref is not None:
-            s = s + bias_ref[:, pl.ds(k_start, block_k)].astype(jnp.float32)
-        # mask keys past the true kv_len
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + k_start
-        s = jnp.where(kidx < kv_len, s, NEG_INF)
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # [BQ, BK] f32
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(in_dtype),
+        vc,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [BQ, BK] f32
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(in_dtype),
-            vc,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
-    acc, m_fin, l_fin = jax.lax.fori_loop(0, num_chunks, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l_fin).astype(o_ref.dtype)
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
 def flash_attention(
@@ -123,16 +135,16 @@ def flash_attention(
         bias = jnp.broadcast_to(mask.reshape(mask.shape[-2], mask.shape[-1]), (lq, lk))
         bias = jnp.pad(bias, ((0, lq_p - lq), (0, lk_p - lk)))
 
-    grid = (b * h, lq_p // block_q)
+    grid = (b * h, lq_p // block_q, lk_p // block_k)
     in_specs = [
-        pl.BlockSpec((1, block_q, d_p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk_p, d_p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk_p, d_p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d_p), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d_p), lambda bh, qi, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d_p), lambda bh, qi, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
     ]
     args = [qf, kf, vf]
     if bias is not None:
         in_specs.append(
-            pl.BlockSpec((block_q, lk_p), lambda bh, qi: (qi, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((block_q, block_k), lambda bh, qi, ki: (qi, ki), memory_space=pltpu.VMEM)
         )
         args.append(bias)
         kernel = functools.partial(_flash_kernel, scale=scale, kv_len=lk, block_k=block_k)
@@ -146,9 +158,17 @@ def flash_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, block_q, d_p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+            (1, block_q, d_p), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_interpret_mode(),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq_p * lk_p * d_p,
@@ -159,5 +179,8 @@ def flash_attention(
     return out[:, :lq, :d].reshape(b, h, lq, d)
 
 
-def _bias_free_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
-    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale, kv_len=kv_len, block_k=block_k)
+def _bias_free_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+    _flash_kernel(
+        q_ref, k_ref, v_ref, None, o_ref, acc_ref, m_ref, l_ref,
+        scale=scale, kv_len=kv_len, block_k=block_k,
+    )

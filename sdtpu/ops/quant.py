@@ -57,6 +57,91 @@ class QuantLoraTensor(NamedTuple):
         return jnp.int8
 
 
+class Q4Tensor:
+    """4-bit packed weight: the q4_0 memory class kept packed in HBM.
+
+    TPU-native analog of the reference's q4_0 GGUF path (docs/flux.md:36-38 —
+    FLUX q4_0 = 6.4 GB vs 12 GB q8_0): weights stay 4-bit + per-group scales
+    in HBM; the Pallas kernel unpacks nibbles and dequantizes group-wise in
+    VMEM right before the MXU pass.
+
+    Layout (chosen for TPU, not ggml bit-parity — we re-quantize the decoded
+    values, which round-trips losslessly on the same grid):
+      packed: uint8 [N, Kp//2] — within each K-tile of ``block_k`` columns,
+        byte i holds original columns (t+i) in the low nibble and
+        (t+i+block_k//2) in the high nibble, so the kernel's
+        concat([lo, hi], axis=1) restores tile-local column order.
+      scale: f32 [N, Kp//group] — symmetric per-(row, K-group) scales;
+        values are (nibble−8)·scale.
+    """
+
+    __slots__ = ("packed", "scale", "k", "block_k", "group")
+
+    def __init__(self, packed, scale, k, block_k, group):
+        self.packed = packed
+        self.scale = scale
+        self.k = int(k)
+        self.block_k = int(block_k)
+        self.group = int(group)
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.k)
+
+    @property
+    def dtype(self):
+        return jnp.int4
+
+    def tree_flatten(self):
+        return (self.packed, self.scale), (self.k, self.block_k, self.group)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        packed, scale = children
+        return cls(packed, scale, *aux)
+
+
+jax.tree_util.register_pytree_node(
+    Q4Tensor, Q4Tensor.tree_flatten, Q4Tensor.tree_unflatten
+)
+
+
+def quantize_q4(w: np.ndarray, block_k: int = 512, group: int = 128) -> "Q4Tensor":
+    """f32/bf16 [N, K] → packed 4-bit with per-128-group scales."""
+    w = np.asarray(w, dtype=np.float32)
+    n, k = w.shape
+    kp = _round_up(max(k, block_k), block_k)
+    if kp != k:
+        w = np.pad(w, ((0, 0), (0, kp - k)))
+    g = w.reshape(n, kp // group, group)
+    amax = np.abs(g).max(axis=2)
+    scale = (amax / 7.0).astype(np.float32)
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(g / scale[:, :, None]), -8, 7).astype(np.int8) + 8
+    q = q.reshape(n, kp).astype(np.uint8)  # [0, 15]
+    # per-tile split-half nibble packing
+    qt = q.reshape(n, kp // block_k, 2, block_k // 2)
+    packed = (qt[:, :, 0, :] | (qt[:, :, 1, :] << 4)).reshape(n, kp // 2)
+    return Q4Tensor(
+        packed=jnp.asarray(packed),
+        scale=jnp.asarray(scale),
+        k=k,
+        block_k=block_k,
+        group=group,
+    )
+
+
+def dequantize_q4(qt: "Q4Tensor", dtype=jnp.bfloat16) -> jnp.ndarray:
+    n = qt.packed.shape[0]
+    kp = qt.packed.shape[1] * 2
+    p = qt.packed.reshape(n, kp // qt.block_k, qt.block_k // 2)
+    lo = (p & 0xF).astype(jnp.int8) - 8
+    hi = (p >> 4).astype(jnp.int8) - 8
+    q = jnp.concatenate([lo, hi], axis=2).reshape(n, kp)
+    s = jnp.repeat(qt.scale, qt.group, axis=1)
+    return (q.astype(jnp.float32) * s)[:, : qt.k].astype(dtype)
+
+
 def quantize_per_channel(w: np.ndarray) -> "QuantTensor":
     """f32/bf16 [out, in] → symmetric int8 with per-row scale."""
     w = np.asarray(w, dtype=np.float32)
@@ -183,14 +268,112 @@ def quant_matmul(
     return out[:m, :n].reshape(orig_shape[:-1] + (n,))
 
 
+def _q4_matmul_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k: int, group: int):
+    # x_ref: [BM, BK] bf16; p_ref: [BN, BK//2] uint8 (split-half nibbles);
+    # s_ref: [BN, BK//group] f32; o_ref: [BM, BN]; acc f32 scratch.  Grid
+    # axis 2 tiles K; nibbles unpack + group-wise dequant happen in VMEM.
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[:, :]
+    lo = (p & 0xF).astype(jnp.int8) - 8
+    hi = (p >> 4).astype(jnp.int8) - 8
+    w_int = jnp.concatenate([lo, hi], axis=1)  # [BN, BK] tile-local order
+    bk = w_int.shape[1]
+    acc = acc_ref[:, :]
+    # per-group dequant folded into sub-matmuls: scale is a per-row scalar
+    # within each K-group, so the multiply is a cheap sublane broadcast
+    for g in range(bk // group):
+        wg = w_int[:, g * group : (g + 1) * group].astype(jnp.bfloat16)
+        wg = wg * s_ref[:, g][:, None].astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            x_ref[:, g * group : (g + 1) * group],
+            wg,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:, :] = acc
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:, :] = acc_ref[:, :].astype(o_ref.dtype)
+
+
+def q4_matmul(
+    x: jnp.ndarray,
+    qt: "Q4Tensor",
+    block_m: int = 256,
+    block_n: int = 512,
+) -> jnp.ndarray:
+    """x: [..., K] × packed-4-bit weight [N, K] → [..., N] in x.dtype.
+
+    HBM traffic for the weight is 4 bits/element (+ scales); dequant runs in
+    VMEM per tile — the kernel the reference's q4_0 CUDA path corresponds to
+    (ggml dequantize_mul_mat), expressed TPU-first."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    n = qt.packed.shape[0]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    kp = qt.packed.shape[1] * 2
+    bk = qt.block_k
+    group = qt.group
+
+    if _interpret() or os.environ.get("SDTPU_DISABLE_QUANT_KERNEL"):
+        w = dequantize_q4(qt, x.dtype)
+        y = jax.lax.dot_general(
+            x2, w, (((1,), (1,)), ((), ())), preferred_element_type=x.dtype
+        )
+        return y.reshape(orig_shape[:-1] + (n,))
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    mp, np_ = _round_up(m, bm), _round_up(n, bn)
+    xp = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
+    pp = jnp.pad(qt.packed, ((0, np_ - n), (0, 0)))
+    sp = jnp.pad(qt.scale, ((0, np_ - n), (0, 0)))
+    n_k = kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_q4_matmul_kernel, n_k=n_k, group=group),
+        grid=(mp // bm, np_ // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk // 2), lambda i, j, ki: (j, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk // group), lambda i, j, ki: (j, ki), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + np_ * kp // 2 + mp * np_ * 2,
+            transcendentals=0,
+        ),
+    )(xp, pp, sp)
+    return out[:m, :n].reshape(orig_shape[:-1] + (n,))
+
+
 def _interpret() -> bool:
     from .attention import compute_platform
 
     return compute_platform() != "tpu"
 
 
-def quantize_params(params: dict, min_size: int = 1 << 16, skip_patterns=()) -> dict:
-    """Quantize all large 2-D weights in a param dict to int8 QuantTensors."""
+def quantize_params(
+    params: dict, min_size: int = 1 << 16, skip_patterns=(), bits: int = 8
+) -> dict:
+    """Quantize all large 2-D weights in a param dict: bits=8 → int8
+    QuantTensors (q8_0 memory class), bits=4 → packed Q4Tensors (q4_0
+    class, docs/flux.md:36-38)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     out = {}
     for name, v in params.items():
         arr = np.asarray(v)
@@ -200,7 +383,7 @@ def quantize_params(params: dict, min_size: int = 1 << 16, skip_patterns=()) -> 
             and name.endswith(".weight")
             and not any(s in name for s in skip_patterns)
         ):
-            out[name] = quantize_per_channel(arr)
+            out[name] = quantize_per_channel(arr) if bits == 8 else quantize_q4(arr)
         else:
             out[name] = v if isinstance(v, jnp.ndarray) else jnp.asarray(arr)
     return out

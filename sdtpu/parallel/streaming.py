@@ -1,0 +1,153 @@
+"""Host-RAM weight streaming — run models larger than HBM on one chip.
+
+TPU-native replacement for the reference's params-backend offload +
+--stream-layers prefetch streaming (docs/performance.md:56-74,
+ModelManager::prepare_params, ggml_graph_cut.h residency annotation):
+
+- Non-block ("resident") params live in HBM permanently.
+- Each transformer block's weights live in host RAM (numpy) and are
+  device_put ahead of use with a prefetch window; jax transfers are async, so
+  block i+1..i+prefetch upload over PCIe/DMA while block i computes on the
+  MXU.  Consumed device blocks are dropped so XLA frees their HBM.
+- The per-block compute is ONE jitted program reused for every layer (blocks
+  are shape-homogeneous), so there is no per-layer recompilation.
+
+Peak HBM = resident params + prefetch × block size + activations — the same
+bound the reference's streamed graph-cut plan achieves, without graphs or
+schedulers: the Python loop IS the schedule, XLA overlaps the DMAs.
+"""
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_stacked_params(
+    params: Dict[str, np.ndarray], prefix: str = "blocks"
+) -> Tuple[Dict[str, np.ndarray], List[Dict[str, np.ndarray]]]:
+    """Split a param dict into (resident, per-block local dicts).
+
+    ``{prefix}.N.<local>`` keys land in blocks[N] under ``<local>``; everything
+    else stays resident.  Block arrays are kept as host numpy (NOT jnp) so
+    nothing is uploaded until the streamer asks for it.
+    """
+    pat = re.compile(rf"^{re.escape(prefix)}\.(\d+)\.(.*)$")
+    resident: Dict[str, np.ndarray] = {}
+    blocks: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in params.items():
+        m = pat.match(k)
+        if m:
+            blocks.setdefault(int(m.group(1)), {})[m.group(2)] = np.asarray(v)
+        else:
+            resident[k] = v
+    ordered = [blocks[i] for i in sorted(blocks)]
+    assert sorted(blocks) == list(range(len(ordered))), "non-contiguous block ids"
+    return resident, ordered
+
+
+class BlockStreamer:
+    """Run ``carry = block_fn(block_params, carry)`` over a host-resident
+    stack with double-buffered uploads.
+
+    block_fn is jitted once (same shapes every layer).  ``aux`` values are
+    passed through to every call (activations shared across layers: text
+    context, RoPE tables, modulation vectors...).
+    """
+
+    def __init__(self, block_fn: Callable, prefetch: int = 2, device=None):
+        self.block_fn = jax.jit(block_fn)
+        self.prefetch = max(1, int(prefetch))
+        self.device = device
+        self.peak_resident_blocks = 0  # observability for tests/telemetry
+
+    def _upload(self, block: Dict[str, np.ndarray]):
+        if self.device is not None:
+            return {k: jax.device_put(v, self.device) for k, v in block.items()}
+        return {k: jax.device_put(v) for k, v in block.items()}
+
+    def __call__(self, blocks_host: List[Dict[str, np.ndarray]], carry, *aux):
+        window: Dict[int, dict] = {}
+        n = len(blocks_host)
+        for j in range(min(self.prefetch, n)):
+            window[j] = self._upload(blocks_host[j])
+        for i in range(n):
+            self.peak_resident_blocks = max(self.peak_resident_blocks, len(window))
+            dev_block = window.pop(i)
+            nxt = i + self.prefetch
+            if nxt < n:
+                window[nxt] = self._upload(blocks_host[nxt])  # async, overlaps
+            carry = self.block_fn(dev_block, carry, *aux)
+            del dev_block  # release HBM once the block's compute retires
+        return carry
+
+
+class WanStreamer:
+    """Weight-streamed Wan forward: Wan-14B bf16 (~28 GB params) samples on a
+    16 GB v5e (resident ≈ 1.5 GB + 2 blocks ≈ 1.4 GB + activations).
+
+    Drop-in for ``wan_forward`` on t2v/i2v models (no VACE on the streamed
+    path — VACE control runs resident).  Prologue and head are jitted with
+    the resident params; the block stack streams through BlockStreamer.
+    """
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+        from sdtpu.models.wan import wan_block_forward, wan_head, wan_prologue
+
+        self.cfg = cfg
+        self.resident, self.blocks_host = split_stacked_params(params, "blocks")
+        if device is not None:
+            self.resident = {
+                k: jax.device_put(v, device) for k, v in self.resident.items()
+            }
+
+        def _prologue(p, x, timesteps, context, clip_fea):
+            return wan_prologue(p, x, timesteps, context, clip_fea, cfg)
+
+        def _block(bp, h, e0, ctx, rot, context_img_len):
+            return wan_block_forward(
+                bp, h, e0, ctx, rot, cfg, context_img_len=context_img_len
+            )
+
+        def _head(p, h, e, dims):
+            return wan_head(p, h, e, cfg, dims)
+
+        self._prologue = jax.jit(_prologue)
+        self._head_jit = jax.jit(_head, static_argnames=("dims",))
+        # context_img_len is a static python int → jit per distinct value
+        self._streamers: Dict[int, BlockStreamer] = {}
+        self._prefetch = prefetch
+        self._device = device
+        self._block_local = _block
+        self.last_peak_blocks = 0
+
+    def __call__(self, x, timesteps, context, clip_fea=None):
+        # static facts derived host-side (jit outputs are arrays, not ints)
+        cfg = self.cfg
+        cil = (
+            clip_fea.shape[1]
+            if (clip_fea is not None and cfg.model_type == "i2v")
+            else 0
+        )
+        b, t, hh, ww, _ = x.shape
+        pt, ph, pw = cfg.patch_size
+        dims = (b, t, hh, ww, -(-t // pt), -(-hh // ph), -(-ww // pw))
+
+        img, e, e0, ctx, _, rot, _ = self._prologue(
+            self.resident, x, timesteps, context, clip_fea
+        )
+        streamer = self._streamers.get(cil)
+        if streamer is None:
+
+            def block_fn(bp, h, e0, ctx, rot, _cil=cil):
+                return self._block_local(bp, h, e0, ctx, rot, _cil)
+
+            streamer = BlockStreamer(block_fn, prefetch=self._prefetch,
+                                     device=self._device)
+            self._streamers[cil] = streamer
+        h = streamer(self.blocks_host, img, e0, ctx, rot)
+        self.last_peak_blocks = streamer.peak_resident_blocks
+        return self._head_jit(self.resident, h, e, dims)

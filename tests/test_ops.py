@@ -159,3 +159,24 @@ def test_flash_attention_with_mask():
     want = _np(attention(q, k, v, mask=mask, flash=False))
     got = _np(flash_attention(q, k, v, mask=mask))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_kv_streaming_multiblock():
+    """KV grid dimension (VERDICT r1 item 6): K/V stream tile-by-tile with
+    the online-softmax carry in scratch — multiple KV blocks per query block,
+    non-divisible lengths, with and without bias."""
+    from sdtpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((1, 2, 128, 32), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 1000, 32), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 1000, 32), dtype=np.float32))
+    want = _np(attention(q, k, v, flash=False))
+    # block_k=256 → 4 streamed KV tiles (the last one padded+masked)
+    got = _np(flash_attention(q, k, v, block_q=128, block_k=256))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    mask = jnp.asarray(rng.standard_normal((128, 1000)), dtype=jnp.float32)
+    want = _np(attention(q, k, v, mask=mask, flash=False))
+    got = _np(flash_attention(q, k, v, mask=mask, block_q=128, block_k=256))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

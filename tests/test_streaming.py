@@ -1,0 +1,75 @@
+"""Host-RAM weight streaming (VERDICT r1 item 5): models larger than HBM
+stream their block weights from host RAM with a bounded device window.
+
+Reference analog: --stream-layers prefetch streaming + params-backend offload
+(docs/performance.md:56-74, ggml_graph_cut.h:125 residency annotation).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sdtpu.models.wan import WanConfig, init_wan_params, wan_forward
+from sdtpu.parallel.streaming import BlockStreamer, WanStreamer, split_stacked_params
+
+
+def test_split_stacked_params():
+    p = {
+        "patch.weight": np.zeros(2),
+        "blocks.0.a.weight": np.ones(3),
+        "blocks.1.a.weight": np.full(3, 2.0),
+        "head.weight": np.zeros(2),
+    }
+    resident, blocks = split_stacked_params(p)
+    assert set(resident) == {"patch.weight", "head.weight"}
+    assert len(blocks) == 2
+    np.testing.assert_array_equal(blocks[1]["a.weight"], np.full(3, 2.0))
+
+
+def test_block_streamer_matches_direct_loop():
+    rng = np.random.default_rng(0)
+    n_blocks = 7
+    blocks = [
+        {"w.weight": rng.standard_normal((16, 16)).astype(np.float32)}
+        for _ in range(n_blocks)
+    ]
+
+    def block_fn(bp, h, scale):
+        return jnp.tanh(h @ bp["w.weight"].T) * scale
+
+    streamer = BlockStreamer(block_fn, prefetch=2)
+    x = jnp.asarray(rng.standard_normal((4, 16)), dtype=jnp.float32)
+    s = jnp.float32(1.1)
+    got = np.asarray(streamer(blocks, x, s))
+
+    want = np.asarray(x)
+    for bp in blocks:
+        want = np.tanh(want @ bp["w.weight"].T) * 1.1
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # the device window never exceeded the prefetch budget — this is the
+    # memory bound that lets >HBM models run
+    assert streamer.peak_resident_blocks <= 2
+
+
+def test_wan_streamer_matches_full_forward():
+    cfg = WanConfig(
+        in_dim=4, dim=64, ffn_dim=128, freq_dim=32, text_dim=96, out_dim=4,
+        num_heads=2, num_layers=4, axes_dim=(8, 12, 12),
+    )
+    params = init_wan_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 3, 8, 8, 4)), dtype=jnp.float32)
+    t = jnp.asarray([500.0], dtype=jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 16, 96)), dtype=jnp.float32)
+
+    want = np.asarray(wan_forward(params, x, t, ctx, cfg=cfg))
+
+    host_params = {k: np.asarray(v) for k, v in params.items()}
+    streamer = WanStreamer(host_params, cfg, prefetch=2)
+    got = np.asarray(streamer(x, t, ctx))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    assert streamer.last_peak_blocks <= 2
+
+    # second call reuses the single compiled block program
+    got2 = np.asarray(streamer(x, t, ctx))
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
