@@ -8,8 +8,10 @@ loop runs as a single jit-compiled ``lax.scan`` — the per-step host↔device
 round-trip that dominates the reference's overhead does not exist here.
 
 ``model_fn(x, sigma, step_index) -> (denoised, uncond_denoised)`` is traced
-once; samplers needing two model calls per step use ``lax.cond`` so the final
-step still skips the second call.  Stochastic samplers consume a precomputed
+once; second-order samplers keep both model calls in the step's main trace
+(the final sigma==0 step discards the second result via a where-select) so
+cross-step model state (StatefulModel, e.g. APG momentum) threads cleanly
+through the scan carry.  Stochastic samplers consume a precomputed
 ``noises[steps, ...]`` stack (host Philox for webui parity).
 """
 from __future__ import annotations
@@ -161,6 +163,9 @@ def _euler_ge_step(model_fn, is_flow, gamma):
 
 
 def _heun_step(model_fn):
+    # second model call hoisted out of control flow (it runs on the final
+    # sigma_next==0 step too and is discarded by the where-select) so
+    # threaded model state stays in the step's main trace
     def step(carry, s):
         x = carry["x"]
         den, _ = model_fn(x, s["sigma"], s["i"])
@@ -168,12 +173,11 @@ def _heun_step(model_fn):
         dt = s["sigma_next"] - s["sigma"]
         x_euler = x + d * dt
 
-        def second(_):
-            den2, _ = model_fn(x_euler, s["sigma_next"], s["i"])
-            d2 = (d + (x_euler - den2) / s["sigma_next"]) / 2.0
-            return x + d2 * dt
-
-        x_new = jax.lax.cond(s["sigma_next"] == 0.0, lambda _: x_euler, second, None)
+        is_last = s["sigma_next"] == 0.0
+        safe_next = jnp.where(is_last, 1.0, s["sigma_next"])
+        den2, _ = model_fn(x_euler, safe_next, s["i"])
+        d2 = (d + (x_euler - den2) / safe_next) / 2.0
+        x_new = jnp.where(is_last, x_euler, x + d2 * dt)
         return {"x": x_new}
 
     return step
@@ -185,16 +189,14 @@ def _dpm2_step(model_fn):
         den, _ = model_fn(x, s["sigma"], s["i"])
         d = (x - den) / s["sigma"]
 
-        def last(_):
-            return x + d * (s["sigma_next"] - s["sigma"])
-
-        def mid(_):
-            sigma_mid = jnp.exp(0.5 * (jnp.log(s["sigma"]) + jnp.log(s["sigma_next"])))
-            x2 = x + d * (sigma_mid - s["sigma"])
-            den2, _ = model_fn(x2, sigma_mid, s["i"])
-            return x + ((x2 - den2) / sigma_mid) * (s["sigma_next"] - s["sigma"])
-
-        return {"x": jax.lax.cond(s["sigma_next"] == 0.0, last, mid, None)}
+        is_last = s["sigma_next"] == 0.0
+        safe_next = jnp.where(is_last, s["sigma"], s["sigma_next"])
+        sigma_mid = jnp.exp(0.5 * (jnp.log(s["sigma"]) + jnp.log(safe_next)))
+        x2 = x + d * (sigma_mid - s["sigma"])
+        den2, _ = model_fn(x2, sigma_mid, s["i"])
+        x_mid = x + ((x2 - den2) / sigma_mid) * (s["sigma_next"] - s["sigma"])
+        x_last = x + d * (s["sigma_next"] - s["sigma"])
+        return {"x": jnp.where(is_last, x_last, x_mid)}
 
     return step
 
@@ -204,19 +206,16 @@ def _dpmpp_2s_a_step(model_fn):
         x = carry["x"]
         den, _ = model_fn(x, s["sigma"], s["i"])
 
-        def last(_):
-            return den
-
-        def second(_):
-            t = -jnp.log(s["sigma"])
-            t_next = -jnp.log(s["sigma_down"])
-            h = t_next - t
-            sigma_s = jnp.exp(-(t + 0.5 * h))
-            x2 = (sigma_s / s["sigma"]) * x - (jnp.exp(-h * 0.5) - 1.0) * den
-            den2, _ = model_fn(x2, sigma_s, s["i"])
-            return (s["sigma_down"] / s["sigma"]) * x - (jnp.exp(-h) - 1.0) * den2
-
-        x_new = jax.lax.cond(s["sigma_down"] == 0.0, last, second, None)
+        is_last = s["sigma_down"] == 0.0
+        safe_down = jnp.where(is_last, 1.0, s["sigma_down"])
+        t = -jnp.log(s["sigma"])
+        t_next = -jnp.log(safe_down)
+        h = t_next - t
+        sigma_s = jnp.exp(-(t + 0.5 * h))
+        x2 = (sigma_s / s["sigma"]) * x - (jnp.exp(-h * 0.5) - 1.0) * den
+        den2, _ = model_fn(x2, sigma_s, s["i"])
+        x_sec = (s["sigma_down"] / s["sigma"]) * x - (jnp.exp(-h) - 1.0) * den2
+        x_new = jnp.where(is_last, den, x_sec)
         x_new = x_new + _noise_term(x, s) * jnp.where(s["sigma_next"] > 0, s["sigma_up"], 0.0)
         return {"x": x_new}
 
@@ -228,32 +227,22 @@ def _dpmpp_2s_a_flow_step(model_fn):
         x = carry["x"]
         den, _ = model_fn(x, s["sigma"], s["i"])
         first = 1.0 - s["sigma"] < 1e-6
+        is_last = s["sigma_next"] == 0.0
 
-        def final(_):
-            return den
-
-        def body(_):
-            def reuse(_):
-                return den
-
-            def second(_):
-                exp_s = jnp.sqrt(
-                    ((1.0 - s["sigma"]) / s["sigma"])
-                    * ((1.0 - s["sigma_down"]) / s["sigma_down"])
-                )
-                sigma_s = 1.0 / (exp_s + 1.0)
-                r = sigma_s / s["sigma"]
-                u = x * r + den * (1.0 - r)
-                den2, _ = model_fn(u, sigma_s, s["i"])
-                return den2
-
-            d_i = jax.lax.cond(first, reuse, second, None)
-            rd = s["sigma_down"] / s["sigma"]
-            x_new = x * rd + d_i * (1.0 - rd)
-            noisy = s["alpha_scale"] * x_new + _noise_term(x, s) * s["sigma_up"]
-            return jnp.where(s["sigma_up"] > 0, noisy, x_new)
-
-        return {"x": jax.lax.cond(s["sigma_next"] == 0.0, final, body, None)}
+        safe_down = jnp.where(s["sigma_down"] <= 0.0, 0.5, s["sigma_down"])
+        exp_s = jnp.sqrt(
+            ((1.0 - s["sigma"]) / s["sigma"]) * ((1.0 - safe_down) / safe_down)
+        )
+        sigma_s = 1.0 / (exp_s + 1.0)
+        r = sigma_s / s["sigma"]
+        u = x * r + den * (1.0 - r)
+        den2, _ = model_fn(u, sigma_s, s["i"])
+        d_i = jnp.where(first, den, den2)
+        rd = s["sigma_down"] / s["sigma"]
+        x_new = x * rd + d_i * (1.0 - rd)
+        noisy = s["alpha_scale"] * x_new + _noise_term(x, s) * s["sigma_up"]
+        x_new = jnp.where(s["sigma_up"] > 0, noisy, x_new)
+        return {"x": jnp.where(is_last, den, x_new)}
 
     return step
 
@@ -263,29 +252,26 @@ def _res_2s_step(model_fn, is_flow):
         x = carry["x"]
         den, _ = model_fn(x, s["sigma"], s["i"])
 
-        def last(_):
-            return den
+        is_last = jnp.logical_or(s["sigma_down"] == 0.0, s["sigma"] == 0.0)
+        safe_sigma = jnp.where(s["sigma"] <= 0.0, 1.0, s["sigma"])
+        safe_down = jnp.where(s["sigma_down"] <= 0.0, 1.0, s["sigma_down"])
+        c2 = 0.5
+        t = -jnp.log(safe_sigma)
+        t_next = -jnp.log(safe_down)
+        h = t_next - t
+        a21 = c2 * _phi1(-h * c2)
+        phi1_v = _phi1(-h)
+        phi2_v = _phi2(-h)
+        b2 = phi2_v / c2
+        b1 = phi1_v - b2
+        sigma_c2 = jnp.exp(-(t + h * c2))
+        eps1 = den - x
+        x2 = x + eps1 * (h * a21)
+        den2, _ = model_fn(x2, sigma_c2, s["i"])
+        eps2 = den2 - x
+        x_body = x + h * (b1 * eps1 + b2 * eps2)
 
-        def body(_):
-            c2 = 0.5
-            t = -jnp.log(s["sigma"])
-            t_next = -jnp.log(s["sigma_down"])
-            h = t_next - t
-            a21 = c2 * _phi1(-h * c2)
-            phi1_v = _phi1(-h)
-            phi2_v = _phi2(-h)
-            b2 = phi2_v / c2
-            b1 = phi1_v - b2
-            sigma_c2 = jnp.exp(-(t + h * c2))
-            eps1 = den - x
-            x2 = x + eps1 * (h * a21)
-            den2, _ = model_fn(x2, sigma_c2, s["i"])
-            eps2 = den2 - x
-            return x + h * (b1 * eps1 + b2 * eps2)
-
-        x_new = jax.lax.cond(
-            jnp.logical_or(s["sigma_down"] == 0.0, s["sigma"] == 0.0), last, body, None
-        )
+        x_new = jnp.where(is_last, den, x_body)
         if is_flow:
             x_new = jnp.where(s["sigma_up"] > 0, x_new * s["alpha_scale"], x_new)
         x_new = x_new + _noise_term(x, s) * jnp.where(s["sigma_next"] > 0, s["sigma_up"], 0.0)
@@ -737,6 +723,24 @@ def sample_stepwise(
     return carry["x"]
 
 
+class StatefulModel:
+    """model_fn with cross-step state threaded through the sampler carry.
+
+    fn(x, sigma, i, state) → (denoised, uncond_denoised, new_state).  Used for
+    guidance state that must persist across steps inside the on-device scan —
+    e.g. the APG momentum buffer (reference guidance.h:43-98 keeps it as
+    mutable member state; here it lives in the scan carry).  build_sampler
+    threads the state into every model call of a step (second-order samplers
+    update it once per forward, matching the reference's per-denoise update)
+    without any per-sampler changes: tracing is sequential, so a Python cell
+    chains the traced state between calls within one step trace.
+    """
+
+    def __init__(self, fn: Callable, init_state):
+        self.fn = fn
+        self.init_state = init_state
+
+
 def build_sampler(
     model_fn: Callable,
     x: jnp.ndarray,
@@ -749,6 +753,15 @@ def build_sampler(
 ):
     """→ (step_fn, initial carry, per-step arrays) — shared by both drivers."""
     extra_args = extra_args or {}
+    stateful = model_fn if isinstance(model_fn, StatefulModel) else None
+    if stateful is not None:
+        _cell = {"s": None}
+
+        def model_fn(xx, sigma, i, _fn=stateful.fn, _cell=_cell):
+            den, unc, new_s = _fn(xx, sigma, i, _cell["s"])
+            _cell["s"] = new_s
+            return den, unc
+
     sigmas = np.asarray(sigmas, dtype=np.float32)
     n = len(sigmas) - 1
     per = _per_step_common(sigmas, eta if method != "dpm++2m_sde" else eta, is_flow)
@@ -835,6 +848,17 @@ def build_sampler(
         )
     else:
         raise ValueError(f"unknown sample method {method!r}")
+
+    if stateful is not None:
+        carry["mstate"] = stateful.init_state
+        inner_step = step
+
+        def step(c, s):
+            c = dict(c)
+            _cell["s"] = c.pop("mstate")
+            nc = dict(inner_step(c, s))
+            nc["mstate"] = _cell["s"]
+            return nc
 
     per_step = {k: jnp.asarray(v) for k, v in per.items()}
     if noises is not None:

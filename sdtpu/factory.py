@@ -126,10 +126,36 @@ def create_pipeline(
     v_prediction: bool = False,
     t5_tokenizer=None,
     flow_shift: Optional[float] = None,  # None → per-version default
+    mesh=None,
     **kwargs,
 ) -> DiffusionPipeline:
     """params: dict with keys 'diffusion', 'clip_l' (+'clip_g', 't5', 'llm'),
-    'vae'; any missing module is random-initialized (tests/benchmarks)."""
+    'vae'; any missing module is random-initialized (tests/benchmarks).
+
+    mesh: jax.sharding.Mesh — distribute the pipeline (tp/dp/sp axes; see
+    DiffusionPipeline.set_mesh).  The TPU-native replacement for the
+    reference's --backend/--split-mode placement (docs/backend.md:54-116)."""
+    pipe = _create_pipeline(
+        version, params, rng_type, dtype, small, seed, v_prediction,
+        t5_tokenizer, flow_shift, **kwargs,
+    )
+    if mesh is not None:
+        pipe.set_mesh(mesh)
+    return pipe
+
+
+def _create_pipeline(
+    version: SDVersion = SDVersion.SD1,
+    params: Optional[dict] = None,
+    rng_type: str = "cuda",
+    dtype=jnp.float32,
+    small: bool = False,
+    seed: int = 0,
+    v_prediction: bool = False,
+    t5_tokenizer=None,
+    flow_shift: Optional[float] = None,
+    **kwargs,
+) -> DiffusionPipeline:
     params = params or {}
     if version == SDVersion.SD3:
         return _create_sd3_pipeline(

@@ -59,6 +59,31 @@ def use_flash() -> bool:
     return compute_platform() == "tpu"
 
 
+_SEQ_PARALLEL = None  # (mesh, axis) — set while a sequence-parallel pipeline traces
+
+
+class sequence_parallel:
+    """Context manager: route eligible self-attention through ring attention
+    over the given mesh axis (context parallelism — the capability the
+    reference lacks, SURVEY.md §5).  Active during jit tracing; the resulting
+    compiled program keeps the ring collectives."""
+
+    def __init__(self, mesh, axis: str = "sp"):
+        self.mesh = mesh
+        self.axis = axis
+
+    def __enter__(self):
+        global _SEQ_PARALLEL
+        self._prev = _SEQ_PARALLEL
+        _SEQ_PARALLEL = (self.mesh, self.axis)
+        return self
+
+    def __exit__(self, *exc):
+        global _SEQ_PARALLEL
+        _SEQ_PARALLEL = self._prev
+        return False
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -70,7 +95,16 @@ def attention(
     """Scaled dot-product attention, [B,H,L,D] layout.
 
     flash=None → auto (Pallas on TPU when shapes allow, XLA otherwise).
+    Under a `sequence_parallel` context, self-attention (q/k same length,
+    divisible by the sp axis, no mask) runs as ring attention over ICI.
     """
+    if _SEQ_PARALLEL is not None and mask is None:
+        sp_mesh, sp_axis = _SEQ_PARALLEL
+        n = sp_mesh.shape[sp_axis]
+        if n > 1 and q.shape[2] == k.shape[2] and q.shape[2] % n == 0:
+            from sdtpu.parallel.ring_attention import ring_attention_sharded
+
+            return ring_attention_sharded(q, k, v, sp_mesh, axis=sp_axis, scale=scale)
     if flash is None:
         flash = use_flash()
     if flash:

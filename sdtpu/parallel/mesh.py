@@ -44,7 +44,10 @@ def create_mesh(
     n = len(devices)
     if shape is None:
         shape = (1,) * (len(axis_names) - 1) + (n,)
-    if int(np.prod(shape)) != n:
+    need = int(np.prod(shape))
+    if need < n:
+        devices = devices[:need]  # smaller meshes use a device prefix
+    elif need > n:
         raise ValueError(f"mesh shape {shape} does not cover {n} devices")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))

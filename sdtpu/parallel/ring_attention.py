@@ -60,6 +60,34 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float):
     return (o / l).astype(q.dtype)
 
 
+def ring_attention_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "sp",
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Ring attention without input placement — usable inside jit traces.
+
+    Inputs are [B, H, L, D]; shard_map's in_specs reshard them to L-sharded
+    layout under GSPMD (a no-op when the caller already laid them out that
+    way).  This is the entry the model forwards use when a pipeline runs with
+    a sequence-parallel mesh axis (see sdtpu.ops.attention.sequence_parallel).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(
+        functools.partial(_ring_attention_local, axis_name=axis, scale=float(scale)),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -130,6 +130,63 @@ class DiffusionPipeline:
         self._program_cache: Dict[tuple, object] = {}
         self._stepwise_step_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
+        self.mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        """Distribute the pipeline over a jax.sharding.Mesh — the TPU-native
+        analog of the reference's multi-device placement machinery
+        (docs/backend.md:54-116, layer_split_partition.h:29,
+        register_row_split_runner_params stable-diffusion.cpp:363):
+
+        - 'tp' axis: megatron-style tensor parallelism on the diffusion
+          transformer weights (row-split analog; XLA inserts the psum over ICI)
+        - 'dp' axis: batch data parallelism (new capability — the reference's
+          batch loop is sequential, stable-diffusion.cpp:5456)
+        - 'sp' axis: ring-attention sequence parallelism for long-token
+          self-attention (new capability, SURVEY.md §5)
+
+        Pass None to revert to single-device execution."""
+        self.mesh = mesh
+        self._program_cache.clear()
+        self._stepwise_step_cache.clear()
+        self._decode_cache.clear()
+        if mesh is None:
+            return
+        from sdtpu.parallel import shard_params
+
+        if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+            self.diffusion_params = shard_params(self.diffusion_params, mesh)
+
+    def _place_batched(self, arr, batch_axis: int = 0):
+        """device_put onto the mesh, batch axis sharded over 'dp' when it
+        divides evenly (else replicated)."""
+        if arr is None or self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        spec = P()
+        if "dp" in mesh.axis_names:
+            dp = mesh.shape["dp"]
+            if dp > 1 and arr.shape[batch_axis] % dp == 0:
+                axes = [None] * arr.ndim
+                axes[batch_axis] = "dp"
+                spec = P(*axes)
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
+    def _sp_context(self):
+        """Context manager enabling ring-attention dispatch while tracing."""
+        import contextlib
+
+        if (
+            self.mesh is not None
+            and "sp" in self.mesh.axis_names
+            and self.mesh.shape["sp"] > 1
+        ):
+            from sdtpu.ops.attention import sequence_parallel
+
+            return sequence_parallel(self.mesh, "sp")
+        return contextlib.nullcontext()
 
     def set_controlnet(self, params) -> None:
         """Attach / hot-swap ControlNet weights (reference
@@ -315,8 +372,9 @@ class DiffusionPipeline:
                 "img_uncond_concat": img_uncond_concat,
             }
 
-            def make_model_fn(mi):
-                def model_fn(xt, sigma, i):
+            def make_model_fn(mi, stateful=False):
+                def model_fn(xt, sigma, i, mbuf=None):
+                    new_buf = mbuf
                     c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
                     t = denoiser.sigma_to_t_jnp(sigma)
                     # style-merge context switch (PhotoMaker: the fused ID
@@ -420,9 +478,10 @@ class DiffusionPipeline:
                         if apg is not None:
                             from sdtpu.diffusion.guidance import apg_combine
 
-                            pred, _ = apg_combine(
+                            pred, new_buf = apg_combine(
                                 den_cond, den_uncond, den_img_u,
                                 mi["cfg_scale"], apg,
+                                momentum_buffer=mbuf,
                                 image_guidance_scale=img_scale,
                             )
                         else:
@@ -462,9 +521,22 @@ class DiffusionPipeline:
                         pred = pred * mi["denoise_mask"] + mi["masked_target"] * (
                             1.0 - mi["denoise_mask"]
                         )
+                    if stateful:
+                        return pred, den_uncond, new_buf
                     return pred, den_uncond
 
+                if stateful:
+                    # APG momentum buffer threaded through the scan carry
+                    # (reference keeps it as guidance member state,
+                    # guidance.h:43-98)
+                    from sdtpu.diffusion.samplers import StatefulModel
+
+                    return StatefulModel(
+                        model_fn, init_state=jnp.zeros(x.shape, dtype=jnp.float32)
+                    )
                 return model_fn
+
+            apg_momentum = apg is not None and apg.momentum != 0.0
 
             if _step_cache is not None:
                 # step-cache mode (reference sample-cache.h dispatcher): the
@@ -482,6 +554,9 @@ class DiffusionPipeline:
                     self._stepwise_step_cache[("model",) + key] = jit_model
 
                 kind, options = _step_cache
+                if apg_momentum:
+                    log_info("APG momentum is not tracked across skipped "
+                             "steps in step-cache mode")
                 cached = make_step_cache(
                     kind,
                     lambda xt, sigma, i: jit_model(mi, xt, sigma, i),
@@ -507,7 +582,8 @@ class DiffusionPipeline:
                 from sdtpu.diffusion.samplers import build_sampler
 
                 _, carry, per_step = build_sampler(
-                    make_model_fn(mi), x, sigmas, method, noises, eta, denoiser.is_flow
+                    make_model_fn(mi, stateful=apg_momentum), x, sigmas, method,
+                    noises, eta, denoiser.is_flow,
                 )
                 jit_step = self._stepwise_step_cache.get(key)
                 if jit_step is None:
@@ -515,24 +591,29 @@ class DiffusionPipeline:
                     @jax.jit
                     def jit_step(mi, carry, s):
                         step, _, _ = build_sampler(
-                            make_model_fn(mi), carry["x"], sigmas, method,
-                            None, eta, denoiser.is_flow,
+                            make_model_fn(mi, stateful=apg_momentum), carry["x"],
+                            sigmas, method, None, eta, denoiser.is_flow,
                         )
                         return step(carry, s)
 
                     self._stepwise_step_cache[key] = jit_step
                 n = len(np.asarray(sigmas)) - 1
+                prev_x = None
                 for i in range(n):
                     s = {k: jnp.asarray(v[i]) for k, v in per_step.items()}
                     carry = jit_step(mi, carry, s)
-                    # block so progress rates / cancellation track real
-                    # compute, not async dispatch
-                    jax.block_until_ready(carry["x"])
+                    # pipelined sync: block on the PREVIOUS step so device
+                    # compute overlaps host callback work — progress stays
+                    # honest (one step of lag) without serializing dispatch;
+                    # preview callbacks self-sync via np.asarray
+                    if prev_x is not None:
+                        jax.block_until_ready(prev_x)
+                    prev_x = carry["x"]
                     if _stepwise_cb(i, carry["x"]) is False:
                         break
                 return carry["x"]
             return sample(
-                make_model_fn(mi),
+                make_model_fn(mi, stateful=apg_momentum),
                 x,
                 sigmas,
                 method=method,
@@ -649,15 +730,20 @@ class DiffusionPipeline:
         hires_strength: float = 0.7,
         upscaler: str = "latent",
         esrgan_params=None,
+        hires_width: int = 0,
+        hires_height: int = 0,
     ) -> GenerationResult:
         """Hires fix (reference stable-diffusion.cpp:5523-5642): base sample →
         upscale (latent bilinear, or decode→ESRGAN→re-encode) → second
-        img2img-style pass at hires_strength."""
+        img2img-style pass at hires_strength.  hires_width/height override
+        hires_scale when nonzero (reference --hires-width/--hires-height)."""
         import dataclasses as _dc
 
         base = self.generate(gp)
-        tw = int(gp.width * hires_scale) // self.scale_factor * self.scale_factor
-        th = int(gp.height * hires_scale) // self.scale_factor * self.scale_factor
+        tw = (hires_width or int(gp.width * hires_scale)) \
+            // self.scale_factor * self.scale_factor
+        th = (hires_height or int(gp.height * hires_scale)) \
+            // self.scale_factor * self.scale_factor
         gp2 = _dc.replace(
             gp,
             width=tw,
@@ -745,8 +831,15 @@ class DiffusionPipeline:
             rng = create_rng(self.rng_type, s)
             init_noise[bi] = rng.randn_shape(shape)
             if need_noise:
-                for si in range(steps):
-                    step_noise[si, bi] = rng.randn_shape(shape)
+                if gp.sample_method == "dpm++2m_sde_bt":
+                    # step-count-stable Brownian-tree noise (reference
+                    # sample_dpmpp_2m_sde_bt, denoiser.hpp:1969)
+                    from sdtpu.diffusion.brownian import brownian_step_noise
+
+                    step_noise[:, bi] = brownian_step_noise(rng, shape, sigmas)
+                else:
+                    for si in range(steps):
+                        step_noise[si, bi] = rng.randn_shape(shape)
 
         x0 = np.zeros((bc,) + shape, dtype=np.float32)
         x = np.asarray(
@@ -756,6 +849,15 @@ class DiffusionPipeline:
         # phase plan: (params, sigma window) — one phase normally, two for
         # Wan2.2 MoE (high-noise model while sigma >= moe_boundary)
         phases = [(self.diffusion_params, sigmas)]
+        if (
+            high_noise_params is not None
+            and self.mesh is not None
+            and "tp" in self.mesh.axis_names
+            and self.mesh.shape["tp"] > 1
+        ):
+            from sdtpu.parallel import shard_params as _shard
+
+            high_noise_params = _shard(high_noise_params, self.mesh)
         if high_noise_params is not None:
             switch = next(
                 (i for i, s in enumerate(sigmas) if s < moe_boundary), len(sigmas) - 1
@@ -800,7 +902,7 @@ class DiffusionPipeline:
                 y_c = jnp.asarray(np.broadcast_to(clip_fea, (bc,) + clip_fea.shape[1:]))
                 y_u = y_c if has_uncond else None
 
-        xt = jnp.asarray(x)
+        xt = self._place_batched(jnp.asarray(x))
         done = 0
         for phase_params, phase_sigmas in phases:
             n_phase = len(phase_sigmas) - 1
@@ -808,21 +910,24 @@ class DiffusionPipeline:
                 gp.sample_method, n_phase, has_uncond, gp.eta, phase_sigmas
             )
             noises = (
-                jnp.asarray(step_noise[done : done + n_phase])
+                self._place_batched(
+                    jnp.asarray(step_noise[done : done + n_phase]), batch_axis=1
+                )
                 if step_noise is not None
                 else None
             )
-            xt = run(
-                phase_params,
-                xt,
-                noises,
-                ctx_c,
-                ctx_u,
-                y_c,
-                y_u,
-                jnp.float32(gp.cfg_scale),
-                **vkw,
-            )
+            with self._sp_context():
+                xt = run(
+                    phase_params,
+                    xt,
+                    noises,
+                    ctx_c,
+                    ctx_u,
+                    y_c,
+                    y_u,
+                    jnp.float32(gp.cfg_scale),
+                    **vkw,
+                )
             done += n_phase
         latents = xt
         latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
@@ -1025,8 +1130,15 @@ class DiffusionPipeline:
             rng = create_rng(self.rng_type, s)
             init_noise[bi] = rng.randn_shape(shape)
             if need_noise:
-                for si in range(steps):
-                    step_noise[si, bi] = rng.randn_shape(shape)
+                if gp.sample_method == "dpm++2m_sde_bt":
+                    # step-count-stable Brownian-tree noise (reference
+                    # sample_dpmpp_2m_sde_bt, denoiser.hpp:1969)
+                    from sdtpu.diffusion.brownian import brownian_step_noise
+
+                    step_noise[:, bi] = brownian_step_noise(rng, shape, sigmas)
+                else:
+                    for si in range(steps):
+                        step_noise[si, bi] = rng.randn_shape(shape)
 
         x0 = (
             np.broadcast_to(init_latent, (bc,) + shape).astype(np.float32)
@@ -1059,9 +1171,6 @@ class DiffusionPipeline:
         )
         if apg_params.enabled and has_uncond:
             apg = apg_params
-            if apg.momentum != 0.0:
-                log_info("APG momentum is applied statelessly per step in the "
-                         "scan path; use the stepwise path for exact parity")
 
         # separate image guidance (reference img_cfg, guidance.cpp:164-168)
         img_mode = None
@@ -1179,17 +1288,24 @@ class DiffusionPipeline:
         if latent_mask is not None and init_latent is not None:
             kwargs["denoise_mask"] = jnp.asarray(np.broadcast_to(latent_mask, (bc,) + latent_mask.shape[1:]))
             kwargs["masked_target"] = jnp.asarray(x0)
-        latents = run(
-            self.diffusion_params,
-            jnp.asarray(x),
-            jnp.asarray(step_noise) if step_noise is not None else None,
-            ctx_c,
-            ctx_u,
-            y_c,
-            y_u,
-            jnp.float32(gp.cfg_scale),
-            **kwargs,
+        x_in = self._place_batched(jnp.asarray(x))
+        noises_in = (
+            self._place_batched(jnp.asarray(step_noise), batch_axis=1)
+            if step_noise is not None
+            else None
         )
+        with self._sp_context():
+            latents = run(
+                self.diffusion_params,
+                x_in,
+                noises_in,
+                ctx_c,
+                ctx_u,
+                y_c,
+                y_u,
+                jnp.float32(gp.cfg_scale),
+                **kwargs,
+            )
         # reference applies inverse_noise_scaling at the final sigma (=0 → identity)
         latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
         latents = np.asarray(latents, dtype=np.float32)
