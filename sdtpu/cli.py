@@ -19,7 +19,8 @@ from typing import Optional
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="sdtpu", description="TPU-native stable diffusion")
     ap.add_argument("mode", nargs="?", default="img_gen",
-                    choices=["img_gen", "vid_gen", "adetailer", "convert", "metadata"])
+                    choices=["img_gen", "vid_gen", "adetailer", "convert",
+                             "upscale", "metadata"])
     # model files (reference sd_ctx_params)
     ap.add_argument("-m", "--model", help="full checkpoint (safetensors/gguf/ckpt)")
     ap.add_argument("--diffusion-model", help="standalone diffusion model file")
@@ -87,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ad-prompt", default=None, help="adetailer inpaint prompt")
     ap.add_argument("--ad-confidence", type=float, default=0.3)
     ap.add_argument("--ad-strength", type=float, default=0.4)
+    ap.add_argument("--ad-option", default="",
+                    help="extra adetailer args key=value,... (reference "
+                    "extra_ad_args): sort_by/mask_k_largest/dilate_erode/"
+                    "merge_masks/invert_mask/mask_blur/...")
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
     ap.add_argument("--slg-start", type=float, default=0.01)
@@ -104,7 +109,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="VACE control frame image (repeatable, in order)")
     ap.add_argument("--vace-strength", type=float, default=1.0)
     ap.add_argument("--upscale-model",
-                    help="LTX latent spatial upsampler checkpoint (hires video)")
+                    help="upscaler checkpoint: ESRGAN for img_gen/upscale "
+                    "modes (reference --upscale-model), LTX latent spatial "
+                    "upsampler for vid_gen")
+    # standalone upscale mode + post-generation ESRGAN pass
+    # (reference cli/main.cpp:926-962, common.h:248-249)
+    ap.add_argument("--upscale-repeats", type=int, default=1,
+                    help="run the ESRGAN upscaler N times (reference "
+                    "--upscale-repeats)")
+    ap.add_argument("--upscale-tile-size", type=int, default=128,
+                    help="ESRGAN tile size in pixels")
+    # highres fix (reference common.h:255-264)
+    ap.add_argument("--hires", action="store_true", help="enable highres fix")
+    ap.add_argument("--hires-upscaler", default="Latent",
+                    help="'Latent' or 'ESRGAN' (uses --upscale-model)")
+    ap.add_argument("--hires-scale", type=float, default=2.0)
+    ap.add_argument("--hires-width", type=int, default=0,
+                    help="hires target width, 0 to use --hires-scale")
+    ap.add_argument("--hires-height", type=int, default=0)
+    ap.add_argument("--hires-steps", type=int, default=0,
+                    help="hires pass steps, 0 = same as --steps")
+    ap.add_argument("--hires-denoising-strength", type=float, default=0.7)
     ap.add_argument("--flow-shift", type=float, default=None)
     # output
     ap.add_argument("-o", "--output", default="output.png")
@@ -159,8 +184,62 @@ def main(argv=None) -> int:
         return _vid_gen(args)
     if args.mode == "adetailer":
         return _adetailer(args)
+    if args.mode == "upscale":
+        return _upscale(args)
 
     return _img_gen(args)
+
+
+def _load_esrgan(path):
+    """ESRGAN checkpoint → (jnp param dict, config)."""
+    import jax.numpy as jnp
+
+    from sdtpu.io.model_loader import read_checkpoint_file
+    from sdtpu.models.esrgan import ESRGAN_X4_CONFIG, convert_esrgan_name
+
+    raw = read_checkpoint_file(path)
+    params = {}
+    for k, v in raw.items():
+        nk = convert_esrgan_name(k)
+        if nk is not None:
+            params[nk] = jnp.asarray(v, dtype=jnp.float32)
+    return params, ESRGAN_X4_CONFIG
+
+
+def _esrgan_pass(args, images):
+    """Apply the ESRGAN upscaler --upscale-repeats times to each image
+    (reference cli/main.cpp:926-962)."""
+    from sdtpu.models.esrgan import upscale_image
+
+    params, cfg = _load_esrgan(args.upscale_model)
+    out = []
+    for img in images:
+        cur = img[..., :3]
+        for _ in range(max(1, args.upscale_repeats)):
+            cur = upscale_image(params, cur, cfg, tile=args.upscale_tile_size)
+        out.append(cur)
+    return out
+
+
+def _upscale(args) -> int:
+    """Standalone ESRGAN upscale mode (reference sd-cli upscale mode,
+    common.h:21): -i input image → --upscale-model ESRGAN → -o output."""
+    from sdtpu.utils.image import read_png, write_png
+
+    if not args.upscale_model:
+        print("error: upscale mode needs an upscaler model (--upscale-model)")
+        return 1
+    if not args.init_img:
+        print("error: upscale mode needs an input image (-i/--init-img)")
+        return 1
+    img, meta = read_png(args.init_img)
+    t0 = time.time()
+    (up,) = _esrgan_pass(args, [img])
+    print(f"upscaled {img.shape[1]}x{img.shape[0]} -> "
+          f"{up.shape[1]}x{up.shape[0]} in {time.time() - t0:.2f}s")
+    write_png(args.output, up, parameters=meta)
+    print(f"saved {args.output}")
+    return 0
 
 
 def _load_pipeline(args):
@@ -438,21 +517,39 @@ def _img_gen(args) -> int:
             write_png(args.preview_path, img, None)
 
     t0 = time.time()
-    res = pipe.generate(
-        gp,
-        init_image=init_image,
-        mask_image=mask_image,
-        ref_images=ref_images,
-        preview_callback=preview_cb,
-        preview_interval=args.preview_interval,
-        control_image=control_image,
-        control_strength=args.control_strength,
-        ip_image=ip_image,
-        ip_scale=args.ip_scale,
-        progress_callback=_progress_cb(args),
-        step_cache=args.cache,
-        cache_options=_parse_kv(args.cache_option),
-    )
+    if args.hires:
+        # highres fix (reference --hires, stable-diffusion.cpp:5523-5642)
+        esr = None
+        upscaler = "latent"
+        if args.hires_upscaler.lower() != "latent" and args.upscale_model:
+            esr, _ = _load_esrgan(args.upscale_model)
+            upscaler = "esrgan"
+        res = pipe.txt2img_hires(
+            gp,
+            hires_scale=args.hires_scale,
+            hires_steps=args.hires_steps or None,
+            hires_strength=args.hires_denoising_strength,
+            upscaler=upscaler,
+            esrgan_params=esr,
+            hires_width=args.hires_width,
+            hires_height=args.hires_height,
+        )
+    else:
+        res = pipe.generate(
+            gp,
+            init_image=init_image,
+            mask_image=mask_image,
+            ref_images=ref_images,
+            preview_callback=preview_cb,
+            preview_interval=args.preview_interval,
+            control_image=control_image,
+            control_strength=args.control_strength,
+            ip_image=ip_image,
+            ip_scale=args.ip_scale,
+            progress_callback=_progress_cb(args),
+            step_cache=args.cache,
+            cache_options=_parse_kv(args.cache_option),
+        )
     if args.imatrix_out:
         # one representative EAGER mid-sigma forward per sample (reference
         # collects across generation via the backend eval callback)
@@ -476,9 +573,14 @@ def _img_gen(args) -> int:
         print(f"imatrix: {len(col.values)} entries -> {args.imatrix_out}")
     print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")
 
+    out_images = list(res.images)
+    if args.upscale_model and args.upscale_repeats > 0 and not args.hires:
+        # post-generation ESRGAN pass ×repeats (reference main.cpp:927-962)
+        out_images = _esrgan_pass(args, out_images)
+
     base, ext = os.path.splitext(args.output)
-    for i, img in enumerate(res.images):
-        path = args.output if len(res.images) == 1 else f"{base}_{i}{ext}"
+    for i, img in enumerate(out_images):
+        path = args.output if len(out_images) == 1 else f"{base}_{i}{ext}"
         meta = build_parameters_text(
             GenerationParams(**{**gp.__dict__, "seed": res.seeds[i]})
         )
@@ -567,10 +669,27 @@ def _adetailer(args) -> int:
         sample_steps=args.steps, cfg_scale=args.cfg_scale,
         sample_method=args.sampling_method, schedule=args.schedule, seed=args.seed,
     )
+    ad_kwargs = dict(confidence=args.ad_confidence,
+                     denoising_strength=args.ad_strength, prompt=args.ad_prompt)
+    # --ad-option key=value,... escape hatch (reference extra_ad_args,
+    # detailer.cpp:787+): mask_k_largest / dilate_erode / merge_masks / ...
+    for k, v in _parse_kv(getattr(args, "ad_option", "")).items():
+        fields = {f.name: f.type for f in
+                  __import__("dataclasses").fields(ADetailerParams)}
+        if k in fields:
+            cur = getattr(ADetailerParams(), k)
+            if isinstance(cur, bool):
+                v = str(v).lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                v = int(v)
+            elif isinstance(cur, float):
+                v = float(v)
+            ad_kwargs[k] = v
+        else:
+            print(f"warning: unknown --ad-option {k!r}")
     out, dets = adetail_image(
         pipe, det_params, det_cfg, image[..., :3], gp,
-        ADetailerParams(confidence=args.ad_confidence, strength=args.ad_strength,
-                        prompt=args.ad_prompt),
+        ADetailerParams(**ad_kwargs),
     )
     print(f"adetailer: {len(dets)} detection(s)")
     write_png(args.output, out)

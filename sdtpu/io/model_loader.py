@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from typing import Dict, Optional
 
 import numpy as np
@@ -55,6 +56,76 @@ def read_checkpoint_file(path: str) -> Dict[str, np.ndarray]:
 
         return load_torch_checkpoint(path)
     raise ValueError(f"unsupported checkpoint format: {path}")
+
+
+def _merge_fused_markers(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Concatenate '<name>.weight.N' merge markers (diffusers split q/k/v →
+    internal fused qkv / linear1; reference name_conversion.cpp:540-666)."""
+    marker = re.compile(r"^(.*\.(?:weight|bias))\.([123])$")
+    groups: Dict[str, Dict[int, np.ndarray]] = {}
+    for k in list(tensors):
+        m = marker.match(k)
+        if m:
+            groups.setdefault(m.group(1), {})[int(m.group(2))] = tensors.pop(k)
+    for base, parts in groups.items():
+        if base in tensors:
+            arrs = [np.asarray(tensors.pop(base))]
+            arrs += [np.asarray(parts[i]) for i in sorted(parts)]
+            tensors[base] = np.concatenate(arrs, axis=0)
+        else:  # incomplete set — put the pieces back untouched
+            for i, v in parts.items():
+                tensors[f"{base}.{i}"] = v
+    return tensors
+
+
+def convert_diffusers_diffusion_names(
+    tensors: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """Detect + convert a diffusers-format DiT param dict (flux/SD3/lumina2/
+    krea2) to internal names (reference convert_diffusion_model_name,
+    name_conversion.cpp:867-886)."""
+    from sdtpu.io.name_conversion import (
+        convert_diffusers_flux_name,
+        convert_diffusers_krea2_name,
+        convert_diffusers_lumina2_name,
+        convert_diffusers_sd3_name,
+    )
+
+    def has_prefix(p):
+        return any(k.startswith(p) for k in tensors)
+
+    conv = None
+    if has_prefix("single_transformer_blocks."):
+        conv = convert_diffusers_flux_name
+    elif has_prefix("pos_embed.proj."):
+        conv = convert_diffusers_sd3_name
+    elif has_prefix("transformer_blocks.") and has_prefix("context_embedder."):
+        conv = convert_diffusers_flux_name
+    elif has_prefix("all_x_embedder.2-1.") or has_prefix("noise_refiner."):
+        conv = convert_diffusers_lumina2_name
+    elif has_prefix("time_mod_proj.") or has_prefix("text_fusion."):
+        conv = convert_diffusers_krea2_name
+    if conv is None:
+        return tensors
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tensors.items():
+        nk = conv(k)
+        out[nk if nk is not None else k] = v
+    return _merge_fused_markers(out)
+
+
+def maybe_convert_diffusers_wan_vae(
+    tensors: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """diffusers AutoencoderKLWan layout (flat down_blocks.0..10) → internal
+    Wan VAE names (reference convert_diffusers_to_original_wan_vae)."""
+    if any(k.startswith("encoder.down_blocks.4.") for k in tensors) and not any(
+        ".resnets." in k and k.startswith("encoder.") for k in tensors
+    ):
+        from sdtpu.io.name_conversion import convert_diffusers_wan_vae_name
+
+        return {convert_diffusers_wan_vae_name(k): v for k, v in tensors.items()}
+    return tensors
 
 
 def _split_in_proj(params: Dict[str, np.ndarray]):
@@ -228,6 +299,10 @@ def load_model_bundle(
         if not path:
             continue
         sub = read_checkpoint_file(path)
+        if path == diffusion_model_path:
+            sub = convert_diffusers_diffusion_names(sub)
+        elif path == vae_path:
+            sub = maybe_convert_diffusers_wan_vae(sub)
         for k, v in sub.items():
             kk = canonicalize_name(k)
             if prefix and not kk.startswith(prefix):

