@@ -1,0 +1,145 @@
+"""FLUX / Wan / Qwen-Image numerics vs independent torch oracles
+(VERDICT r1 item 4: replace shape-only model tests with numeric parity).
+
+Each oracle in tests/torch_ref/ is a test-only transcription of the
+reference C++ math, consuming the SAME checkpoint-named param dict as the
+sdtpu model — a transposed weight, wrong norm epsilon, or swapped modulation
+index fails these at 1e-4.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def _to_torch(params):
+    return {k: torch.from_numpy(np.asarray(v, dtype=np.float32)) for k, v in params.items()}
+
+
+def test_flux_matches_torch_oracle():
+    from sdtpu.models.flux import FluxConfig, flux_forward, init_flux_params
+    from tests.torch_ref.flux import flux_forward_torch
+
+    cfg = FluxConfig(
+        in_channels=16, hidden_size=64, num_heads=2, depth=2, depth_single=2,
+        axes_dim=(8, 12, 12), context_in_dim=32, vec_in_dim=24,
+    )
+    p = init_flux_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 4), dtype=np.float32)
+    t = np.array([0.8, 0.3], dtype=np.float32)
+    ctx = rng.standard_normal((2, 10, 32), dtype=np.float32)
+    y = rng.standard_normal((2, 24), dtype=np.float32)
+    g = np.array([3.5, 3.5], dtype=np.float32)
+
+    got = np.asarray(
+        jax.jit(
+            lambda p, x, t, c, y, g: flux_forward(p, x, t, c, y, guidance=g, cfg=cfg)
+        )(p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(y), jnp.asarray(g))
+    )
+    with torch.no_grad():
+        want = flux_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), torch.from_numpy(y), torch.from_numpy(g), cfg,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("i2v", [False, True])
+def test_wan_matches_torch_oracle(i2v):
+    from sdtpu.models.wan import WanConfig, init_wan_params, wan_forward
+    from tests.torch_ref.wan import wan_forward_torch
+
+    cfg = WanConfig(
+        model_type="i2v" if i2v else "t2v",
+        in_dim=8, dim=64, ffn_dim=128, freq_dim=32, text_dim=48, out_dim=8,
+        num_heads=2, num_layers=2, axes_dim=(8, 12, 12),
+    )
+    p = init_wan_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 8, 8, 8), dtype=np.float32)
+    t = np.array([500.0], dtype=np.float32)
+    ctx = rng.standard_normal((1, 12, 48), dtype=np.float32)
+    clip_fea = (
+        rng.standard_normal((1, 5, 1280), dtype=np.float32) if i2v else None
+    )
+
+    got = np.asarray(
+        wan_forward(
+            p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+            clip_fea=jnp.asarray(clip_fea) if clip_fea is not None else None,
+            cfg=cfg,
+        )
+    )
+    with torch.no_grad():
+        want = wan_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg,
+            clip_fea=torch.from_numpy(clip_fea) if clip_fea is not None else None,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen_image_matches_torch_oracle():
+    from sdtpu.models.qwen_image import (
+        QwenImageConfig, init_qwen_image_params, qwen_image_forward,
+    )
+    from tests.torch_ref.qwen_image import qwen_image_forward_torch
+
+    cfg = QwenImageConfig(
+        in_channels=16, out_channels=4, num_layers=2, head_dim=16, num_heads=4,
+        joint_attention_dim=48, axes_dim=(4, 6, 6),
+    )
+    p = init_qwen_image_params(cfg, seed=0)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    t = np.array([0.6], dtype=np.float32)
+    ctx = rng.standard_normal((1, 9, 48), dtype=np.float32)
+
+    got = np.asarray(
+        qwen_image_forward(p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg)
+    )
+    with torch.no_grad():
+        want = qwen_image_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_ltxv_video_matches_torch_oracle():
+    from sdtpu.models.ltxv import (
+        LTXAVConfig, init_ltxav_params, ltxav_forward, video_rope,
+    )
+    from tests.torch_ref.ltxv import ltxv_video_forward_torch
+
+    cfg = LTXAVConfig(
+        in_channels=8, out_channels=8, hidden_size=64, cross_attention_dim=48,
+        caption_channels=999,  # != context dim → projection bypassed
+        num_heads=2, head_dim=32, num_layers=2,
+        audio_in_channels=8, audio_hidden_size=32, audio_cross_attention_dim=32,
+        audio_num_heads=2, audio_head_dim=16,
+        use_caption_projection=False, use_connector=False,
+    )
+    p = init_ltxav_params(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 2, 4, 4, 8), dtype=np.float32)
+    t = np.array([0.7], dtype=np.float32)
+    ctx = rng.standard_normal((1, 7, 48), dtype=np.float32)
+
+    got, audio = ltxav_forward(
+        p, jnp.asarray(x), jnp.asarray(t), context=jnp.asarray(ctx), cfg=cfg
+    )
+    assert audio is None
+    got = np.asarray(got)
+
+    v_pe = video_rope(4, 4, 2, cfg, 24.0)
+    with torch.no_grad():
+        want = ltxv_video_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg, v_pe,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
