@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--schedule", default="discrete")
     ap.add_argument("-s", "--seed", type=int, default=42)
     ap.add_argument("-b", "--batch-count", type=int, default=1)
+    ap.add_argument("--qwen-image-layers", type=int, default=3,
+                    help="layer count for QWEN_IMAGE_LAYERED checkpoints "
+                    "(reference --qwen-image-layers)")
     ap.add_argument("--clip-skip", type=int, default=-1)
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--strength", type=float, default=0.75)
@@ -517,6 +520,19 @@ def _img_gen(args) -> int:
             write_png(args.preview_path, img, None)
 
     t0 = time.time()
+    from sdtpu.config import SDVersion as _SDV
+
+    if pipe.version == _SDV.QWEN_IMAGE_LAYERED:
+        # layered generation: layers+1 stacked image layers sampled jointly,
+        # decoded separately (reference stable-diffusion.cpp:4819,5137)
+        vres = pipe.generate_video(gp, frames=args.qwen_image_layers + 1)
+        base_, ext_ = os.path.splitext(args.output)
+        for li, layer in enumerate(vres.frames[0]):
+            path = f"{base_}_layer{li}{ext_}"
+            write_png(path, layer)
+            print(f"saved {path}")
+        print(f"generated {len(vres.frames[0])} layer(s) in {time.time() - t0:.2f}s")
+        return 0
     if args.hires:
         # highres fix (reference --hires, stable-diffusion.cpp:5523-5642)
         esr = None

@@ -36,6 +36,7 @@ class SDVersion(enum.Enum):
     WAN2_2_I2V = "wan2_2_i2v"
     WAN2_2_TI2V = "wan2_2_ti2v"
     QWEN_IMAGE = "qwen_image"
+    QWEN_IMAGE_LAYERED = "qwen_layered"
     HUNYUAN_VIDEO = "hunyuan_video"
     LTXAV = "ltxav"
     Z_IMAGE = "z_image"
@@ -80,6 +81,7 @@ _DIT_FAMILY = {
     SDVersion.WAN2_2_I2V,
     SDVersion.WAN2_2_TI2V,
     SDVersion.QWEN_IMAGE,
+    SDVersion.QWEN_IMAGE_LAYERED,
     SDVersion.HUNYUAN_VIDEO,
     SDVersion.LTXAV,
     SDVersion.Z_IMAGE,

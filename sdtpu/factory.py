@@ -171,10 +171,11 @@ def _create_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift,
             version=version,
         )
-    if version == SDVersion.QWEN_IMAGE:
+    if version in (SDVersion.QWEN_IMAGE, SDVersion.QWEN_IMAGE_LAYERED):
         return _create_qwen_image_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+            layered=version == SDVersion.QWEN_IMAGE_LAYERED,
         )
     if version == SDVersion.HUNYUAN_VIDEO:
         return _create_hunyuan_pipeline(
@@ -1218,9 +1219,13 @@ def _create_sefi_pipeline(params, rng_type, dtype, small, seed, flow_shift,
 
 
 def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift,
-                                qwen_tokenizer=None):
+                                qwen_tokenizer=None, layered=False):
     """Qwen-Image (reference stable-diffusion.cpp qwen_image construction):
-    Qwen2.5-VL conditioner + joint-stream DiT + Wan 2.1 VAE in image mode."""
+    Qwen2.5-VL conditioner + joint-stream DiT + Wan 2.1 VAE in image mode.
+
+    layered: QWEN_IMAGE_LAYERED (reference qwen_image.hpp:589-632) — the
+    latent carries layers+1 stacked image layers; generate via
+    pipe.generate_video(frames=layers+1), each decoded frame is one layer."""
     from sdtpu.conditioning.conditioner import QwenImageConditioner
     from sdtpu.diffusion.denoiser import DiscreteFlowDenoiser
     from sdtpu.models import llm as llm_mod
@@ -1230,6 +1235,7 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
     if small:
         dit_cfg = qi_mod.QwenImageConfig(
             in_channels=16, out_channels=4, num_layers=2, head_dim=16,
+            use_additional_t_cond=layered,
             num_heads=4, joint_attention_dim=48, axes_dim=(4, 6, 6),
         )
         llm_cfg = llm_mod.LLMConfig(
@@ -1275,7 +1281,14 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
     use_stats = vae_cfg.z_dim == 16
 
     def vae_decode_fn(p, z):
-        zv = z[:, None] if z.ndim == 4 else z  # image → 1-frame video
+        if z.ndim == 5:
+            # layered: each layer is an INDEPENDENT image — decode as
+            # B·T single-frame videos (reference per-layer decode loop,
+            # stable-diffusion.cpp:5137-5160)
+            b2, t2 = z.shape[0], z.shape[1]
+            out = vae_decode_fn(p, z.reshape((b2 * t2,) + z.shape[2:]))
+            return out.reshape((b2, t2) + out.shape[1:])
+        zv = z[:, None]  # image → 1-frame video
         if use_stats:
             zv = wan_vae_mod.diffusion_to_vae_latents(zv)
         out = wan_vae_mod.wan_vae_decode(p, zv, vae_cfg)
@@ -1290,7 +1303,7 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
     ref_extras_fn = _make_ref_extras_fn(vae_params, vae_encode_fn)
 
     return DiffusionPipeline(
-        version=SDVersion.QWEN_IMAGE,
+        version=SDVersion.QWEN_IMAGE_LAYERED if layered else SDVersion.QWEN_IMAGE,
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
         conditioner=conditioner,

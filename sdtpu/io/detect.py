@@ -33,6 +33,38 @@ def detect_version(
     if any("lq_proj.latent_proj.0.weight" in n for n in names):
         # PiD super-resolution (reference model_loader.cpp:473)
         return SDVersion.PID
+    if any("embed_image_indicator.weight" in n for n in names):
+        # Ideogram4 (reference model_loader.cpp:476)
+        return SDVersion.IDEOGRAM4
+    if any("txtfusion.projector.weight" in n or "text_fusion.projector.weight" in n
+           for n in names):
+        # Krea2 (reference model_loader.cpp:479)
+        return SDVersion.KREA2
+    if any("transformer_blocks.0.attn.norm_added_q.weight" in n for n in names) and any(
+        "transformer_blocks.0.img_mlp.w1.weight" in n for n in names
+    ):
+        # Lens (reference model_loader.cpp:493)
+        return SDVersion.LENS
+    if any("net.img_embedder.proj1.weight" in n for n in names):
+        # MiniT2I (reference model_loader.cpp:497)
+        return SDVersion.MINIT2I
+    if any("double_stream_layers.0.img_instruct_attn" in n for n in names):
+        # Boogu (reference model_loader.cpp:531)
+        return SDVersion.BOOGU_IMAGE
+    if any("layers.0.adaLN_sa_ln.weight" in n for n in names):
+        # ERNIE-Image (reference model_loader.cpp:534)
+        return SDVersion.ERNIE_IMAGE
+    if any("llm_adapter.blocks.0.cross_attn.q_proj.weight" in n for n in names):
+        # Anima (reference model_loader.cpp:513)
+        return SDVersion.ANIMA
+    if any("transformer_blocks.0.img_mod.1.weight" in n for n in names):
+        # Qwen-Image family (reference model_loader.cpp:500-509)
+        img_in = next((n for n in names if n.endswith("img_in.weight")), None)
+        if img_in is not None and shapes.get(img_in, (0, 0))[-1] == 128:
+            return SDVersion.MAGE_FLOW
+        if any("addition_t_embedding" in n for n in names):
+            return SDVersion.QWEN_IMAGE_LAYERED
+        return SDVersion.QWEN_IMAGE
     if any(n.endswith("x_embedder.proj1.weight") for n in names) and any(
             "language_model.layers.0.self_attn.q_proj.weight" in n for n in names):
         # HiDream-O1 unified LLM-DiT (reference model_loader.cpp:489)

@@ -42,6 +42,10 @@ class QwenImageConfig:
     # centered image grid, bf16-rounded timestep projection
     rope_scheme: str = "qwen"       # "qwen" | "mage"
     bf16_timestep: bool = False
+    # QWEN_IMAGE_LAYERED (reference qwen_image.hpp:589-632): extra learned
+    # addition_t embedding on the timestep, layered 5-D latent with the RoPE
+    # time axis counting layers, ref latents indexed DECREASE
+    use_additional_t_cond: bool = False
 
 
 QWEN_IMAGE_CONFIG = QwenImageConfig()
@@ -53,7 +57,11 @@ def detect_qwen_image_config(names) -> QwenImageConfig:
         if "transformer_blocks." in n:
             idx = n.split("transformer_blocks.")[1].split(".")[0]
             num_layers = max(num_layers, int(idx) + 1)
-    return dataclasses.replace(QWEN_IMAGE_CONFIG, num_layers=num_layers or 60)
+    layered = any("addition_t_embedding" in n for n in names)
+    return dataclasses.replace(
+        QWEN_IMAGE_CONFIG, num_layers=num_layers or 60,
+        use_additional_t_cond=layered,
+    )
 
 
 def _heads(x, nh, hd):
@@ -103,12 +111,20 @@ def qwen_image_forward(
     cfg: QwenImageConfig = QWEN_IMAGE_CONFIG,
     ref_latents=None,
 ) -> jnp.ndarray:
-    """x: [B, H, W, 16] latent NHWC; timesteps: [B] in [0,1]; context:
-    [B, L, 3584] Qwen2.5-VL hidden states → velocity [B, H, W, 16].
+    """x: [B, H, W, 16] latent NHWC — or [B, T, H, W, 16] for the layered
+    variant (T = layers+1; reference VERSION_QWEN_IMAGE_LAYERED latent,
+    stable-diffusion.cpp:4819); timesteps: [B] in [0,1]; context:
+    [B, L, 3584] Qwen2.5-VL hidden states → velocity (same layout as x).
     ref_latents: list of [B, rh, rw, 16] edit reference latents appended to
     the image token stream with incrementing rope indices (reference
-    QwenImageModel::forward ref concat, qwen_image.hpp:530-535)."""
-    b, h, w, c = x.shape
+    QwenImageModel::forward ref concat, qwen_image.hpp:530-535; DECREASE
+    indices for the layered variant)."""
+    layered = x.ndim == 5
+    if layered:
+        b, nt, h, w, c = x.shape
+    else:
+        b, h, w, c = x.shape
+        nt = 1
     ps = cfg.patch_size
     hp, wp = h // ps, w // ps
     inner = cfg.num_heads * cfg.head_dim
@@ -119,7 +135,12 @@ def qwen_image_forward(
                 .transpose(0, 1, 3, 2, 4, 5)
                 .reshape(tb, (th // ps) * (tw // ps), ps * ps * tc))
 
-    img = _patchify(x)
+    if layered:
+        # token order (t, h, w): each layer patchified then concatenated
+        # (reference gen_vid_ids ordering, rope.hpp:518-527)
+        img = jnp.concatenate([_patchify(x[:, ti]) for ti in range(nt)], axis=1)
+    else:
+        img = _patchify(x)
     n_img = img.shape[1]
     ref_shapes = []
     if ref_latents:
@@ -149,9 +170,15 @@ def qwen_image_forward(
     pre = "time_text_embed.timestep_embedder"
     temb = linear(t_emb, p[f"{pre}.linear_1.weight"], p[f"{pre}.linear_1.bias"])
     temb = linear(silu(temb), p[f"{pre}.linear_2.weight"], p[f"{pre}.linear_2.bias"])
+    if cfg.use_additional_t_cond:
+        # layered variant: learned addition_t embedding, cond index 0
+        # (reference QwenTimestepProjEmbeddings, qwen_image.hpp:95-120)
+        temb = temb + p["time_text_embed.addition_t_embedding.weight"][0].astype(
+            temb.dtype
+        )
 
     n_ref_tok = sum(rh * rw for rh, rw in ref_shapes)
-    ids = np.zeros((lt + hp * wp + n_ref_tok, 3), dtype=np.float64)
+    ids = np.zeros((lt + nt * hp * wp + n_ref_tok, 3), dtype=np.float64)
     if cfg.rope_scheme == "mage":
         # Mage-Flow: zero text ids, image grid centered with ceil-half offset
         # (gen_mage_flow_pe, rope.hpp:657)
@@ -165,16 +192,21 @@ def qwen_image_forward(
         ids[:lt] = (txt_start + np.arange(lt))[:, None]
         hi, wi = np.meshgrid(
             np.arange(hp) - hp // 2, np.arange(wp) - wp // 2, indexing="ij")
-    ids[lt:lt + hp * wp, 1] = hi.reshape(-1)
-    ids[lt:lt + hp * wp, 2] = wi.reshape(-1)
-    # ref latents: incrementing axis-0 index from 1, centered grids
-    # (reference gen_refs_ids INCREASE + scale_rope, rope.hpp:350-396)
-    off = lt + hp * wp
+    # image tokens: per-layer grids with axis-0 = layer index (gen_vid_ids)
+    for ti in range(nt):
+        o = lt + ti * hp * wp
+        ids[o:o + hp * wp, 0] = ti
+        ids[o:o + hp * wp, 1] = hi.reshape(-1)
+        ids[o:o + hp * wp, 2] = wi.reshape(-1)
+    # ref latents: axis-0 index incrementing from 1 (INCREASE) or
+    # decrementing from -1 (DECREASE — layered variant), centered grids
+    # (reference gen_refs_ids, rope.hpp:350-396)
+    off = lt + nt * hp * wp
     for ri, (rh, rw) in enumerate(ref_shapes):
         rhi, rwi = np.meshgrid(np.arange(rh) - rh // 2,
                                np.arange(rw) - rw // 2, indexing="ij")
         n = rh * rw
-        ids[off:off + n, 0] = ri + 1
+        ids[off:off + n, 0] = -(ri + 1) if cfg.use_additional_t_cond else ri + 1
         ids[off:off + n, 1] = rhi.reshape(-1)
         ids[off:off + n, 2] = rwi.reshape(-1)
         off += n
@@ -206,8 +238,9 @@ def qwen_image_forward(
     img = layer_norm(img, eps=1e-6) * (1 + sc[:, None]) + sh[:, None]
     img = linear(img, p["proj_out.weight"], p["proj_out.bias"])
 
-    out = img.reshape(b, hp, wp, ps, ps, cfg.out_channels)
-    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, cfg.out_channels)
+    out = img.reshape(b, nt, hp, wp, ps, ps, cfg.out_channels)
+    out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, nt, h, w, cfg.out_channels)
+    return out if layered else out[:, 0]
 
 
 def init_qwen_image_params(cfg: QwenImageConfig = QWEN_IMAGE_CONFIG, seed: int = 0,
@@ -227,6 +260,10 @@ def init_qwen_image_params(cfg: QwenImageConfig = QWEN_IMAGE_CONFIG, seed: int =
     p["txt_norm.weight"] = jnp.ones((cfg.joint_attention_dim,), dtype=dtype)
     lin("time_text_embed.timestep_embedder.linear_1", inner, 256)
     lin("time_text_embed.timestep_embedder.linear_2", inner, inner)
+    if cfg.use_additional_t_cond:
+        p["time_text_embed.addition_t_embedding.weight"] = jnp.asarray(
+            g.standard_normal((2, inner), dtype=np.float32) * 0.02, dtype=dtype
+        )
     for i in range(cfg.num_layers):
         blk = f"transformer_blocks.{i}"
         lin(f"{blk}.img_mod.1", 6 * inner, inner)

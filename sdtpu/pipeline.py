@@ -44,6 +44,32 @@ from sdtpu.rng import create_rng
 from sdtpu.utils import log_debug, log_info
 
 
+class GenerationExtension:
+    """Formal plugin hook interface (reference GenerationExtension,
+    src/extensions/generation_extension.h:39-72).
+
+    The reference's hooks fire per step on the host; in the TPU design the
+    denoise loop is one compiled scan, so extensions contribute DATA that the
+    scan consumes instead of callbacks: prepare_generation mutates the
+    sampler kwargs (extras, ctx_cond2/ctx_switch_step for mid-run condition
+    swaps — how PhotoMaker's before_condition(step) is expressed here — ip
+    context, denoise masks, ...).  PhotoMaker/PuLID/IP-Adapter remain
+    available as the built-in set_* shortcuts.
+    """
+
+    def on_attach(self, pipeline) -> None:
+        """Called when registered (reference init hook)."""
+
+    def prepare_condition(self, pipeline, gp, cond, uncond):
+        """Inspect/replace the (cond, uncond) SDConditions before batching
+        (reference prepare_condition).  Return (cond, uncond)."""
+        return cond, uncond
+
+    def prepare_generation(self, pipeline, gp, kwargs: dict) -> None:
+        """Mutate the sampler kwargs before the jitted run (reference
+        before_condition/before_diffusion, expressed as data)."""
+
+
 @dataclasses.dataclass
 class GenerationResult:
     images: np.ndarray  # [B, H, W, 3] uint8
@@ -131,6 +157,16 @@ class DiffusionPipeline:
         self._stepwise_step_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
         self.mesh = None
+        self._extensions: list = []
+
+    def register_extension(self, ext: "GenerationExtension") -> None:
+        """Attach a GenerationExtension plugin (reference extension
+        registration, stable-diffusion.cpp:1508-1535)."""
+        self._extensions.append(ext)
+        ext.on_attach(self)
+
+    def unregister_extension(self, ext: "GenerationExtension") -> None:
+        self._extensions.remove(ext)
 
     def set_mesh(self, mesh) -> None:
         """Distribute the pipeline over a jax.sharding.Mesh — the TPU-native
@@ -714,7 +750,24 @@ class DiffusionPipeline:
 
                 self._decode_cache["decode"] = decode
             else:
-                self._decode_cache["decode"] = jit_decode
+                # OOM recovery: retry the full decode once with spatial
+                # tiling enabled (reference auto-fit VAE retry,
+                # backend_fit.h:18, prepare_vae_decode_retry_tiling)
+                def decode(params, z, _full=jit_decode):
+                    try:
+                        out = _full(params, z)
+                        jax.block_until_ready(out)
+                        return out
+                    except Exception as e:  # XlaRuntimeError has no stable type
+                        msg = str(e)
+                        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+                            raise
+                        log_info("VAE decode ran out of memory; retrying "
+                                 "with tiling enabled")
+                        self.set_vae_tiling(True)
+                        return self._decode_program()(params, z)
+
+                self._decode_cache["decode"] = decode
         return self._decode_cache["decode"]
 
     # ------------------------------------------------------------------ API
@@ -1038,6 +1091,8 @@ class DiffusionPipeline:
             if has_uncond
             else None
         )
+        for ext in self._extensions:
+            cond, uncond = ext.prepare_condition(self, gp, cond, uncond)
         ctx_c, ctx_u = _match_context(cond, uncond, bc)
         y_c = _tile(cond.c_vector, bc) if cond.c_vector is not None else None
         y_u = (
@@ -1288,6 +1343,8 @@ class DiffusionPipeline:
         if latent_mask is not None and init_latent is not None:
             kwargs["denoise_mask"] = jnp.asarray(np.broadcast_to(latent_mask, (bc,) + latent_mask.shape[1:]))
             kwargs["masked_target"] = jnp.asarray(x0)
+        for ext in self._extensions:
+            ext.prepare_generation(self, gp, kwargs)
         x_in = self._place_batched(jnp.asarray(x))
         noises_in = (
             self._place_batched(jnp.asarray(step_noise), batch_axis=1)

@@ -94,3 +94,54 @@ def test_qwen_image_pipeline_end_to_end():
     assert res.latents.shape == (1, 4, 4, 4)
     res2 = pipe.generate(gp)
     np.testing.assert_array_equal(res.images, res2.images)
+
+
+def test_layered_variant_detection_and_forward():
+    """QWEN_IMAGE_LAYERED (VERDICT r1 item 10; reference qwen_image.hpp:589,
+    model_loader.cpp:505): addition_t embedding + layered 5-D latent."""
+    from sdtpu.config import SDVersion
+    from sdtpu.io.detect import detect_version
+    from sdtpu.models.qwen_image import (
+        detect_qwen_image_config, init_qwen_image_params, qwen_image_forward,
+    )
+    import dataclasses
+
+    names = [
+        "model.diffusion_model.transformer_blocks.0.img_mod.1.weight",
+        "model.diffusion_model.time_text_embed.addition_t_embedding.weight",
+        "model.diffusion_model.img_in.weight",
+    ]
+    shapes = {"model.diffusion_model.img_in.weight": (64, 64)}
+    assert detect_version(names, shapes) == SDVersion.QWEN_IMAGE_LAYERED
+    # without the embedding → plain qwen_image
+    assert detect_version(names[:1] + names[2:], shapes) == SDVersion.QWEN_IMAGE
+
+    cfg = dataclasses.replace(SMALL_DIT, use_additional_t_cond=True)
+    assert detect_qwen_image_config(
+        ["transformer_blocks.1.attn.to_q.weight",
+         "time_text_embed.addition_t_embedding.weight"]).use_additional_t_cond
+
+    p = init_qwen_image_params(cfg, seed=0)
+    assert "time_text_embed.addition_t_embedding.weight" in p
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 4)), dtype=jnp.float32)  # 3+1 layers
+    t = jnp.asarray([0.5], dtype=jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 7, 48)), dtype=jnp.float32)
+    out = qwen_image_forward(p, x, t, ctx, cfg=cfg)
+    assert out.shape == (1, 4, 8, 8, 4)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_layered_pipeline_end_to_end():
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    pipe = create_pipeline(SDVersion.QWEN_IMAGE_LAYERED, small=True, seed=0)
+    assert pipe.version == SDVersion.QWEN_IMAGE_LAYERED
+    gp = GenerationParams(prompt="layered cat", width=64, height=64,
+                          sample_steps=2, sample_method="euler", seed=3,
+                          cfg_scale=3.0)
+    res = pipe.generate_video(gp, frames=4)  # 3 layers + 1 composite
+    assert res.frames.shape[1] == 4  # each decoded layer is an image
+    assert res.frames.shape[3:] == (64, 3)
+    assert np.isfinite(res.latents).all()
