@@ -49,6 +49,53 @@ def split_stacked_params(
     return resident, ordered
 
 
+class DiskBlockSource:
+    """Disk-residency block provider (reference ResidencyMode::Disk,
+    model_manager.h:31-48 + --stream-layers): block weights stay in the
+    checkpoint FILE; each block's tensors are read from the mmap at upload
+    time, so neither HBM nor host RSS holds the full model.  Presents the
+    list-of-dicts interface BlockStreamer consumes (len + indexing)."""
+
+    def __init__(self, st_file, prefix: str = "blocks",
+                 strip: str = "model.diffusion_model.", dtype=np.float32):
+        """st_file: sdtpu.io.safetensors.SafetensorsFile (mmap-backed)."""
+        self.file = st_file
+        self.dtype = dtype
+        pat = re.compile(rf"^{re.escape(prefix)}\.(\d+)\.(.*)$")
+        self._blocks: Dict[int, Dict[str, str]] = {}
+        for full in st_file.names():
+            name = full[len(strip):] if full.startswith(strip) else full
+            m = pat.match(name)
+            if m:
+                self._blocks.setdefault(int(m.group(1)), {})[m.group(2)] = full
+        self._order = sorted(self._blocks)
+
+    def __len__(self):
+        return len(self._order)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        names = self._blocks[self._order[i]]
+        return {
+            local: np.asarray(self.file.tensor(full), dtype=self.dtype)
+            for local, full in names.items()
+        }
+
+    def resident_params(self, dtype=None) -> Dict[str, np.ndarray]:
+        """All non-block tensors (loaded eagerly — they stay in HBM)."""
+        strip_set = {v for b in self._blocks.values() for v in b.values()}
+        out = {}
+        for full in self.file.names():
+            if full in strip_set:
+                continue
+            name = full
+            for s in ("model.diffusion_model.",):
+                if name.startswith(s):
+                    name = name[len(s):]
+            arr = np.asarray(self.file.tensor(full))
+            out[name] = arr if dtype is None else arr.astype(dtype)
+        return out
+
+
 class BlockStreamer:
     """Run ``carry = block_fn(block_params, carry)`` over a host-resident
     stack with double-buffered uploads.

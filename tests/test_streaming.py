@@ -73,3 +73,37 @@ def test_wan_streamer_matches_full_forward():
     # second call reuses the single compiled block program
     got2 = np.asarray(streamer(x, t, ctx))
     np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
+
+
+def test_disk_block_source_streams_from_safetensors(tmp_path):
+    """Disk residency (reference ResidencyMode::Disk): block weights stream
+    straight from the checkpoint mmap through the device window."""
+    from sdtpu.io.safetensors import SafetensorsFile, save_safetensors
+    from sdtpu.parallel.streaming import DiskBlockSource
+
+    rng = np.random.default_rng(0)
+    tensors = {"head.weight": rng.standard_normal((4,)).astype(np.float32)}
+    blocks = []
+    for i in range(3):
+        w = rng.standard_normal((16, 16)).astype(np.float32)
+        tensors[f"model.diffusion_model.blocks.{i}.w.weight"] = w
+        blocks.append(w)
+    path = str(tmp_path / "ckpt.safetensors")
+    save_safetensors(path, tensors)
+
+    src = DiskBlockSource(SafetensorsFile(path))
+    assert len(src) == 3
+    np.testing.assert_array_equal(src[1]["w.weight"], blocks[1])
+    resident = src.resident_params()
+    assert "head.weight" in resident and len(resident) == 1
+
+    def block_fn(bp, h):
+        return jnp.tanh(h @ bp["w.weight"].T)
+
+    streamer = BlockStreamer(block_fn, prefetch=1)
+    x = jnp.asarray(rng.standard_normal((2, 16)), dtype=jnp.float32)
+    got = np.asarray(streamer(src, x))
+    want = np.asarray(x)
+    for w in blocks:
+        want = np.tanh(want @ w.T)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
