@@ -45,15 +45,32 @@ class Job:
 class JobManager:
     """Async worker queue (reference async_jobs.h:31-50)."""
 
-    def __init__(self, pipeline, max_jobs: int = 64):
+    def __init__(self, pipeline, max_jobs: int = 64,
+                 lora_dir: str = "", upscaler_dir: str = ""):
         self.pipeline = pipeline
         self.jobs: Dict[str, Job] = {}
         self.queue = []
         self.lock = threading.Lock()
         self.wake = threading.Condition(self.lock)
         self.ctx_mutex = threading.Lock()  # one generation at a time
+        self.lora_dir = lora_dir  # reference server lora dir cache
+        self.upscaler_dir = upscaler_dir
+        self.options: Dict[str, object] = {"sd_model_checkpoint": "loaded"}
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
+
+    def list_model_files(self, directory: str):
+        """Checkpoint files in a directory (reference lora/upscaler dir
+        caches, examples/server/routes_sdapi.cpp)."""
+        import os
+
+        if not directory or not os.path.isdir(directory):
+            return []
+        out = []
+        for fn in sorted(os.listdir(directory)):
+            if fn.lower().endswith((".safetensors", ".ckpt", ".pt", ".pth", ".gguf")):
+                out.append(os.path.splitext(fn)[0])
+        return out
 
     def submit(self, params: dict) -> Job:
         job = Job(params)
@@ -190,6 +207,63 @@ def run_generation(pipeline, data: dict, job: Optional[Job] = None):
     return out
 
 
+# Embedded web UI (reference: frontend submodule baked into gen_index_html.h,
+# served by routes_index.cpp).  Minimal single-file client of the native
+# async API: submit → poll job → render images.
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>sdtpu</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:720px;
+     color:#ddd;background:#16161a}
+input,textarea,select{width:100%;box-sizing:border-box;margin:.25rem 0 .75rem;
+     background:#232329;color:#eee;border:1px solid #444;border-radius:4px;
+     padding:.45rem}
+label{font-size:.85rem;color:#aaa}
+.row{display:flex;gap:1rem}.row>div{flex:1}
+button{background:#4663ff;color:#fff;border:0;border-radius:4px;
+     padding:.6rem 1.4rem;font-size:1rem;cursor:pointer}
+#status{margin:.75rem 0;color:#8f8}
+img{max-width:100%;border-radius:6px;margin-top:.5rem}
+</style></head><body>
+<h2>sdtpu</h2>
+<label>prompt</label><textarea id="p" rows="3">a photograph of an astronaut riding a horse</textarea>
+<label>negative prompt</label><textarea id="n" rows="1"></textarea>
+<div class="row">
+ <div><label>width</label><input id="w" type="number" value="512"></div>
+ <div><label>height</label><input id="h" type="number" value="512"></div>
+ <div><label>steps</label><input id="s" type="number" value="20"></div>
+ <div><label>cfg</label><input id="c" type="number" step="0.5" value="7"></div>
+ <div><label>seed</label><input id="seed" type="number" value="42"></div>
+</div>
+<button onclick="gen()">Generate</button>
+<div id="status"></div><div id="out"></div>
+<script>
+async function gen(){
+ const st=document.getElementById('status');
+ st.textContent='submitting…';
+ const body={prompt:p.value,negative_prompt:n.value,width:+w.value,
+   height:+h.value,sample_steps:+s.value,cfg_scale:+c.value,seed:+seed.value};
+ const r=await fetch('/sdcpp/v1/img_gen',{method:'POST',
+   headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+ const job=await r.json();
+ for(;;){
+  const jr=await fetch('/sdcpp/v1/jobs/'+job.id);const j=await jr.json();
+  st.textContent=j.status+' '+(j.step||0)+'/'+(j.steps||0);
+  if(j.status==='completed'){
+   out.innerHTML='';
+   for(const b64 of j.images){const im=document.createElement('img');
+     im.src='data:image/png;base64,'+b64;out.appendChild(im);}
+   break;
+  }
+  if(j.status==='failed'){st.textContent='failed: '+j.error;break;}
+  if(j.status==='cancelled'){break;}
+  await new Promise(res=>setTimeout(res,500));
+ }
+}
+</script></body></html>
+"""
+
+
 def make_handler(manager: JobManager):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
@@ -281,8 +355,20 @@ def make_handler(manager: JobManager):
                 self._json([{"name": s, "label": s} for s in sorted(SCHEDULERS)])
             elif p == "/sdapi/v1/sd-models":
                 self._json([{"title": "loaded", "model_name": "loaded"}])
+            elif p == "/sdapi/v1/loras":
+                # reference lora dir listing (routes_sdapi.cpp loras route)
+                self._json([
+                    {"name": n, "alias": n, "path": n}
+                    for n in manager.list_model_files(manager.lora_dir)
+                ])
+            elif p == "/sdapi/v1/upscalers":
+                names = manager.list_model_files(manager.upscaler_dir)
+                self._json(
+                    [{"name": "Latent", "model_name": None, "scale": 2.0}]
+                    + [{"name": n, "model_name": n, "scale": 4.0} for n in names]
+                )
             elif p == "/sdapi/v1/options":
-                self._json({"sd_model_checkpoint": "loaded"})
+                self._json(dict(manager.options))
             elif p == "/sdapi/v1/progress":
                 running = [j for j in manager.jobs.values() if j.status == "running"]
                 j = running[0] if running else None
@@ -299,6 +385,15 @@ def make_handler(manager: JobManager):
             elif p == "/v1/models":
                 self._json({"object": "list", "data": [{"id": "sdtpu", "object": "model"}]})
             elif p == "/" or p == "/index.html":
+                # embedded web UI (reference gen_index_html.h /
+                # routes_index.cpp)
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif p == "/api":
                 self._json({"name": "sdtpu server", "apis": ["/sdcpp/v1", "/sdapi/v1", "/v1"]})
             else:
                 self._json({"error": "not found"}, 404)
@@ -318,6 +413,12 @@ def make_handler(manager: JobManager):
                 job_id = p.split("/")[-2]
                 ok = manager.cancel(job_id)
                 self._json({"cancelled": ok}, 200 if ok else 404)
+            elif p == "/sdapi/v1/options":
+                data = self._read_json()
+                if data is None:
+                    return
+                manager.options.update(data)
+                self._json({})
             elif p in ("/sdapi/v1/txt2img", "/sdapi/v1/img2img"):
                 data = self._read_json()
                 if data is None:
@@ -416,8 +517,9 @@ def make_handler(manager: JobManager):
     return Handler
 
 
-def serve(pipeline, host: str = "127.0.0.1", port: int = 7860):
-    manager = JobManager(pipeline)
+def serve(pipeline, host: str = "127.0.0.1", port: int = 7860,
+          lora_dir: str = "", upscaler_dir: str = ""):
+    manager = JobManager(pipeline, lora_dir=lora_dir, upscaler_dir=upscaler_dir)
     server = ThreadingHTTPServer((host, port), make_handler(manager))
     log_info(f"sdtpu server listening on http://{host}:{port}")
     server.serve_forever()
@@ -431,9 +533,12 @@ def main(argv=None):
     ap = build_parser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--upscaler-dir", default="",
+                    help="dir listed by /sdapi/v1/upscalers")
     args = ap.parse_args(argv)
     pipe, _ = _load_pipeline(args)
-    serve(pipe, args.host, args.port)
+    serve(pipe, args.host, args.port, lora_dir=args.lora_model_dir,
+          upscaler_dir=args.upscaler_dir)
 
 
 if __name__ == "__main__":

@@ -206,3 +206,22 @@ def test_cli_upscale_flags():
                           "--hires-steps", "8", "--hires-upscaler", "ESRGAN",
                           "--hires-denoising-strength", "0.6"])
     assert args.hires and args.hires_scale == 1.5 and args.hires_steps == 8
+
+
+def test_web_ui_and_options_and_listings(server_port):
+    """Embedded web UI + A1111 options/loras/upscalers routes (reference
+    routes_index.cpp, routes_sdapi.cpp)."""
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/", timeout=60) as r:
+        body = r.read().decode()
+        assert r.headers["Content-Type"].startswith("text/html")
+    assert "/sdcpp/v1/img_gen" in body  # the UI drives the native API
+
+    opts = _get(server_port, "/sdapi/v1/options")
+    assert "sd_model_checkpoint" in opts
+    _post(server_port, "/sdapi/v1/options", {"CLIP_stop_at_last_layers": 2})
+    opts = _get(server_port, "/sdapi/v1/options")
+    assert opts["CLIP_stop_at_last_layers"] == 2
+
+    assert _get(server_port, "/sdapi/v1/loras") == []  # no dir configured
+    ups = _get(server_port, "/sdapi/v1/upscalers")
+    assert ups[0]["name"] == "Latent"
