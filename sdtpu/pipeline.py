@@ -193,11 +193,89 @@ class DiffusionPipeline:
         if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
             self.diffusion_params = shard_params(self.diffusion_params, mesh)
 
+    def set_loras(self, loras) -> None:
+        """Set the ACTIVE LoRA set, re-deriving weights from the pristine
+        base (reference LoRA application epochs: apply_loras_to_params /
+        current_lora_epoch_, model_manager.h:73-88 — changing the set does
+        not accumulate merges).
+
+        loras: list of (lora_tensor_dict, multiplier).  The first call
+        snapshots the base diffusion weights to host RAM; every call merges
+        the given set into a fresh copy.  Pass [] to restore the base."""
+        from sdtpu.models.lora import apply_lora
+
+        if not hasattr(self, "_lora_base"):
+            self._lora_base = {
+                k: np.asarray(v) for k, v in self.diffusion_params.items()
+                if hasattr(v, "shape")
+            }
+        fresh = {k: v.copy() for k, v in self._lora_base.items()}
+        total_applied = 0
+        for tensors, mult in loras:
+            applied, _ = apply_lora({"diffusion": fresh}, tensors, mult)
+            total_applied += applied
+        self.diffusion_params = {
+            k: jnp.asarray(v, dtype=self.compute_dtype) for k, v in fresh.items()
+        }
+        if self.mesh is not None and "tp" in self.mesh.axis_names \
+                and self.mesh.shape["tp"] > 1:
+            from sdtpu.parallel import shard_params
+
+            self.diffusion_params = shard_params(self.diffusion_params, self.mesh)
+        log_info(f"LoRA epoch: {len(loras)} adapter(s), "
+                 f"{total_applied} tensors patched")
+
+    def set_module_devices(self, diffusion=None, vae=None, controlnet=None,
+                           conditioner=None) -> None:
+        """Per-module device placement — the reference's
+        --backend/--params-backend per-module assignment
+        (docs/backend.md:145-158: e.g. TE on the host CPU, DiT and VAE on
+        accelerators).  Each module's params move to the given jax.Device;
+        its jitted programs follow the placement of their inputs."""
+        if not hasattr(self, "_module_dev"):
+            self._module_dev = {}
+        if diffusion is not None:
+            self.diffusion_params = jax.device_put(self.diffusion_params, diffusion)
+            self._module_dev["diffusion"] = diffusion
+        if vae is not None:
+            self.vae_params = jax.device_put(self.vae_params, vae)
+            self._module_dev["vae"] = vae
+            self._decode_cache.clear()
+        if controlnet is not None and self.controlnet_params is not None:
+            self.controlnet_params = jax.device_put(self.controlnet_params, controlnet)
+        if conditioner is not None:
+            move = getattr(self.conditioner, "to_device", None)
+            if move is not None:
+                move(conditioner)
+            else:
+                # conditioners keep params in dict-valued attributes
+                for attr, val in vars(self.conditioner).items():
+                    if isinstance(val, dict) and val and all(
+                        hasattr(v, "shape") for v in val.values()
+                    ):
+                        setattr(self.conditioner, attr,
+                                jax.device_put(val, conditioner))
+        self._program_cache.clear()
+        self._stepwise_step_cache.clear()
+
+    def _module_input(self, tree, module: str = "diffusion"):
+        """Move a module's jit inputs to its assigned device (committed
+        params and inputs must co-locate)."""
+        dev = getattr(self, "_module_dev", {}).get(module)
+        if dev is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda t: jax.device_put(t, dev) if hasattr(t, "shape") else t, tree
+        )
+
     def _place_batched(self, arr, batch_axis: int = 0):
         """device_put onto the mesh, batch axis sharded over 'dp' when it
         divides evenly (else replicated)."""
-        if arr is None or self.mesh is None:
+        if arr is None:
             return arr
+        dev = getattr(self, "_module_dev", {}).get("diffusion")
+        if self.mesh is None:
+            return jax.device_put(arr, dev) if dev is not None else arr
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = self.mesh
@@ -992,7 +1070,8 @@ class DiffusionPipeline:
         )
 
         decode = self._decode_program()
-        vid = np.asarray(decode(self.vae_params, jnp.asarray(latents)))
+        vid = np.asarray(decode(self.vae_params,
+                               self._module_input(jnp.asarray(latents), "vae")))
         frames_u8 = np.clip((vid + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
         log_info(f"video decode completed in {time.time() - t1:.2f}s")
         return VideoResult(frames=frames_u8, latents=latents, seeds=seeds)
@@ -1351,6 +1430,9 @@ class DiffusionPipeline:
             if step_noise is not None
             else None
         )
+        ctx_c, ctx_u, y_c, y_u, kwargs = self._module_input(
+            (ctx_c, ctx_u, y_c, y_u, kwargs)
+        )
         with self._sp_context():
             latents = run(
                 self.diffusion_params,
@@ -1370,7 +1452,8 @@ class DiffusionPipeline:
         log_info(f"sampling completed in {t1 - t0:.2f}s ({steps} steps, batch {bc})")
 
         decode = self._decode_program()
-        imgs = np.asarray(decode(self.vae_params, jnp.asarray(latents)))
+        imgs = np.asarray(decode(self.vae_params,
+                                self._module_input(jnp.asarray(latents), "vae")))
         images = np.clip((imgs + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
         log_info(f"decode completed in {time.time() - t1:.2f}s")
         return GenerationResult(images=images, latents=latents, seeds=seeds)

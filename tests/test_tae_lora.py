@@ -201,3 +201,42 @@ def test_lokr_delta():
     d = lora_delta(group_lora_tensors(t)["lora.k"], 1.0)
     w2 = t["lora.k.lokr_w2_a.weight"] @ t["lora.k.lokr_w2_b.weight"]
     np.testing.assert_allclose(d, np.kron(w1, w2) * 0.5, atol=1e-5)
+
+
+def test_lora_epochs_rederive_from_base():
+    """Active-set changes re-derive from the pristine base (reference LoRA
+    epochs, model_manager.h:73-88) — merges never accumulate."""
+    import jax.numpy as jnp
+
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    key = "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"
+    base_w = np.asarray(pipe.diffusion_params[key]).copy()
+    r, (o, i) = 2, pipe.diffusion_params[key].shape
+    rng = np.random.default_rng(0)
+    down = rng.standard_normal((r, i)).astype(np.float32)
+    up = rng.standard_normal((o, r)).astype(np.float32)
+    lora = {
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_down.weight": down,
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_up.weight": up,
+    }
+
+    pipe.set_loras([(lora, 0.5)])
+    w_half = np.asarray(pipe.diffusion_params[key])
+    np.testing.assert_allclose(w_half, base_w + 0.5 * (up @ down), rtol=2e-3, atol=2e-3)
+
+    # changing the multiplier re-derives from base (NOT base + 0.5 + 1.0)
+    pipe.set_loras([(lora, 1.0)])
+    w_full = np.asarray(pipe.diffusion_params[key])
+    np.testing.assert_allclose(w_full, base_w + up @ down, rtol=2e-3, atol=2e-3)
+
+    # empty set restores the base
+    pipe.set_loras([])
+    np.testing.assert_allclose(
+        np.asarray(pipe.diffusion_params[key]), base_w, rtol=1e-6)
+
+    res = pipe.generate(GenerationParams(prompt="x", width=64, height=64,
+                                         sample_steps=2, sample_method="euler"))
+    assert np.isfinite(res.latents).all()
