@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tile VAE encode/decode (low-memory hires)")
     ap.add_argument("--vae-tile-size", type=int, default=64, help="latent units")
     ap.add_argument("--vae-tile-overlap", type=int, default=8)
+    ap.add_argument("--stream-weights", action="store_true",
+                    help="keep diffusion block weights in host RAM and "
+                    "stream them per layer (>HBM models; reference "
+                    "--stream-layers). Wan models.")
     ap.add_argument("--lora-model-dir", default="", help="dir for <lora:name:mult>")
     ap.add_argument("--embd-dir", default="", help="textual-inversion embeddings dir")
     # generation
@@ -62,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-i", "--init-img", help="img2img init image")
     ap.add_argument("--mask", help="inpaint mask image")
     ap.add_argument("--rng", default="cuda", choices=["cuda", "cpu", "std_default"])
+    ap.add_argument("--sampler-rng", default=None,
+                    choices=["cuda", "cpu", "std_default"],
+                    help="separate sampler-noise RNG (reference "
+                    "--sampler-rng); default: same stream as --rng")
     ap.add_argument("--control-net", help="controlnet checkpoint file")
     ap.add_argument("--control-image", help="control hint image")
     ap.add_argument("--control-strength", type=float, default=0.9)
@@ -313,11 +321,15 @@ def _load_pipeline(args):
 
             tok_kwargs["qwen_tokenizer"] = Qwen2Tokenizer.from_tokenizer_json(
                 args.llm_tokenizer)
+    if getattr(args, "stream_weights", False):
+        tok_kwargs["stream_weights"] = True
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift,
                            **tok_kwargs)
     if args.vae_tiling:
         pipe.set_vae_tiling(True, args.vae_tile_size, args.vae_tile_overlap)
+    if getattr(args, "sampler_rng", None):
+        pipe.sampler_rng_type = args.sampler_rng
     if args.embd_dir and os.path.isdir(args.embd_dir) and hasattr(pipe.conditioner, "load_embedding"):
         from sdtpu.io.model_loader import read_checkpoint_file
 

@@ -169,7 +169,7 @@ def _create_pipeline(
     if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
         return _create_wan_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift,
-            version=version,
+            version=version, stream_weights=kwargs.get("stream_weights", False),
         )
     if version in (SDVersion.QWEN_IMAGE, SDVersion.QWEN_IMAGE_LAYERED):
         return _create_qwen_image_pipeline(
@@ -1446,7 +1446,7 @@ def _detect_wan_vae_config(p, wan_vae_mod):
 
 
 def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift,
-                         version=SDVersion.WAN2):
+                         version=SDVersion.WAN2, stream_weights=False):
     """Wan 2.1 T2V (reference construction stable-diffusion.cpp:1098-1135;
     default flow shift 5.0, :1714)."""
     from sdtpu.conditioning.conditioner import WanConditioner
@@ -1603,6 +1603,21 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         video_condition_fn=video_condition_fn,
     )
     pipe.vace_prepare_fn = _vace_prepare
+    if stream_weights:
+        # >HBM Wan models: keep block weights in host RAM, stream per use
+        # (reference --stream-layers + params-backend offload)
+        import numpy as _np
+
+        from sdtpu.parallel.streaming import WanStreamer
+
+        host = {k: _np.asarray(v) for k, v in dit_params.items()}
+        streamer = WanStreamer(host, dit_cfg, prefetch=2)
+        pipe.diffusion_params = streamer.resident  # sampler passes these through
+
+        def streamed_fn(p, x, t, ctx, y=None, **ex):
+            return streamer(x, t, ctx, clip_fea=y)
+
+        pipe.set_streamed_diffusion(streamed_fn)
     return pipe
 
 

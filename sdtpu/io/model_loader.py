@@ -89,13 +89,16 @@ def convert_diffusers_diffusion_names(
         convert_diffusers_krea2_name,
         convert_diffusers_lumina2_name,
         convert_diffusers_sd3_name,
+        convert_hunyuan_video_name,
     )
 
     def has_prefix(p):
         return any(k.startswith(p) for k in tensors)
 
     conv = None
-    if has_prefix("single_transformer_blocks."):
+    if any("img_attn_qkv" in k or "img_mod.linear." in k for k in tensors):
+        conv = convert_hunyuan_video_name
+    elif has_prefix("single_transformer_blocks."):
         conv = convert_diffusers_flux_name
     elif has_prefix("pos_embed.proj."):
         conv = convert_diffusers_sd3_name

@@ -366,6 +366,51 @@ def convert_diffusers_flux_name(name: str) -> Optional[str]:
     return None
 
 
+def convert_hunyuan_video_name(name: str) -> str:
+    """Hunyuan-Video upstream names → internal flux-style layout (reference
+    convert_hunyuan_video_to_original_flux, name_conversion.cpp:667)."""
+    fixed = {
+        "time_in.mlp.0.": "time_in.in_layer.",
+        "time_in.mlp.2.": "time_in.out_layer.",
+        "time_r_in.mlp.0.": "time_r_in.in_layer.",
+        "time_r_in.mlp.2.": "time_r_in.out_layer.",
+        "vector_in.mlp.0.": "vector_in.in_layer.",
+        "vector_in.mlp.2.": "vector_in.out_layer.",
+        "guidance_in.mlp.0.": "guidance_in.in_layer.",
+        "guidance_in.mlp.2.": "guidance_in.out_layer.",
+        "txt_in.c_embedder.linear_1.": "txt_in.c_embedder.in_layer.",
+        "txt_in.c_embedder.linear_2.": "txt_in.c_embedder.out_layer.",
+        "txt_in.t_embedder.mlp.0.": "txt_in.t_embedder.in_layer.",
+        "txt_in.t_embedder.mlp.2.": "txt_in.t_embedder.out_layer.",
+    }
+    for src, dst in fixed.items():
+        if name.startswith(src):
+            return dst + name[len(src):]
+    m = re.match(r"(double_blocks\.\d+\.)(.*)", name)
+    if m:
+        pre, rest = m.group(1), m.group(2)
+        for src, dst in (
+            ("img_mod.linear.", "img_mod.lin."),
+            ("txt_mod.linear.", "txt_mod.lin."),
+            ("img_attn_q_norm.weight", "img_attn.norm.query_norm.scale"),
+            ("img_attn_k_norm.weight", "img_attn.norm.key_norm.scale"),
+            ("txt_attn_q_norm.weight", "txt_attn.norm.query_norm.scale"),
+            ("txt_attn_k_norm.weight", "txt_attn.norm.key_norm.scale"),
+        ):
+            if rest.startswith(src):
+                return pre + dst + rest[len(src):]
+    for src, dst in (
+        ("_attn_qkv.", "_attn.qkv."),
+        ("_attn_proj.", "_attn.proj."),
+        ("mlp.fc1.", "mlp.0."),
+        ("mlp.fc2.", "mlp.2."),
+        (".modulation.linear.", ".modulation.lin."),
+    ):
+        if src in name:
+            name = name.replace(src, dst)
+    return name
+
+
 def convert_diffusers_lumina2_name(name: str) -> str:
     """Lumina2/Z-Image diffusers names → internal (reference
     convert_diffusers_dit_to_original_lumina2, name_conversion.cpp:733).

@@ -158,6 +158,9 @@ class DiffusionPipeline:
         self._decode_cache: Dict[tuple, object] = {}
         self.mesh = None
         self._extensions: list = []
+        # separate sampler-noise RNG type (reference sampler_rng_type,
+        # stable-diffusion.cpp:701-704); None → share the latent RNG stream
+        self.sampler_rng_type = None
 
     def register_extension(self, ext: "GenerationExtension") -> None:
         """Attach a GenerationExtension plugin (reference extension
@@ -192,6 +195,18 @@ class DiffusionPipeline:
 
         if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
             self.diffusion_params = shard_params(self.diffusion_params, mesh)
+
+    def set_streamed_diffusion(self, forward) -> None:
+        """Run the diffusion model through an EAGER streamed forward (e.g.
+        parallel.streaming.WanStreamer) instead of the jitted param-dict
+        forward: sampling switches to the host-driven per-step path and the
+        model call executes outside jit so the streamer can stage each
+        block's weights from host RAM / disk (reference params-backend
+        offload + --stream-layers, docs/performance.md:56-74).  Pass None
+        to revert."""
+        self._streamed_forward = forward
+        self._program_cache.clear()
+        self._stepwise_step_cache.clear()
 
     def set_loras(self, loras) -> None:
         """Set the ACTIVE LoRA set, re-deriving weights from the pristine
@@ -424,7 +439,8 @@ class DiffusionPipeline:
             return prog
 
         denoiser = self.denoiser
-        diffusion_fn = self.diffusion_fn
+        streamed = getattr(self, "_streamed_forward", None)
+        diffusion_fn = streamed if streamed is not None else self.diffusion_fn
         controlnet_fn = self.controlnet_fn
 
         def program(
@@ -695,10 +711,20 @@ class DiffusionPipeline:
                 # once with the model inputs as traced arguments.
                 from sdtpu.diffusion.samplers import build_sampler
 
-                _, carry, per_step = build_sampler(
+                step_eager, carry, per_step = build_sampler(
                     make_model_fn(mi, stateful=apg_momentum), x, sigmas, method,
                     noises, eta, denoiser.is_flow,
                 )
+                if streamed is not None:
+                    # eager per-step loop: the model call must stay OUTSIDE
+                    # jit so the streamer's block loop can stage weights
+                    n = len(np.asarray(sigmas)) - 1
+                    for i in range(n):
+                        s = {k: jnp.asarray(v[i]) for k, v in per_step.items()}
+                        carry = step_eager(carry, s)
+                        if _stepwise_cb(i, carry["x"]) is False:
+                            break
+                    return carry["x"]
                 jit_step = self._stepwise_step_cache.get(key)
                 if jit_step is None:
 
@@ -934,6 +960,8 @@ class DiffusionPipeline:
             if has_uncond
             else None
         )
+        for ext in self._extensions:
+            cond, uncond = ext.prepare_condition(self, gp, cond, uncond)
         ctx_c, ctx_u = _match_context(cond, uncond, bc)
         y_c = _tile(cond.c_vector, bc) if cond.c_vector is not None else None
         y_u = (
@@ -961,16 +989,20 @@ class DiffusionPipeline:
         for bi, s in enumerate(seeds):
             rng = create_rng(self.rng_type, s)
             init_noise[bi] = rng.randn_shape(shape)
+            srng = rng
+            if self.sampler_rng_type and self.sampler_rng_type != self.rng_type:
+                # fresh sampler stream (reference sampler_rng, :701-704)
+                srng = create_rng(self.sampler_rng_type, s)
             if need_noise:
                 if gp.sample_method == "dpm++2m_sde_bt":
                     # step-count-stable Brownian-tree noise (reference
                     # sample_dpmpp_2m_sde_bt, denoiser.hpp:1969)
                     from sdtpu.diffusion.brownian import brownian_step_noise
 
-                    step_noise[:, bi] = brownian_step_noise(rng, shape, sigmas)
+                    step_noise[:, bi] = brownian_step_noise(srng, shape, sigmas)
                 else:
                     for si in range(steps):
-                        step_noise[si, bi] = rng.randn_shape(shape)
+                        step_noise[si, bi] = srng.randn_shape(shape)
 
         x0 = np.zeros((bc,) + shape, dtype=np.float32)
         x = np.asarray(
@@ -1033,13 +1065,29 @@ class DiffusionPipeline:
                 y_c = jnp.asarray(np.broadcast_to(clip_fea, (bc,) + clip_fea.shape[1:]))
                 y_u = y_c if has_uncond else None
 
+        for ext in self._extensions:
+            ext.prepare_generation(self, gp, vkw)
+        ctx_c, ctx_u, y_c, y_u, vkw = self._module_input(
+            (ctx_c, ctx_u, y_c, y_u, vkw)
+        )
         xt = self._place_batched(jnp.asarray(x))
         done = 0
+        streamed = getattr(self, "_streamed_forward", None) is not None
         for phase_params, phase_sigmas in phases:
             n_phase = len(phase_sigmas) - 1
-            run = self._jit_sampler(
-                gp.sample_method, n_phase, has_uncond, gp.eta, phase_sigmas
-            )
+            if streamed:
+                program = self._sample_program(
+                    gp.sample_method, n_phase, has_uncond, gp.eta
+                )
+
+                def run(params, x_, noises_, cc, cu, yc, yu, cfgs,
+                        _prog=program, _sig=phase_sigmas, **kw):
+                    return _prog(params, x_, _sig, noises_, cc, cu, yc, yu,
+                                 cfgs, _stepwise_cb=lambda i, xi: True, **kw)
+            else:
+                run = self._jit_sampler(
+                    gp.sample_method, n_phase, has_uncond, gp.eta, phase_sigmas
+                )
             noises = (
                 self._place_batched(
                     jnp.asarray(step_noise[done : done + n_phase]), batch_axis=1
@@ -1263,16 +1311,20 @@ class DiffusionPipeline:
         for bi, s in enumerate(seeds):
             rng = create_rng(self.rng_type, s)
             init_noise[bi] = rng.randn_shape(shape)
+            srng = rng
+            if self.sampler_rng_type and self.sampler_rng_type != self.rng_type:
+                # fresh sampler stream (reference sampler_rng, :701-704)
+                srng = create_rng(self.sampler_rng_type, s)
             if need_noise:
                 if gp.sample_method == "dpm++2m_sde_bt":
                     # step-count-stable Brownian-tree noise (reference
                     # sample_dpmpp_2m_sde_bt, denoiser.hpp:1969)
                     from sdtpu.diffusion.brownian import brownian_step_noise
 
-                    step_noise[:, bi] = brownian_step_noise(rng, shape, sigmas)
+                    step_noise[:, bi] = brownian_step_noise(srng, shape, sigmas)
                 else:
                     for si in range(steps):
-                        step_noise[si, bi] = rng.randn_shape(shape)
+                        step_noise[si, bi] = srng.randn_shape(shape)
 
         x0 = (
             np.broadcast_to(init_latent, (bc,) + shape).astype(np.float32)
@@ -1323,6 +1375,7 @@ class DiffusionPipeline:
             or preview_callback is not None
             or cancel_check is not None
             or step_cache is not None
+            or getattr(self, "_streamed_forward", None) is not None
         )
         if stepwise:
             program = self._sample_program(

@@ -56,3 +56,28 @@ def test_phase_timer_and_memory_report():
     assert "diffusion" in report and "vae" in report and "total" in report
     # int8 + q4 weights report packed sizes, not dequantized f32
     assert "MB" in report
+
+
+def test_tensor_capture_records_named_activations():
+    """Debug capture analog of capture_tensor / backend eval callback
+    (reference ggml_extend.hpp:1700)."""
+    from sdtpu.models.unet import SD1_UNET_CONFIG, init_unet_params, unet_forward
+    from sdtpu.utils.debug import TensorCapture
+    import dataclasses
+
+    cfg = dataclasses.replace(SD1_UNET_CONFIG, model_channels=32,
+                              num_res_blocks=1, channel_mult=(1, 2),
+                              transformer_depth=(1, 1), num_heads=2,
+                              context_dim=32, adm_in_channels=None)
+    p = init_unet_params(cfg, seed=0)
+    x = jnp.zeros((1, 16, 16, 4), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.zeros((1, 7, 32), jnp.float32)
+
+    cap = TensorCapture(patterns=["*attn1.to_q*"], capture_outputs=True)
+    with cap.capture(p):
+        unet_forward(p, x, t, ctx, cfg=cfg)  # eager
+    assert cap.activations, "no activations captured"
+    assert all("attn1.to_q" in k for k in cap.activations)
+    assert set(cap.outputs) == set(cap.activations)
+    assert "attn1.to_q" in cap.summary()

@@ -139,3 +139,25 @@ def test_pipeline_bt_sampler_runs_and_differs_from_plain_sde():
 
     bt2 = pipe.generate(GenerationParams(sample_method="dpm++2m_sde_bt", **kw)).latents
     np.testing.assert_allclose(bt, bt2, rtol=1e-5, atol=1e-6)  # deterministic
+
+
+def test_separate_sampler_rng_changes_step_noise_only():
+    """--sampler-rng (reference sampler_rng_type,
+    stable-diffusion.cpp:701-704): a separate sampler stream changes
+    stochastic-step noise but not the initial latent noise."""
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    kw = dict(prompt="cat", width=64, height=64, sample_steps=3,
+              sample_method="euler_a", eta=1.0, seed=9, cfg_scale=3.0)
+    shared = pipe.generate(GenerationParams(**kw)).latents
+
+    pipe.sampler_rng_type = "std_default"
+    separate = pipe.generate(GenerationParams(**kw)).latents
+    assert np.abs(shared - separate).max() > 1e-4  # different step noise
+
+    # deterministic per type
+    separate2 = pipe.generate(GenerationParams(**kw)).latents
+    np.testing.assert_allclose(separate, separate2, rtol=1e-5, atol=1e-6)
+
+    pipe.sampler_rng_type = None
+    back = pipe.generate(GenerationParams(**kw)).latents
+    np.testing.assert_allclose(back, shared, rtol=1e-5, atol=1e-6)

@@ -177,3 +177,32 @@ def test_merge_fused_markers_and_dispatch():
     assert "encoder.downsamples.4.residual.0.weight" in maybe_convert_diffusers_wan_vae(wv)
     sd = {"encoder.down_blocks.0.resnets.0.norm1.weight": q}
     assert maybe_convert_diffusers_wan_vae(sd) is sd
+
+
+def test_hunyuan_video_names():
+    from sdtpu.io.name_conversion import convert_hunyuan_video_name
+
+    cases = {
+        "time_in.mlp.0.weight": "time_in.in_layer.weight",
+        "guidance_in.mlp.2.bias": "guidance_in.out_layer.bias",
+        "txt_in.c_embedder.linear_1.weight": "txt_in.c_embedder.in_layer.weight",
+        "txt_in.t_embedder.mlp.0.weight": "txt_in.t_embedder.in_layer.weight",
+        "double_blocks.3.img_mod.linear.weight": "double_blocks.3.img_mod.lin.weight",
+        "double_blocks.3.img_attn_qkv.weight": "double_blocks.3.img_attn.qkv.weight",
+        "double_blocks.3.txt_attn_proj.bias": "double_blocks.3.txt_attn.proj.bias",
+        "double_blocks.3.img_attn_q_norm.weight":
+            "double_blocks.3.img_attn.norm.query_norm.scale",
+        "double_blocks.3.img_mlp.fc1.weight": "double_blocks.3.img_mlp.0.weight",
+        "double_blocks.3.txt_mlp.fc2.bias": "double_blocks.3.txt_mlp.2.bias",
+        "single_blocks.1.modulation.linear.weight":
+            "single_blocks.1.modulation.lin.weight",
+    }
+    for src, want in cases.items():
+        assert convert_hunyuan_video_name(src) == want, src
+
+    # dispatch detection
+    from sdtpu.io.model_loader import convert_diffusers_diffusion_names
+
+    d = {"double_blocks.0.img_attn_qkv.weight": np.zeros((4, 4), np.float32)}
+    out = convert_diffusers_diffusion_names(d)
+    assert "double_blocks.0.img_attn.qkv.weight" in out

@@ -107,3 +107,20 @@ def test_disk_block_source_streams_from_safetensors(tmp_path):
     for w in blocks:
         want = np.tanh(want @ w.T)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_wan_pipeline_matches_jitted():
+    """create_pipeline(stream_weights=True) routes the full video pipeline
+    through the eager WanStreamer and matches the jitted path."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    gp = GenerationParams(prompt="a cat", width=64, height=64, sample_steps=2,
+                          sample_method="euler", seed=3, cfg_scale=3.0)
+    base = create_pipeline(SDVersion.WAN2, small=True, seed=0)
+    want = base.generate_video(gp, frames=5).latents
+
+    streamed = create_pipeline(SDVersion.WAN2, small=True, seed=0,
+                               stream_weights=True)
+    got = streamed.generate_video(gp, frames=5).latents
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
