@@ -16,4 +16,23 @@ Layer map (mirrors SURVEY.md §1, re-expressed TPU-first):
   utils/         images, logging, config
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def get_system_info() -> str:
+    """Runtime/device summary (reference sd_get_system_info,
+    include/stable-diffusion.h:431)."""
+    import jax
+
+    try:
+        devs = jax.devices()
+        dev_desc = ", ".join(f"{d.platform}:{d.device_kind}" for d in devs)
+    except Exception as e:  # backend init can fail in restricted envs
+        dev_desc = f"unavailable ({e})"
+    from sdtpu.native import get_native
+
+    return (
+        f"sdtpu {__version__} | jax {jax.__version__} | "
+        f"devices: {dev_desc} | native loader: "
+        f"{'yes' if get_native() is not None else 'numpy fallback'}"
+    )

@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["easycache", "ucache", "taylorseer", "spectrum",
                              "dbcache", "cache_dit"],
                     help="step cache: skip diffusion forwards (reference docs/caching.md)")
+    ap.add_argument("--extra-sample-args", default="",
+                    help="key=value,... sampler/guidance escape hatch "
+                    "(reference --extra-sample-args): guidance_schedule="
+                    "7.5x10+5x10, gamma=, alpha=, delta_t=, "
+                    "noise_scale_start/end=, noise_clip_std=")
     ap.add_argument("--cache-option", default="",
                     help="key=value,... options for the step cache")
     # adetailer mode
@@ -175,9 +180,13 @@ def extract_loras(prompt: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from sdtpu.utils import set_log_level
+    from sdtpu.utils import enable_compilation_cache, set_log_level
 
     set_log_level("debug" if args.verbose else "info")
+    try:
+        enable_compilation_cache()  # warm restarts skip XLA compiles
+    except Exception:
+        pass
 
     if args.mode == "metadata":
         from sdtpu.utils.image import parse_parameters_text, read_png
@@ -426,6 +435,7 @@ def _img_gen(args) -> int:
         apg_eta=args.apg_eta,
         apg_momentum=args.apg_momentum,
         apg_norm_threshold=args.apg_nt,
+        extra_sample_args=args.extra_sample_args,
     )
     init_image = mask_image = control_image = None
     if args.init_img:

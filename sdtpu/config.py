@@ -177,3 +177,7 @@ class GenerationParams:
     apg_momentum: float = 0.0
     apg_norm_threshold: float = 0.0
     apg_norm_smoothing: float = 0.0
+    # key=value,... escape hatch (reference extra_sample_args,
+    # stable-diffusion.cpp:2429-2504): guidance_schedule=7.5x10+5x10,
+    # gamma=, alpha=, delta_t=, noise_scale_start/end=, noise_clip_std=
+    extra_sample_args: str = ""

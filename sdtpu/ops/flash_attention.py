@@ -125,6 +125,12 @@ def flash_attention(
     lq_p = _round_up(lq, block_q)
     lk_p = _round_up(lk, block_k)
     d_p = max(128, _round_up(d, 128))
+    # short sequences: hold K/V whole in VMEM (single KV grid step — no
+    # streaming overhead); long sequences stream 'block_k' tiles from HBM
+    kv_bytes = 2 * lk_p * d_p * q.dtype.itemsize
+    if kv_bytes <= (6 << 20):
+        block_k = _round_up(lk, 128)
+        lk_p = block_k
 
     qf = jnp.pad(q.reshape(b * h, lq, d), ((0, 0), (0, lq_p - lq), (0, d_p - d)))
     kf = jnp.pad(k.reshape(b * h, lk, d), ((0, 0), (0, lk_p - lk), (0, d_p - d)))

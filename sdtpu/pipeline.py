@@ -156,6 +156,8 @@ class DiffusionPipeline:
         self._program_cache: Dict[tuple, object] = {}
         self._stepwise_step_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
+        self._cond_cache: Dict[tuple, tuple] = {}  # prompt → SDConditions LRU
+        self.cond_cache_size = 16  # 0 disables
         self.mesh = None
         self._extensions: list = []
         # separate sampler-noise RNG type (reference sampler_rng_type,
@@ -426,14 +428,15 @@ class DiffusionPipeline:
 
     def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float,
                         use_control: bool = False, slg=None, apg=None,
-                        img_mode=None):
+                        img_mode=None, sampler_extra=()):
         """slg: (scale, skip_layers, i0, i1) — Skip-Layer Guidance window
         (reference guidance.h:43-98 + sample loop :2752); apg: APGParams for
         Adaptive Projected Guidance in place of plain CFG; img_mode: separate
         image-CFG third forward (reference guidance.cpp:164-168) — "refs"
         drops ref_latent extras (negative prompt without reference images),
         "concat" swaps in img_uncond_concat channels (pix2pix/inpaint)."""
-        key = (method, steps, has_uncond, eta, use_control, slg, apg, img_mode)
+        key = (method, steps, has_uncond, eta, use_control, slg, apg, img_mode,
+               tuple(sampler_extra))
         prog = self._program_cache.get(key)
         if prog is not None:
             return prog
@@ -505,6 +508,11 @@ class DiffusionPipeline:
             def make_model_fn(mi, stateful=False):
                 def model_fn(xt, sigma, i, mbuf=None):
                     new_buf = mbuf
+                    # per-step guidance schedule: cfg_scale may be a [steps]
+                    # vector (reference guidance_schedule, guidance.cpp:127)
+                    cfg_s = mi["cfg_scale"]
+                    if getattr(cfg_s, "ndim", 0):
+                        cfg_s = cfg_s[jnp.minimum(i, cfg_s.shape[0] - 1)]
                     c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
                     t = denoiser.sigma_to_t_jnp(sigma)
                     # style-merge context switch (PhotoMaker: the fused ID
@@ -610,13 +618,13 @@ class DiffusionPipeline:
 
                             pred, new_buf = apg_combine(
                                 den_cond, den_uncond, den_img_u,
-                                mi["cfg_scale"], apg,
+                                cfg_s, apg,
                                 momentum_buffer=mbuf,
                                 image_guidance_scale=img_scale,
                             )
                         else:
                             pred = cfg_combine(den_cond, den_uncond, den_img_u,
-                                               mi["cfg_scale"], img_scale)
+                                               cfg_s, img_scale)
                         if slg is not None:
                             # cond-only forward with layers skipped, applied
                             # inside the [i0, i1) step window
@@ -697,6 +705,7 @@ class DiffusionPipeline:
                 out = sample_stepwise(
                     cached, x, sigmas, method=method, noises=noises, eta=eta,
                     is_flow=denoiser.is_flow, step_callback=_stepwise_cb,
+                    extra_args=dict(sampler_extra),
                 )
                 log_info(
                     f"step cache '{kind}': skipped "
@@ -713,7 +722,7 @@ class DiffusionPipeline:
 
                 step_eager, carry, per_step = build_sampler(
                     make_model_fn(mi, stateful=apg_momentum), x, sigmas, method,
-                    noises, eta, denoiser.is_flow,
+                    noises, eta, denoiser.is_flow, dict(sampler_extra),
                 )
                 if streamed is not None:
                     # eager per-step loop: the model call must stay OUTSIDE
@@ -733,6 +742,7 @@ class DiffusionPipeline:
                         step, _, _ = build_sampler(
                             make_model_fn(mi, stateful=apg_momentum), carry["x"],
                             sigmas, method, None, eta, denoiser.is_flow,
+                            dict(sampler_extra),
                         )
                         return step(carry, s)
 
@@ -760,6 +770,7 @@ class DiffusionPipeline:
                 noises=noises,
                 eta=eta,
                 is_flow=denoiser.is_flow,
+                extra_args=dict(sampler_extra),
             )
 
         # sigmas is a per-call numpy array (static coefficients inside sample);
@@ -768,15 +779,16 @@ class DiffusionPipeline:
         return program
 
     def _jit_sampler(self, method, steps, has_uncond, eta, sigmas, use_control=False,
-                     slg=None, apg=None, img_mode=None):
+                     slg=None, apg=None, img_mode=None, sampler_extra=()):
         """jit with sigmas baked (host-precomputed coefficients)."""
         key = ("run", method, steps, has_uncond, eta, sigmas.tobytes(), use_control,
-               slg, apg, img_mode)
+               slg, apg, img_mode, tuple(sampler_extra))
         cached = self._program_cache.get(key)
         if cached is not None:
             return cached
         program = self._sample_program(method, steps, has_uncond, eta, use_control,
-                                       slg=slg, apg=apg, img_mode=img_mode)
+                                       slg=slg, apg=apg, img_mode=img_mode,
+                                       sampler_extra=sampler_extra)
 
         @jax.jit
         def run(
@@ -1205,19 +1217,30 @@ class DiffusionPipeline:
             gp = dataclasses.replace(
                 gp, prompt=" ".join(gp.prompt.replace(tw, " ").split()))
 
-        cond = self.conditioner.get_learned_condition(
-            gp.prompt, clip_skip=gp.clip_skip, width=w, height=h,
-            ref_images=ref_images,
-        )
         has_uncond = gp.cfg_scale != 1.0
-        uncond = (
-            self.conditioner.get_learned_condition(
-                gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h,
+        ckey = None
+        if self.cond_cache_size and ref_images is None:
+            ckey = (gp.prompt, gp.negative_prompt, gp.clip_skip, w, h, has_uncond)
+        cached_cond = self._cond_cache.get(ckey) if ckey is not None else None
+        if cached_cond is not None:
+            cond, uncond = cached_cond
+        else:
+            cond = self.conditioner.get_learned_condition(
+                gp.prompt, clip_skip=gp.clip_skip, width=w, height=h,
                 ref_images=ref_images,
             )
-            if has_uncond
-            else None
-        )
+            uncond = (
+                self.conditioner.get_learned_condition(
+                    gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h,
+                    ref_images=ref_images,
+                )
+                if has_uncond
+                else None
+            )
+            if ckey is not None:
+                if len(self._cond_cache) >= self.cond_cache_size:
+                    self._cond_cache.pop(next(iter(self._cond_cache)))
+                self._cond_cache[ckey] = (cond, uncond)
         for ext in self._extensions:
             cond, uncond = ext.prepare_condition(self, gp, cond, uncond)
         ctx_c, ctx_u = _match_context(cond, uncond, bc)
@@ -1370,6 +1393,29 @@ class DiffusionPipeline:
                 log_info("img_cfg_scale ignored: no reference images or "
                          "image-concat conditioning on this model")
 
+        # escape-hatch sampler args + per-step guidance schedule (reference
+        # extra_sample_args, stable-diffusion.cpp:2429-2504)
+        esa = {}
+        for part in (gp.extra_sample_args or "").split(","):
+            if "=" in part:
+                k2, v2 = part.split("=", 1)
+                esa[k2.strip()] = v2.strip()
+        cfg_value = jnp.float32(gp.cfg_scale)
+        if "guidance_schedule" in esa:
+            from sdtpu.diffusion.guidance import parse_guidance_schedule
+
+            sched = parse_guidance_schedule(esa.pop("guidance_schedule"))
+            if sched:
+                cfg_value = jnp.asarray(
+                    [sched[min(i2, len(sched) - 1)] for i2 in range(steps)],
+                    dtype=jnp.float32,
+                )
+        _SAMPLER_KEYS = ("gamma", "alpha", "delta_t", "noise_scale_start",
+                         "noise_scale_end", "noise_clip_std", "sem_channels")
+        sampler_extra = tuple(sorted(
+            (k2, float(v2)) for k2, v2 in esa.items() if k2 in _SAMPLER_KEYS
+        ))
+
         stepwise = (
             progress_callback is not None
             or preview_callback is not None
@@ -1380,7 +1426,7 @@ class DiffusionPipeline:
         if stepwise:
             program = self._sample_program(
                 gp.sample_method, steps, has_uncond, gp.eta, use_control,
-                slg=slg, apg=apg, img_mode=img_mode,
+                slg=slg, apg=apg, img_mode=img_mode, sampler_extra=sampler_extra,
             )
 
             def _cb(i, xi):
@@ -1403,7 +1449,7 @@ class DiffusionPipeline:
         else:
             run = self._jit_sampler(
                 gp.sample_method, steps, has_uncond, gp.eta, sigmas, use_control,
-                slg=slg, apg=apg, img_mode=img_mode,
+                slg=slg, apg=apg, img_mode=img_mode, sampler_extra=sampler_extra,
             )
         kwargs = {}
         if ip_image is not None and self._ip_proj is not None:
@@ -1495,7 +1541,7 @@ class DiffusionPipeline:
                 ctx_u,
                 y_c,
                 y_u,
-                jnp.float32(gp.cfg_scale),
+                cfg_value,
                 **kwargs,
             )
         # reference applies inverse_noise_scaling at the final sigma (=0 → identity)

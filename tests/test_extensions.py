@@ -47,3 +47,25 @@ def test_extension_hooks_fire_and_affect_output():
     pipe.unregister_extension(ext)
     back = pipe.generate(gp).latents
     np.testing.assert_allclose(back, base, rtol=1e-5, atol=1e-6)
+
+
+def test_conditioner_cache_reuses_embeddings():
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    gp = GenerationParams(prompt="cat", width=64, height=64, sample_steps=2,
+                          sample_method="euler", seed=5, cfg_scale=3.0)
+    a = pipe.generate(gp).latents
+    assert len(pipe._cond_cache) == 1
+    calls = []
+    orig = pipe.conditioner.get_learned_condition
+    pipe.conditioner.get_learned_condition = (
+        lambda *args, **kw: (calls.append(1), orig(*args, **kw))[1]
+    )
+    b = pipe.generate(gp).latents  # cache hit → no encoder calls
+    assert not calls
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    pipe.cond_cache_size = 0
+    pipe._cond_cache.clear()
+    c = pipe.generate(gp).latents  # disabled → encoder runs again
+    assert calls
+    np.testing.assert_allclose(a, c, rtol=1e-6)

@@ -161,3 +161,29 @@ def test_separate_sampler_rng_changes_step_noise_only():
     pipe.sampler_rng_type = None
     back = pipe.generate(GenerationParams(**kw)).latents
     np.testing.assert_allclose(back, shared, rtol=1e-5, atol=1e-6)
+
+
+def test_extra_sample_args_guidance_schedule_and_sampler_kv():
+    """--extra-sample-args (reference stable-diffusion.cpp:2429-2504):
+    per-step guidance schedule + sampler-specific kv args."""
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    kw = dict(prompt="cat", width=64, height=64, sample_steps=4,
+              sample_method="euler", seed=5)
+    base = pipe.generate(GenerationParams(cfg_scale=7.0, **kw)).latents
+    # constant schedule == plain scalar cfg
+    same = pipe.generate(GenerationParams(
+        cfg_scale=7.0, extra_sample_args="guidance_schedule=7.0x4", **kw)).latents
+    np.testing.assert_allclose(same, base, rtol=1e-5, atol=1e-6)
+    # varying schedule differs
+    varied = pipe.generate(GenerationParams(
+        cfg_scale=7.0, extra_sample_args="guidance_schedule=7.0x2+2.0x2",
+        **kw)).latents
+    assert np.abs(varied - base).max() > 1e-4
+
+    # sampler kv: euler_ge gamma changes the trajectory
+    g1 = pipe.generate(GenerationParams(
+        cfg_scale=3.0, **{**kw, "sample_method": "euler_ge"})).latents
+    g2 = pipe.generate(GenerationParams(
+        cfg_scale=3.0, extra_sample_args="gamma=5.0",
+        **{**kw, "sample_method": "euler_ge"})).latents
+    assert np.abs(g1 - g2).max() > 1e-5
