@@ -1371,7 +1371,7 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     latent_ch = vae_cfg.z_channels
     extra_in = dit_cfg.in_channels - latent_ch
 
-    def diffusion_fn(p, x, t, ctx, y):
+    def diffusion_fn(p, x, t, ctx, y, timestep_r=None):
         single = x.ndim == 4
         if single:
             x = x[:, None]  # image → 1-frame video
@@ -1380,7 +1380,8 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
             # zero (reference HunyuanVideoRunner c_concat handling)
             pad = jnp.zeros(x.shape[:-1] + (extra_in,), dtype=x.dtype)
             x = jnp.concatenate([x, pad], axis=-1)
-        out = hy_mod.hunyuan_forward(p, x, t, ctx, cfg=dit_cfg)
+        out = hy_mod.hunyuan_forward(p, x, t, ctx, cfg=dit_cfg,
+                                     timestep_r=timestep_r)
         return out[:, 0] if single else out
 
     def vae_decode_fn(p, z):
@@ -1394,7 +1395,7 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         zv = hyvae_mod.hunyuan_vae_encode(p, xv, vae_cfg) * hyvae_mod.HUNYUAN_LATENT_SCALE
         return zv[:, 0] if x.ndim == 4 else zv
 
-    return DiffusionPipeline(
+    pipe = DiffusionPipeline(
         version=SDVersion.HUNYUAN_VIDEO,
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
@@ -1409,6 +1410,9 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         compute_dtype=dtype,
         temporal_scale=vae_cfg.temporal_ratio,
     )
+    # meanflow checkpoints consume the next-step timestep every forward
+    pipe.needs_sigma_next = dit_cfg.use_meanflow
+    return pipe
 
 
 def _detect_t5_config(p, t5_mod):

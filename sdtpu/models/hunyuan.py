@@ -37,6 +37,11 @@ class HunyuanVideoConfig:
     theta: float = 256.0
     axes_dim: Tuple[int, ...] = (16, 56, 56)
     refiner_depth: int = 2
+    # meanflow variant (reference hunyuan.hpp:175,433): time_r_in embeds the
+    # NEXT-step sigma (t×1000 factor); vec = (vec + vec_r), averaged unless
+    # use_meanflow_sum
+    use_meanflow: bool = False
+    use_meanflow_sum: bool = False
 
 
 HUNYUAN_VIDEO_15_CONFIG = HunyuanVideoConfig()
@@ -51,6 +56,8 @@ def detect_hunyuan_config(names, shapes) -> HunyuanVideoConfig:
         if n.startswith("single_blocks."):
             depth_single = max(depth_single, int(n.split(".")[1]) + 1)
     kw = {"depth": depth or 54, "depth_single": depth_single}
+    if any(n.startswith("time_r_in.") for n in names):
+        kw["use_meanflow"] = True
     proj = shapes.get("img_in.proj.weight")
     if proj:
         kw["hidden_size"] = proj[0]
@@ -102,9 +109,12 @@ def hunyuan_forward(
     context: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,
     cfg: HunyuanVideoConfig = HUNYUAN_VIDEO_15_CONFIG,
+    timestep_r: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """x: [B, T, H, W, C] video latent; timesteps: [B] (flow t, raw scale);
-    context: [B, L, 3584] Qwen2.5-VL states → velocity [B, T, H, W, out]."""
+    context: [B, L, 3584] Qwen2.5-VL states → velocity [B, T, H, W, out].
+    timestep_r: [B] next-step t for meanflow checkpoints (reference
+    hunyuan_timestep_r, stable-diffusion.cpp:2564-2566)."""
     b, t, hh, ww, c = x.shape
     pt, ph, pw = cfg.patch_size
     hid = cfg.hidden_size
@@ -123,6 +133,12 @@ def hunyuan_forward(
 
     t_emb = timestep_embedding(timesteps, 256).astype(x.dtype)
     vec = _mlp_embed(p, "time_in", t_emb)
+    if cfg.use_meanflow and timestep_r is not None:
+        # second (next-step) timestep stream (reference hunyuan.hpp:433-439)
+        tr_emb = timestep_embedding(timestep_r, 256).astype(x.dtype)
+        vec = vec + _mlp_embed(p, "time_r_in", tr_emb)
+        if not cfg.use_meanflow_sum:
+            vec = vec * 0.5
     if cfg.guidance_embed and guidance is not None:
         g_emb = timestep_embedding(guidance, 256).astype(x.dtype)
         vec = vec + _mlp_embed(p, "guidance_in", g_emb)
@@ -220,6 +236,9 @@ def init_hunyuan_params(cfg: HunyuanVideoConfig = HUNYUAN_VIDEO_15_CONFIG, seed:
         lin(f"{pre}.adaLN_modulation.1", 2 * hid, hid)
     lin("time_in.in_layer", hid, 256)
     lin("time_in.out_layer", hid, hid)
+    if cfg.use_meanflow:
+        lin("time_r_in.in_layer", hid, 256)
+        lin("time_r_in.out_layer", hid, hid)
     if cfg.guidance_embed:
         lin("guidance_in.in_layer", hid, 256)
         lin("guidance_in.out_layer", hid, hid)

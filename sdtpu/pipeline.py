@@ -513,6 +513,16 @@ class DiffusionPipeline:
                     cfg_s = mi["cfg_scale"]
                     if getattr(cfg_s, "ndim", 0):
                         cfg_s = cfg_s[jnp.minimum(i, cfg_s.shape[0] - 1)]
+                    ex_base = mi["extras"]
+                    if getattr(self, "needs_sigma_next", False):
+                        # next-step t per forward (HunyuanVideo meanflow;
+                        # reference hunyuan_timestep_r,
+                        # stable-diffusion.cpp:2564-2566)
+                        sig_arr = jnp.asarray(np.asarray(sigmas, dtype=np.float32))
+                        sn = sig_arr[jnp.minimum(i + 1, sig_arr.shape[0] - 1)]
+                        tr = denoiser.sigma_to_t_jnp(sn)
+                        ex_base = {**ex_base,
+                                   "timestep_r": jnp.full((b,), tr, dtype=jnp.float32)}
                     c_skip, c_out, c_in = denoiser.get_scalings_jnp(sigma)
                     t = denoiser.sigma_to_t_jnp(sigma)
                     # style-merge context switch (PhotoMaker: the fused ID
@@ -578,7 +588,7 @@ class DiffusionPipeline:
                         tt = _tt(2 * b)
                         ex2 = {
                             k: jnp.concatenate([v, v], axis=0)
-                            for k, v in mi["extras"].items()
+                            for k, v in ex_base.items()
                         }
                         out = apply_model(x_both, xc_both, tt, ctx, y, ex2).astype(
                             jnp.float32
@@ -593,7 +603,7 @@ class DiffusionPipeline:
                             tt1 = _tt(b)
                             if img_mode == "refs":
                                 ex_nr = {
-                                    k: v for k, v in mi["extras"].items()
+                                    k: v for k, v in ex_base.items()
                                     if not k.startswith("ref_latent_")
                                 }
                                 ctx_iu = (mi["ctx_img_uncond"]
@@ -609,7 +619,7 @@ class DiffusionPipeline:
                                     axis=-1)
                                 out_iu = apply_model(
                                     x_iu, x_core, tt1, mi["ctx_uncond"],
-                                    mi["y_uncond"], mi["extras"])
+                                    mi["y_uncond"], ex_base)
                             den_img_u = c_skip * xt + c_out * out_iu.astype(
                                 jnp.float32)
                             img_scale = mi["img_cfg_scale"]
@@ -635,7 +645,7 @@ class DiffusionPipeline:
                                 out_s = diffusion_fn(
                                     mi["params"], x_in, tt1, mi["ctx_cond"],
                                     mi["y_cond"], skip_layers=slg_layers,
-                                    **mi["extras"],
+                                    **ex_base,
                                 ).astype(jnp.float32)
                                 den_s = c_skip * xt + c_out * out_s
                                 return slg_scale * (den_cond - den_s)
@@ -650,7 +660,7 @@ class DiffusionPipeline:
                     else:
                         tt = _tt(b)
                         out = apply_model(
-                            x_in, x_core, tt, ctx_cond_eff, y_cond_eff, mi["extras"]
+                            x_in, x_core, tt, ctx_cond_eff, y_cond_eff, ex_base
                         ).astype(jnp.float32)
                         pred = c_skip * xt + c_out * out
                         den_uncond = pred

@@ -97,3 +97,38 @@ def test_hunyuan_pipeline_end_to_end():
     # image mode through the same pipeline
     img = pipe.generate(gp)
     assert img.images.shape == (1, 32, 32, 3)
+
+
+def test_meanflow_variant():
+    """time_r_in second-timestep stream (reference hunyuan.hpp:433-439,
+    detection :253)."""
+    import dataclasses
+
+    from sdtpu.models.hunyuan import (
+        detect_hunyuan_config, init_hunyuan_params, hunyuan_forward,
+    )
+
+    cfg = detect_hunyuan_config(
+        ["double_blocks.0.img_mod.lin.weight", "time_r_in.in_layer.weight"], {})
+    assert cfg.use_meanflow
+
+    small = dataclasses.replace(
+        SMALL, use_meanflow=True) if "SMALL" in globals() else None
+    if small is None:
+        from sdtpu.models.hunyuan import HunyuanVideoConfig
+
+        small = HunyuanVideoConfig(
+            in_channels=8, out_channels=4, hidden_size=64, context_in_dim=48,
+            num_heads=2, depth=2, axes_dim=(8, 12, 12), refiner_depth=1,
+            use_meanflow=True)
+    p = init_hunyuan_params(small, seed=0)
+    assert "time_r_in.in_layer.weight" in p
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 8, 8)), dtype=jnp.float32)
+    t = jnp.asarray([700.0], dtype=jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 7, 48)), dtype=jnp.float32)
+    tr = jnp.asarray([600.0], dtype=jnp.float32)
+    with_r = hunyuan_forward(p, x, t, ctx, cfg=small, timestep_r=tr)
+    without = hunyuan_forward(p, x, t, ctx, cfg=small)
+    assert with_r.shape == (1, 2, 8, 8, 4)
+    assert np.abs(np.asarray(with_r) - np.asarray(without)).max() > 1e-5

@@ -143,3 +143,35 @@ def test_ltxv_video_matches_torch_oracle():
             torch.from_numpy(ctx), cfg, v_pe,
         ).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("meanflow", [False, True])
+def test_hunyuan_matches_torch_oracle(meanflow):
+    from sdtpu.models.hunyuan import (
+        HunyuanVideoConfig, hunyuan_forward, init_hunyuan_params,
+    )
+    from tests.torch_ref.hunyuan import hunyuan_forward_torch
+
+    cfg = HunyuanVideoConfig(
+        in_channels=8, out_channels=4, hidden_size=64, context_in_dim=48,
+        num_heads=2, depth=2, axes_dim=(8, 12, 12), refiner_depth=1,
+        use_meanflow=meanflow,
+    )
+    p = init_hunyuan_params(cfg, seed=0)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 2, 8, 8, 8), dtype=np.float32)
+    t = np.array([700.0], dtype=np.float32)
+    ctx = rng.standard_normal((1, 7, 48), dtype=np.float32)
+    tr = np.array([600.0], dtype=np.float32) if meanflow else None
+
+    got = np.asarray(hunyuan_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg,
+        timestep_r=jnp.asarray(tr) if tr is not None else None,
+    ))
+    with torch.no_grad():
+        want = hunyuan_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg,
+            timestep_r=torch.from_numpy(tr) if tr is not None else None,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
