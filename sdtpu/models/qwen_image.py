@@ -46,6 +46,9 @@ class QwenImageConfig:
     # addition_t embedding on the timestep, layered 5-D latent with the RoPE
     # time axis counting layers, ref latents indexed DECREASE
     use_additional_t_cond: bool = False
+    # Qwen-Image-Edit 2509+ (reference qwen_image.hpp:27,319-343,460): ref
+    # tokens are modulated with the t=0 embedding, main tokens with t
+    zero_cond_t: bool = False
 
 
 QWEN_IMAGE_CONFIG = QwenImageConfig()
@@ -58,9 +61,10 @@ def detect_qwen_image_config(names) -> QwenImageConfig:
             idx = n.split("transformer_blocks.")[1].split(".")[0]
             num_layers = max(num_layers, int(idx) + 1)
     layered = any("addition_t_embedding" in n for n in names)
+    zero_cond = any("__index_timestep_zero__" in n for n in names)
     return dataclasses.replace(
         QWEN_IMAGE_CONFIG, num_layers=num_layers or 60,
-        use_additional_t_cond=layered,
+        use_additional_t_cond=layered, zero_cond_t=zero_cond,
     )
 
 
@@ -168,8 +172,25 @@ def qwen_image_forward(
     else:
         t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
     pre = "time_text_embed.timestep_embedder"
-    temb = linear(t_emb, p[f"{pre}.linear_1.weight"], p[f"{pre}.linear_1.bias"])
-    temb = linear(silu(temb), p[f"{pre}.linear_2.weight"], p[f"{pre}.linear_2.bias"])
+
+    def _temb_of(emb):
+        h = linear(emb, p[f"{pre}.linear_1.weight"], p[f"{pre}.linear_1.bias"])
+        return linear(silu(h), p[f"{pre}.linear_2.weight"], p[f"{pre}.linear_2.bias"])
+
+    temb = _temb_of(t_emb)
+    temb0 = zero_sel = None
+    if cfg.zero_cond_t:
+        # t=0 modulation stream for reference-image tokens (reference
+        # forward_orig t_emb concat + get_mod_params_vec per-token select,
+        # qwen_image.hpp:460-462, 319-343)
+        temb0 = _temb_of(
+            timestep_embedding(jnp.zeros_like(timesteps), 256).astype(x.dtype)
+        )
+        idx = np.concatenate([
+            np.zeros(n_img, dtype=np.float32),
+            np.ones(sum(rh * rw for rh, rw in ref_shapes), dtype=np.float32),
+        ])
+        zero_sel = jnp.asarray(idx)[None, :, None]
     if cfg.use_additional_t_cond:
         # layered variant: learned addition_t embedding, cond index 0
         # (reference QwenTimestepProjEmbeddings, qwen_image.hpp:95-120)
@@ -218,6 +239,13 @@ def qwen_image_forward(
         tm = linear(silu(temb), p[f"{blk}.txt_mod.1.weight"], p[f"{blk}.txt_mod.1.bias"])
         im = [m[:, None] for m in jnp.split(im, 6, axis=-1)]
         tm = [m[:, None] for m in jnp.split(tm, 6, axis=-1)]
+        if zero_sel is not None:
+            im0 = linear(silu(temb0), p[f"{blk}.img_mod.1.weight"],
+                         p[f"{blk}.img_mod.1.bias"])
+            im0 = [m[:, None] for m in jnp.split(im0, 6, axis=-1)]
+            # main tokens (sel 0) keep the t mods; ref tokens (sel 1) use t=0
+            im = [a * (1.0 - zero_sel) + b0 * zero_sel
+                  for a, b0 in zip(im, im0)]
 
         img_n = layer_norm(img, eps=1e-6) * (1 + im[1]) + im[0]
         txt_n = layer_norm(txt, eps=1e-6) * (1 + tm[1]) + tm[0]

@@ -145,3 +145,43 @@ def test_layered_pipeline_end_to_end():
     assert res.frames.shape[1] == 4  # each decoded layer is an image
     assert res.frames.shape[3:] == (64, 3)
     assert np.isfinite(res.latents).all()
+
+
+def test_zero_cond_t_ref_token_modulation():
+    """Qwen-Image-Edit 2509 zero_cond_t (reference qwen_image.hpp:319-343):
+    ref tokens get t=0 modulation; without refs the path is a no-op."""
+    import dataclasses
+
+    from sdtpu.models.qwen_image import (
+        detect_qwen_image_config, init_qwen_image_params, qwen_image_forward,
+    )
+
+    assert detect_qwen_image_config(
+        ["transformer_blocks.0.attn.to_q.weight",
+         "__index_timestep_zero__"]).zero_cond_t
+
+    base_cfg = SMALL_DIT
+    zc_cfg = dataclasses.replace(base_cfg, zero_cond_t=True)
+    p = init_qwen_image_params(base_cfg, seed=0)
+    # amplify the modulation projections so the ref-token t=0 effect is
+    # visible through random 0.02-scale attention weights
+    for i in range(base_cfg.num_layers):
+        k = f"transformer_blocks.{i}.img_mod.1.weight"
+        p[k] = p[k] * 50.0
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), dtype=jnp.float32)
+    t = jnp.asarray([0.6], dtype=jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 7, 48)), dtype=jnp.float32)
+    ref = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), dtype=jnp.float32)
+
+    # no refs → all tokens are main tokens → identical output
+    a = np.asarray(qwen_image_forward(p, x, t, ctx, cfg=base_cfg))
+    b = np.asarray(qwen_image_forward(p, x, t, ctx, cfg=zc_cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # with refs → ref tokens modulated at t=0 → output differs
+    a = np.asarray(qwen_image_forward(p, x, t, ctx, cfg=base_cfg,
+                                      ref_latents=[ref]))
+    b = np.asarray(qwen_image_forward(p, x, t, ctx, cfg=zc_cfg,
+                                      ref_latents=[ref]))
+    assert np.abs(a - b).max() > 1e-5
