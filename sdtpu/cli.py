@@ -147,6 +147,34 @@ def build_parser() -> argparse.ArgumentParser:
                     help="hires pass steps, 0 = same as --steps")
     ap.add_argument("--hires-denoising-strength", type=float, default=0.7)
     ap.add_argument("--flow-shift", type=float, default=None)
+    ap.add_argument("--prediction", default=None,
+                    choices=["eps", "v", "edm_v", "flow", "flux_flow",
+                             "sefi_flow", "minit2i_flow"],
+                    help="override the prediction type / denoiser "
+                    "(reference --prediction)")
+    ap.add_argument("--sigmas", default="",
+                    help="custom comma-separated sigma schedule (reference "
+                    "--sigmas); overrides --schedule/--steps")
+    ap.add_argument("--prompt-file", default=None,
+                    help="read the prompt from a file (reference --prompt-file)")
+    ap.add_argument("--negative-prompt-file", default=None)
+    ap.add_argument("--clip-on-cpu", action="store_true",
+                    help="keep the text encoder on the host CPU (reference "
+                    "--clip-on-cpu; per-module placement)")
+    ap.add_argument("--vae-on-cpu", action="store_true",
+                    help="keep the VAE on the host CPU (reference --vae-on-cpu)")
+    ap.add_argument("--list-devices", action="store_true",
+                    help="print available devices and exit (reference "
+                    "--list-devices)")
+    ap.add_argument("--type", dest="wtype", default=None,
+                    choices=["q8_0", "q4_0"],
+                    help="quantize large diffusion weights at load "
+                    "(int8 W8A8 / packed 4-bit; reference --type)")
+    # Wan2.2 MoE (reference --high-noise-* family + --moe-boundary)
+    ap.add_argument("--high-noise-diffusion-model",
+                    help="Wan2.2 MoE high-noise expert checkpoint")
+    ap.add_argument("--moe-boundary", type=float, default=0.875,
+                    help="sigma boundary between high/low-noise experts")
     # output
     ap.add_argument("-o", "--output", default="output.png")
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -183,6 +211,16 @@ def main(argv=None) -> int:
     from sdtpu.utils import enable_compilation_cache, set_log_level
 
     set_log_level("debug" if args.verbose else "info")
+    if getattr(args, "list_devices", False):
+        import jax
+
+        for i, d in enumerate(jax.devices()):
+            print(f"[{i}] {d.platform}: {d.device_kind}")
+        return 0
+    if getattr(args, "prompt_file", None):
+        args.prompt = open(args.prompt_file).read().strip()
+    if getattr(args, "negative_prompt_file", None):
+        args.negative_prompt = open(args.negative_prompt_file).read().strip()
     try:
         enable_compilation_cache()  # warm restarts skip XLA compiles
     except Exception:
@@ -339,6 +377,43 @@ def _load_pipeline(args):
         pipe.set_vae_tiling(True, args.vae_tile_size, args.vae_tile_overlap)
     if getattr(args, "sampler_rng", None):
         pipe.sampler_rng_type = args.sampler_rng
+    if getattr(args, "prediction", None):
+        # denoiser override (reference --prediction, stable-diffusion.cpp:1686)
+        from sdtpu.diffusion import denoiser as dn
+
+        shift = args.flow_shift if args.flow_shift is not None else 3.0
+        pred_map = {
+            "eps": lambda: dn.CompVisDenoiser(),
+            "v": lambda: dn.CompVisVDenoiser(),
+            "edm_v": lambda: dn.EDMVDenoiser(),
+            "flow": lambda: dn.DiscreteFlowDenoiser(shift=shift),
+            "flux_flow": lambda: dn.FluxFlowDenoiser(),
+            "sefi_flow": lambda: dn.SefiFlowDenoiser(),
+            "minit2i_flow": lambda: dn.MiniT2IFlowDenoiser(),
+        }
+        pipe.denoiser = pred_map[args.prediction]()
+    if getattr(args, "wtype", None):
+        # load-time weight quantization (reference --type):
+        # q8_0 → int8 W8A8, q4_0 → packed 4-bit Pallas path
+        import numpy as _np
+
+        from sdtpu.ops.quant import quantize_params
+
+        bits = 8 if args.wtype == "q8_0" else 4
+        pipe.diffusion_params = quantize_params(
+            {k: (_np.asarray(v) if hasattr(v, "shape") else v)
+             for k, v in pipe.diffusion_params.items()},
+            bits=bits,
+        )
+        print(f"quantized diffusion weights to {args.wtype}")
+    if getattr(args, "clip_on_cpu", False) or getattr(args, "vae_on_cpu", False):
+        import jax
+
+        cpu = jax.devices("cpu")[0]
+        pipe.set_module_devices(
+            conditioner=cpu if args.clip_on_cpu else None,
+            vae=cpu if args.vae_on_cpu else None,
+        )
     if args.embd_dir and os.path.isdir(args.embd_dir) and hasattr(pipe.conditioner, "load_embedding"):
         from sdtpu.io.model_loader import read_checkpoint_file
 
@@ -436,6 +511,7 @@ def _img_gen(args) -> int:
         apg_momentum=args.apg_momentum,
         apg_norm_threshold=args.apg_nt,
         extra_sample_args=args.extra_sample_args,
+        custom_sigmas=args.sigmas,
     )
     init_image = mask_image = control_image = None
     if args.init_img:
@@ -648,6 +724,7 @@ def _vid_gen(args) -> int:
         seed=args.seed,
         clip_skip=args.clip_skip,
         eta=args.eta,
+        custom_sigmas=args.sigmas,
     )
     init_image = None
     if args.init_img:
@@ -668,6 +745,21 @@ def _vid_gen(args) -> int:
         vkw["control_frames"] = [read_png(pth)[0][..., :3]
                                  for pth in args.control_video]
         vkw["vace_strength"] = args.vace_strength
+    if getattr(args, "high_noise_diffusion_model", None):
+        # Wan2.2 MoE two-phase sampling (reference --high-noise-diffusion-
+        # model + --moe-boundary, stable-diffusion.cpp:6460-6505)
+        import jax.numpy as jnp
+
+        from sdtpu.io.model_loader import (
+            convert_diffusers_diffusion_names, read_checkpoint_file,
+        )
+
+        hn_raw = convert_diffusers_diffusion_names(
+            read_checkpoint_file(args.high_noise_diffusion_model))
+        vkw["high_noise_params"] = {
+            k: jnp.asarray(v, dtype=pipe.compute_dtype) for k, v in hn_raw.items()
+        }
+        vkw["moe_boundary"] = args.moe_boundary
     t0 = time.time()
     res = pipe.generate_video(gp, frames=args.video_frames,
                               init_image=init_image, **vkw)

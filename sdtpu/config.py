@@ -181,3 +181,6 @@ class GenerationParams:
     # stable-diffusion.cpp:2429-2504): guidance_schedule=7.5x10+5x10,
     # gamma=, alpha=, delta_t=, noise_scale_start/end=, noise_clip_std=
     extra_sample_args: str = ""
+    # comma-separated custom sigma schedule (reference --sigmas); overrides
+    # schedule + sample_steps when set
+    custom_sigmas: str = ""

@@ -42,8 +42,36 @@ def _xla_attention(
     )
 
 
+_FORCE_PLATFORM = None  # set while tracing a module placed on a specific device
+
+
+class force_platform:
+    """Context manager: pin the platform the attention dispatch assumes.
+
+    Needed for per-module placement (set_module_devices): a module placed on
+    the host CPU must trace the XLA attention path even when the default
+    backend is a TPU — Pallas kernels cannot lower on the CPU backend."""
+
+    def __init__(self, platform: str):
+        self.platform = platform
+
+    def __enter__(self):
+        global _FORCE_PLATFORM
+        self._prev = _FORCE_PLATFORM
+        _FORCE_PLATFORM = self.platform
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_PLATFORM
+        _FORCE_PLATFORM = self._prev
+        return False
+
+
 def compute_platform() -> str:
-    """Platform computations actually run on (respects jax_default_device)."""
+    """Platform computations actually run on (respects forced placement and
+    jax_default_device)."""
+    if _FORCE_PLATFORM is not None:
+        return _FORCE_PLATFORM
     try:
         dd = jax.config.jax_default_device
         if dd is not None:

@@ -260,7 +260,9 @@ class DiffusionPipeline:
             self._decode_cache.clear()
         if controlnet is not None and self.controlnet_params is not None:
             self.controlnet_params = jax.device_put(self.controlnet_params, controlnet)
+            self._module_dev["controlnet"] = controlnet
         if conditioner is not None:
+            self._module_dev["conditioner"] = conditioner
             move = getattr(self.conditioner, "to_device", None)
             if move is not None:
                 move(conditioner)
@@ -275,10 +277,36 @@ class DiffusionPipeline:
         self._program_cache.clear()
         self._stepwise_step_cache.clear()
 
+    def _module_device(self, module: str):
+        """Device a module runs on under per-module placement.  When ANY
+        placement is active, unplaced modules anchor to the default device —
+        otherwise inputs committed by a CPU-placed neighbor drag the whole
+        jit onto the CPU backend."""
+        md = getattr(self, "_module_dev", {})
+        if not md:
+            return None
+        dev = md.get(module)
+        if dev is None:
+            dev = jax.devices()[0]
+        return dev
+
+    def _platform_ctx(self, module: str):
+        """Pin the attention dispatch to the module's device platform while
+        tracing (Pallas only lowers on TPU; CPU-placed modules must take the
+        XLA path)."""
+        import contextlib
+
+        dev = self._module_device(module)
+        if dev is None:
+            return contextlib.nullcontext()
+        from sdtpu.ops.attention import force_platform
+
+        return force_platform(dev.platform)
+
     def _module_input(self, tree, module: str = "diffusion"):
         """Move a module's jit inputs to its assigned device (committed
         params and inputs must co-locate)."""
-        dev = getattr(self, "_module_dev", {}).get(module)
+        dev = self._module_device(module)
         if dev is None:
             return tree
         return jax.tree_util.tree_map(
@@ -290,7 +318,7 @@ class DiffusionPipeline:
         divides evenly (else replicated)."""
         if arr is None:
             return arr
-        dev = getattr(self, "_module_dev", {}).get("diffusion")
+        dev = self._module_device("diffusion")
         if self.mesh is None:
             return jax.device_put(arr, dev) if dev is not None else arr
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -971,17 +999,18 @@ class DiffusionPipeline:
         tl = (frames - 1) // ts + 1
         bc = gp.batch_count
 
-        cond = self.conditioner.get_learned_condition(
-            gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
-        )
-        has_uncond = gp.cfg_scale != 1.0
-        uncond = (
-            self.conditioner.get_learned_condition(
-                gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h
+        with self._platform_ctx("conditioner"):
+            cond = self.conditioner.get_learned_condition(
+                gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
             )
-            if has_uncond
-            else None
-        )
+            has_uncond = gp.cfg_scale != 1.0
+            uncond = (
+                self.conditioner.get_learned_condition(
+                    gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h
+                )
+                if has_uncond
+                else None
+            )
         for ext in self._extensions:
             cond, uncond = ext.prepare_condition(self, gp, cond, uncond)
         ctx_c, ctx_u = _match_context(cond, uncond, bc)
@@ -999,6 +1028,8 @@ class DiffusionPipeline:
             version=self.version.value,
             image_seq_len=tl * (lh // 2) * (lw // 2),
         )
+        if gp.custom_sigmas:
+            sigmas = _parse_custom_sigmas(gp.custom_sigmas)
         steps = len(sigmas) - 1
 
         seeds = [gp.seed + i for i in range(bc)]
@@ -1117,7 +1148,7 @@ class DiffusionPipeline:
                 if step_noise is not None
                 else None
             )
-            with self._sp_context():
+            with self._sp_context(), self._platform_ctx("diffusion"):
                 xt = run(
                     phase_params,
                     xt,
@@ -1140,8 +1171,9 @@ class DiffusionPipeline:
         )
 
         decode = self._decode_program()
-        vid = np.asarray(decode(self.vae_params,
-                               self._module_input(jnp.asarray(latents), "vae")))
+        with self._platform_ctx("vae"):
+            vid = np.asarray(decode(self.vae_params,
+                                    self._module_input(jnp.asarray(latents), "vae")))
         frames_u8 = np.clip((vid + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
         log_info(f"video decode completed in {time.time() - t1:.2f}s")
         return VideoResult(frames=frames_u8, latents=latents, seeds=seeds)
@@ -1177,7 +1209,9 @@ class DiffusionPipeline:
                 self._decode_cache["encode"] = encode
             else:
                 self._decode_cache["encode"] = jit_encode
-        z = self._decode_cache["encode"](self.vae_params, jnp.asarray(x))
+        with self._platform_ctx("vae"):
+            z = self._decode_cache["encode"](
+                self.vae_params, self._module_input(jnp.asarray(x), "vae"))
         return np.asarray(z, dtype=np.float32)
 
     def generate(
@@ -1235,18 +1269,19 @@ class DiffusionPipeline:
         if cached_cond is not None:
             cond, uncond = cached_cond
         else:
-            cond = self.conditioner.get_learned_condition(
-                gp.prompt, clip_skip=gp.clip_skip, width=w, height=h,
-                ref_images=ref_images,
-            )
-            uncond = (
-                self.conditioner.get_learned_condition(
-                    gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h,
+            with self._platform_ctx("conditioner"):
+                cond = self.conditioner.get_learned_condition(
+                    gp.prompt, clip_skip=gp.clip_skip, width=w, height=h,
                     ref_images=ref_images,
                 )
-                if has_uncond
-                else None
-            )
+                uncond = (
+                    self.conditioner.get_learned_condition(
+                        gp.negative_prompt, clip_skip=gp.clip_skip,
+                        width=w, height=h, ref_images=ref_images,
+                    )
+                    if has_uncond
+                    else None
+                )
             if ckey is not None:
                 if len(self._cond_cache) >= self.cond_cache_size:
                     self._cond_cache.pop(next(iter(self._cond_cache)))
@@ -1268,6 +1303,8 @@ class DiffusionPipeline:
             version=self.version.value,
             image_seq_len=(lh // 2) * (lw // 2),
         )
+        if gp.custom_sigmas:
+            sigmas = _parse_custom_sigmas(gp.custom_sigmas)
 
         # ---- latent prep (reference prepare_image_generation_latents :4716)
         latent_mask = None
@@ -1542,7 +1579,7 @@ class DiffusionPipeline:
         ctx_c, ctx_u, y_c, y_u, kwargs = self._module_input(
             (ctx_c, ctx_u, y_c, y_u, kwargs)
         )
-        with self._sp_context():
+        with self._sp_context(), self._platform_ctx("diffusion"):
             latents = run(
                 self.diffusion_params,
                 x_in,
@@ -1561,11 +1598,23 @@ class DiffusionPipeline:
         log_info(f"sampling completed in {t1 - t0:.2f}s ({steps} steps, batch {bc})")
 
         decode = self._decode_program()
-        imgs = np.asarray(decode(self.vae_params,
-                                self._module_input(jnp.asarray(latents), "vae")))
+        with self._platform_ctx("vae"):
+            imgs = np.asarray(decode(self.vae_params,
+                                     self._module_input(jnp.asarray(latents), "vae")))
         images = np.clip((imgs + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
         log_info(f"decode completed in {time.time() - t1:.2f}s")
         return GenerationResult(images=images, latents=latents, seeds=seeds)
+
+
+def _parse_custom_sigmas(spec: str) -> np.ndarray:
+    """'14.61,7.8,...' → float32 sigma array, 0 appended if absent
+    (reference parse_sigmas_arg, common.cpp:1389)."""
+    vals = [float(v) for v in spec.replace(" ", "").split(",") if v]
+    if not vals:
+        raise ValueError("empty custom sigma list")
+    if vals[-1] != 0.0:
+        vals.append(0.0)
+    return np.asarray(vals, dtype=np.float32)
 
 
 def _to_pm1(image: np.ndarray) -> np.ndarray:

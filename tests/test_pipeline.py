@@ -85,3 +85,20 @@ def test_long_prompt_chunking(pipe):
     long_prompt = ", ".join(["a highly detailed painting of a castle"] * 12)
     res = pipe.txt2img(_gp(prompt=long_prompt))
     assert np.isfinite(res.latents).all()
+
+
+def test_custom_sigmas_override():
+    """--sigmas custom schedule (reference parse_sigmas_arg,
+    common.cpp:1389): overrides schedule + step count; trailing 0 appended."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    seen = []
+    gp = GenerationParams(prompt="x", width=64, height=64, sample_steps=20,
+                          sample_method="euler", seed=3, cfg_scale=3.0,
+                          custom_sigmas="14.61,7.0,2.5")
+    res = pipe.generate(gp, progress_callback=lambda i, n, x: seen.append((i, n)))
+    # 3 sigmas + appended 0 → 3 steps, regardless of sample_steps=20
+    assert seen[-1][1] == 3 and len(seen) == 3
+    assert np.isfinite(res.latents).all()

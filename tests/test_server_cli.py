@@ -225,3 +225,19 @@ def test_web_ui_and_options_and_listings(server_port):
     assert _get(server_port, "/sdapi/v1/loras") == []  # no dir configured
     ups = _get(server_port, "/sdapi/v1/upscalers")
     assert ups[0]["name"] == "Latent"
+
+
+def test_new_cli_flags_parse():
+    from sdtpu.cli import build_parser
+
+    ap = build_parser()
+    a = ap.parse_args([
+        "img_gen", "--prediction", "v", "--sigmas", "14.6,7,0",
+        "--clip-on-cpu", "--vae-on-cpu", "--type", "q4_0",
+        "--sampler-rng", "cpu", "--extra-sample-args", "gamma=2.0",
+    ])
+    assert a.prediction == "v" and a.wtype == "q4_0"
+    assert a.clip_on_cpu and a.vae_on_cpu
+    v = ap.parse_args(["vid_gen", "--high-noise-diffusion-model", "hn.sft",
+                       "--moe-boundary", "0.9"])
+    assert v.high_noise_diffusion_model == "hn.sft" and v.moe_boundary == 0.9
