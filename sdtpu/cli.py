@@ -163,6 +163,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "--clip-on-cpu; per-module placement)")
     ap.add_argument("--vae-on-cpu", action="store_true",
                     help="keep the VAE on the host CPU (reference --vae-on-cpu)")
+    ap.add_argument("--circular", action="store_true",
+                    help="seamless tiling on both axes (reference --circular)")
+    ap.add_argument("--circularx", action="store_true",
+                    help="seamless tiling on the x axis only")
+    ap.add_argument("--circulary", action="store_true",
+                    help="seamless tiling on the y axis only")
     ap.add_argument("--list-devices", action="store_true",
                     help="print available devices and exit (reference "
                     "--list-devices)")
@@ -406,6 +412,12 @@ def _load_pipeline(args):
             bits=bits,
         )
         print(f"quantized diffusion weights to {args.wtype}")
+    if getattr(args, "circular", False) or getattr(args, "circularx", False) \
+            or getattr(args, "circulary", False):
+        pipe.set_circular(
+            wrap_y=args.circular or args.circulary,
+            wrap_x=args.circular or args.circularx,
+        )
     if getattr(args, "clip_on_cpu", False) or getattr(args, "vae_on_cpu", False):
         import jax
 

@@ -64,6 +64,30 @@ def linear(x: jnp.ndarray, weight, bias: Optional[jnp.ndarray] = None) -> jnp.nd
     return y
 
 
+_CIRCULAR = (False, False)  # (wrap_y, wrap_x) — seamless-texture conv padding
+
+
+class circular_padding:
+    """Context manager: conv2d pads circularly on the chosen axes while
+    tracing (reference --circular/--circularx/--circulary — the
+    circular-pad conv variants in ggml_extend.hpp).  Makes generated
+    textures tile seamlessly."""
+
+    def __init__(self, wrap_y: bool = True, wrap_x: bool = True):
+        self.mode = (bool(wrap_y), bool(wrap_x))
+
+    def __enter__(self):
+        global _CIRCULAR
+        self._prev = _CIRCULAR
+        _CIRCULAR = self.mode
+        return self
+
+    def __exit__(self, *exc):
+        global _CIRCULAR
+        _CIRCULAR = self._prev
+        return False
+
+
 def conv2d(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -73,13 +97,25 @@ def conv2d(
     groups: int = 1,
     dilation: int = 1,
 ) -> jnp.ndarray:
-    """NHWC conv. x: [B,H,W,C], weight: torch OIHW [out,in/groups,kh,kw]."""
+    """NHWC conv. x: [B,H,W,C], weight: torch OIHW [out,in/groups,kh,kw].
+    Under a `circular_padding` context the padded axes wrap around."""
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    wrap_y, wrap_x = _CIRCULAR
+    if (wrap_y or wrap_x) and any(p for dims in padding for p in dims):
+        (py0, py1), (px0, px1) = padding
+        pad_h = (py0, py1) if wrap_y else (0, 0)
+        pad_w = (px0, px1) if wrap_x else (0, 0)
+        if wrap_y or wrap_x:
+            x = jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)), mode="wrap")
+        padding = (
+            (0, 0) if wrap_y else (py0, py1),
+            (0, 0) if wrap_x else (px0, px1),
+        )
     kernel = jnp.transpose(weight, (2, 3, 1, 0))  # OIHW → HWIO
     y = jax.lax.conv_general_dilated(
         x,

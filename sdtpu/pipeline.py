@@ -198,6 +198,25 @@ class DiffusionPipeline:
         if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
             self.diffusion_params = shard_params(self.diffusion_params, mesh)
 
+    def set_circular(self, wrap_y: bool = True, wrap_x: bool = True) -> None:
+        """Seamless-texture circular conv padding (reference --circular /
+        --circularx / --circulary): the UNet and VAE convolutions wrap
+        around the padded axes so the output tiles without seams."""
+        self._circular = (wrap_y, wrap_x) if (wrap_y or wrap_x) else None
+        self._program_cache.clear()
+        self._stepwise_step_cache.clear()
+        self._decode_cache.clear()
+
+    def _circ_ctx(self):
+        import contextlib
+
+        c = getattr(self, "_circular", None)
+        if not c:
+            return contextlib.nullcontext()
+        from sdtpu.ops.basic import circular_padding
+
+        return circular_padding(*c)
+
     def set_streamed_diffusion(self, forward) -> None:
         """Run the diffusion model through an EAGER streamed forward (e.g.
         parallel.streaming.WanStreamer) instead of the jitted param-dict
@@ -1148,7 +1167,7 @@ class DiffusionPipeline:
                 if step_noise is not None
                 else None
             )
-            with self._sp_context(), self._platform_ctx("diffusion"):
+            with self._sp_context(), self._platform_ctx("diffusion"), self._circ_ctx():
                 xt = run(
                     phase_params,
                     xt,
@@ -1171,7 +1190,7 @@ class DiffusionPipeline:
         )
 
         decode = self._decode_program()
-        with self._platform_ctx("vae"):
+        with self._platform_ctx("vae"), self._circ_ctx():
             vid = np.asarray(decode(self.vae_params,
                                     self._module_input(jnp.asarray(latents), "vae")))
         frames_u8 = np.clip((vid + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
@@ -1209,7 +1228,7 @@ class DiffusionPipeline:
                 self._decode_cache["encode"] = encode
             else:
                 self._decode_cache["encode"] = jit_encode
-        with self._platform_ctx("vae"):
+        with self._platform_ctx("vae"), self._circ_ctx():
             z = self._decode_cache["encode"](
                 self.vae_params, self._module_input(jnp.asarray(x), "vae"))
         return np.asarray(z, dtype=np.float32)
@@ -1579,7 +1598,7 @@ class DiffusionPipeline:
         ctx_c, ctx_u, y_c, y_u, kwargs = self._module_input(
             (ctx_c, ctx_u, y_c, y_u, kwargs)
         )
-        with self._sp_context(), self._platform_ctx("diffusion"):
+        with self._sp_context(), self._platform_ctx("diffusion"), self._circ_ctx():
             latents = run(
                 self.diffusion_params,
                 x_in,
@@ -1598,7 +1617,7 @@ class DiffusionPipeline:
         log_info(f"sampling completed in {t1 - t0:.2f}s ({steps} steps, batch {bc})")
 
         decode = self._decode_program()
-        with self._platform_ctx("vae"):
+        with self._platform_ctx("vae"), self._circ_ctx():
             imgs = np.asarray(decode(self.vae_params,
                                      self._module_input(jnp.asarray(latents), "vae")))
         images = np.clip((imgs + 1.0) * 127.5, 0, 255).round().astype(np.uint8)

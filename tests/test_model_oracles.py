@@ -175,3 +175,30 @@ def test_hunyuan_matches_torch_oracle(meanflow):
             timestep_r=torch.from_numpy(tr) if tr is not None else None,
         ).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_z_image_matches_torch_oracle():
+    from sdtpu.models.z_image import (
+        ZImageConfig, init_z_image_params, z_image_forward,
+    )
+    from tests.torch_ref.z_image import z_image_forward_torch
+
+    cfg = ZImageConfig(
+        hidden_size=48, in_channels=4, out_channels=4, num_layers=2,
+        num_refiner_layers=1, head_dim=12, num_heads=4, num_kv_heads=2,
+        multiple_of=16, cap_feat_dim=32, axes_dim=(4, 4, 4),
+    )
+    p = init_z_image_params(cfg, seed=0)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    t = np.array([400.0], dtype=np.float32)
+    ctx = rng.standard_normal((1, 9, 32), dtype=np.float32)
+
+    got = np.asarray(z_image_forward(p, jnp.asarray(x), jnp.asarray(t),
+                                     jnp.asarray(ctx), cfg=cfg))
+    with torch.no_grad():
+        want = z_image_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

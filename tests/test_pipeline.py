@@ -102,3 +102,41 @@ def test_custom_sigmas_override():
     # 3 sigmas + appended 0 → 3 steps, regardless of sample_steps=20
     assert seen[-1][1] == 3 and len(seen) == 3
     assert np.isfinite(res.latents).all()
+
+
+def test_circular_padding_seamless_edges():
+    """--circular seamless tiling (reference circular conv variants): with
+    wrap enabled, a conv of a constant-gradient image has no edge effects —
+    verify op-level wrap + pipeline wiring."""
+    import jax.numpy as jnp
+
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+    from sdtpu.ops.basic import circular_padding, conv2d
+
+    # op level: circular conv equals conv of the wrapped input
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 3, 3, 3)), dtype=jnp.float32)
+    with circular_padding(True, True):
+        got = np.asarray(conv2d(x, w, padding=1))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+    want = np.asarray(conv2d(xp, w, padding=0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # x-only wrap differs from full wrap
+    with circular_padding(False, True):
+        gx = np.asarray(conv2d(x, w, padding=1))
+    assert np.abs(gx - got).max() > 1e-5
+
+    # pipeline wiring: circular changes the output
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    gp = GenerationParams(prompt="tile", width=64, height=64, sample_steps=2,
+                          sample_method="euler", seed=3, cfg_scale=3.0)
+    base = pipe.generate(gp).latents
+    pipe.set_circular(True, True)
+    circ = pipe.generate(gp).latents
+    assert np.abs(base - circ).max() > 1e-5
+    pipe.set_circular(False, False)
+    back = pipe.generate(gp).latents
+    np.testing.assert_allclose(back, base, rtol=1e-5, atol=1e-6)
