@@ -209,6 +209,18 @@ def apply_lora(
             continue
         module, pname = target
         w = params_by_module[module][pname]
+        if type(w).__name__ == "Q4Tensor":
+            # packed 4-bit base: dequant → merge → requant on the same grid
+            # (the reference's at_runtime mode analog for sub-8-bit bases)
+            from sdtpu.ops.quant import dequantize_q4, quantize_q4
+
+            delta = lora_delta(g, multiplier)
+            if delta is None or tuple(delta.shape) != tuple(w.shape):
+                continue
+            dense = np.asarray(dequantize_q4(w, jnp.float32)) + np.asarray(delta)
+            params_by_module[module][pname] = quantize_q4(dense)
+            applied += 1
+            continue
         if type(w).__name__ in ("QuantTensor", "QuantLoraTensor"):
             # quantized base: attach runtime low-rank factors instead of
             # merging (reference at_runtime mode for quantized weights,

@@ -175,3 +175,35 @@ def test_quantize_params_bits4():
     assert isinstance(out["blocks.0.attn.qkv.weight"], Q4Tensor)
     assert out["blocks.0.attn.qkv.weight"].shape == (384, 512)
     assert out["norm.weight"].shape == (64,)
+
+
+def test_lora_on_q4_base():
+    """LoRA on a packed-4-bit base: dequant→merge→requant round trip."""
+    import jax.numpy as jnp
+
+    from sdtpu.models.lora import apply_lora
+    from sdtpu.ops.quant import Q4Tensor, dequantize_q4, quantize_q4
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 512)).astype(np.float32) * 0.05
+    qt = quantize_q4(w)
+    base_dense = np.asarray(dequantize_q4(qt, jnp.float32))
+    params = {"diffusion": {
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight": qt}}
+    r = 2
+    down = rng.standard_normal((r, 512)).astype(np.float32)
+    up = rng.standard_normal((64, r)).astype(np.float32)
+    lora = {
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_down.weight": down,
+        "lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q.lora_up.weight": up,
+    }
+    applied, total = apply_lora(params, lora, 0.5)
+    assert applied == 1
+    merged = params["diffusion"][
+        "input_blocks.1.1.transformer_blocks.0.attn1.to_q.weight"]
+    assert isinstance(merged, Q4Tensor)
+    got = np.asarray(dequantize_q4(merged, jnp.float32))
+    want = base_dense + 0.5 * (up @ down)
+    # 4-bit requant error bounds the comparison
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 0.1
