@@ -202,3 +202,37 @@ def test_z_image_matches_torch_oracle():
             torch.from_numpy(ctx), cfg,
         ).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_chroma_matches_torch_oracle():
+    """Chroma variant: distilled modulation table + T5 mask attention."""
+    import dataclasses
+
+    from sdtpu.models.flux import FluxConfig, flux_forward, init_flux_params
+    from tests.torch_ref.flux import chroma_forward_torch
+
+    cfg = FluxConfig(
+        in_channels=16, hidden_size=64, num_heads=2, depth=2, depth_single=2,
+        axes_dim=(8, 12, 12), context_in_dim=32, vec_in_dim=0,
+        guidance_embed=False, is_chroma=True,
+    )
+    p = init_flux_params(cfg, seed=0)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    t = np.array([0.7], dtype=np.float32)
+    ctx = rng.standard_normal((1, 10, 32), dtype=np.float32)
+    # T5 token mask: last 3 tokens masked out
+    y = np.zeros((1, 10), dtype=np.float32)
+    y[:, 7:] = -1e30
+    g = np.array([0.0], dtype=np.float32)
+
+    got = np.asarray(flux_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(y),
+        guidance=jnp.asarray(g), cfg=cfg,
+    ))
+    with torch.no_grad():
+        want = chroma_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), torch.from_numpy(y), torch.from_numpy(g), cfg,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
