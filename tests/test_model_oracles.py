@@ -236,3 +236,23 @@ def test_chroma_matches_torch_oracle():
             torch.from_numpy(ctx), torch.from_numpy(y), torch.from_numpy(g), cfg,
         ).numpy()
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_wan_vae_decode_matches_torch_oracle():
+    """Wan 3-D causal VAE decode numerics vs an independent torch
+    transcription (layout, causal padding, Rep temporal upsample, RMS eps)."""
+    from sdtpu.models.wan_vae import (
+        WanVAEConfig, init_wan_vae_params, wan_vae_decode,
+    )
+    from tests.torch_ref.wan_vae import wan_vae_decode_torch
+
+    cfg = WanVAEConfig(dim=8, z_dim=4, num_res_blocks=1)
+    p = init_wan_vae_params(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    z = rng.standard_normal((1, 3, 4, 4, 4), dtype=np.float32)
+
+    got = np.asarray(wan_vae_decode(p, jnp.asarray(z), cfg))
+    with torch.no_grad():
+        want = wan_vae_decode_torch(_to_torch(p), torch.from_numpy(z), cfg).numpy()
+    assert got.shape == want.shape  # [1, 1+4*(3-1), 32, 32, 3]
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
