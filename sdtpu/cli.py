@@ -181,6 +181,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Wan2.2 MoE high-noise expert checkpoint")
     ap.add_argument("--moe-boundary", type=float, default=0.875,
                     help="sigma boundary between high/low-noise experts")
+    ap.add_argument("--high-noise-cfg-scale", type=float, default=None)
+    ap.add_argument("--high-noise-sampling-method", default=None)
+    ap.add_argument("--high-noise-eta", type=float, default=None)
+    ap.add_argument("--high-noise-steps", type=int, default=None,
+                    help="explicit phase split step (overrides --moe-boundary)")
     # output
     ap.add_argument("-o", "--output", default="output.png")
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -772,6 +777,14 @@ def _vid_gen(args) -> int:
             k: jnp.asarray(v, dtype=pipe.compute_dtype) for k, v in hn_raw.items()
         }
         vkw["moe_boundary"] = args.moe_boundary
+        if args.high_noise_sampling_method:
+            vkw["high_noise_sample_method"] = args.high_noise_sampling_method
+        if args.high_noise_cfg_scale is not None:
+            vkw["high_noise_cfg_scale"] = args.high_noise_cfg_scale
+        if args.high_noise_eta is not None:
+            vkw["high_noise_eta"] = args.high_noise_eta
+        if args.high_noise_steps is not None:
+            vkw["high_noise_steps"] = args.high_noise_steps
     t0 = time.time()
     res = pipe.generate_video(gp, frames=args.video_frames,
                               init_image=init_image, **vkw)

@@ -1001,6 +1001,10 @@ class DiffusionPipeline:
         moe_boundary: float = 0.875,
         control_frames: Optional[list] = None,
         vace_strength: float = 1.0,
+        high_noise_sample_method: Optional[str] = None,
+        high_noise_cfg_scale: Optional[float] = None,
+        high_noise_eta: Optional[float] = None,
+        high_noise_steps: Optional[int] = None,
     ) -> VideoResult:
         """txt2vid / img2vid (reference generate_video,
         stable-diffusion.cpp:6374).  frames must satisfy 1+4k for the causal
@@ -1009,7 +1013,10 @@ class DiffusionPipeline:
 
         high_noise_params: Wan2.2 MoE — a second diffusion param set used
         while sigma >= moe_boundary, switching to self.diffusion_params below
-        it (reference two-phase sampling, stable-diffusion.cpp:6460-6505)."""
+        it (reference two-phase sampling, stable-diffusion.cpp:6460-6505).
+        high_noise_{sample_method,cfg_scale,eta,steps}: per-phase overrides
+        for the high-noise expert (reference high_noise_sample_params,
+        SamplePlan stable-diffusion.cpp:4184-4256)."""
         t0 = time.time()
         w, h = gp.width, gp.height
         lh, lw = h // self.scale_factor, w // self.scale_factor
@@ -1054,7 +1061,11 @@ class DiffusionPipeline:
         seeds = [gp.seed + i for i in range(bc)]
         shape = (tl, lh, lw, self.latent_channels)
         init_noise = np.empty((bc,) + shape, dtype=np.float32)
-        need_noise = _method_needs_noise(gp.sample_method, gp.eta)
+        hn_method = high_noise_sample_method or gp.sample_method
+        hn_eta = gp.eta if high_noise_eta is None else float(high_noise_eta)
+        need_noise = _method_needs_noise(gp.sample_method, gp.eta) or (
+            high_noise_params is not None and _method_needs_noise(hn_method, hn_eta)
+        )
         step_noise = (
             np.empty((steps, bc) + shape, dtype=np.float32) if need_noise else None
         )
@@ -1083,7 +1094,7 @@ class DiffusionPipeline:
 
         # phase plan: (params, sigma window) — one phase normally, two for
         # Wan2.2 MoE (high-noise model while sigma >= moe_boundary)
-        phases = [(self.diffusion_params, sigmas)]
+        phases = [(self.diffusion_params, sigmas, {})]
         if (
             high_noise_params is not None
             and self.mesh is not None
@@ -1094,13 +1105,25 @@ class DiffusionPipeline:
 
             high_noise_params = _shard(high_noise_params, self.mesh)
         if high_noise_params is not None:
-            switch = next(
-                (i for i, s in enumerate(sigmas) if s < moe_boundary), len(sigmas) - 1
-            )
+            if high_noise_steps and 0 < high_noise_steps < len(sigmas) - 1:
+                switch = int(high_noise_steps)  # explicit split (reference
+                # --high-noise-steps overrides the boundary search)
+            else:
+                switch = next(
+                    (i for i, s in enumerate(sigmas) if s < moe_boundary),
+                    len(sigmas) - 1,
+                )
             if 0 < switch < len(sigmas) - 1:
+                hn_over = {}
+                if high_noise_sample_method:
+                    hn_over["method"] = high_noise_sample_method
+                if high_noise_cfg_scale is not None:
+                    hn_over["cfg"] = float(high_noise_cfg_scale)
+                if high_noise_eta is not None:
+                    hn_over["eta"] = float(high_noise_eta)
                 phases = [
-                    (high_noise_params, sigmas[: switch + 1]),
-                    (self.diffusion_params, sigmas[switch:]),
+                    (high_noise_params, sigmas[: switch + 1], hn_over),
+                    (self.diffusion_params, sigmas[switch:], {}),
                 ]
                 log_info(f"Wan MoE: high-noise model for steps 0..{switch}")
 
@@ -1145,11 +1168,14 @@ class DiffusionPipeline:
         xt = self._place_batched(jnp.asarray(x))
         done = 0
         streamed = getattr(self, "_streamed_forward", None) is not None
-        for phase_params, phase_sigmas in phases:
+        for phase_params, phase_sigmas, over in phases:
             n_phase = len(phase_sigmas) - 1
+            ph_method = over.get("method", gp.sample_method)
+            ph_eta = over.get("eta", gp.eta)
+            ph_cfg = over.get("cfg", gp.cfg_scale)
             if streamed:
                 program = self._sample_program(
-                    gp.sample_method, n_phase, has_uncond, gp.eta
+                    ph_method, n_phase, has_uncond, ph_eta
                 )
 
                 def run(params, x_, noises_, cc, cu, yc, yu, cfgs,
@@ -1158,7 +1184,7 @@ class DiffusionPipeline:
                                  cfgs, _stepwise_cb=lambda i, xi: True, **kw)
             else:
                 run = self._jit_sampler(
-                    gp.sample_method, n_phase, has_uncond, gp.eta, phase_sigmas
+                    ph_method, n_phase, has_uncond, ph_eta, phase_sigmas
                 )
             noises = (
                 self._place_batched(
@@ -1176,7 +1202,7 @@ class DiffusionPipeline:
                     ctx_u,
                     y_c,
                     y_u,
-                    jnp.float32(gp.cfg_scale),
+                    jnp.float32(ph_cfg),
                     **vkw,
                 )
             done += n_phase

@@ -222,3 +222,50 @@ def test_wan_i2v_conditioning():
     assert cc.shape == (1, 2, 4, 4, 8)
     assert (cc[:, 0, :, :, :4] == 1.0).all() and (cc[:, 1:, :, :, :4] == 0.0).all()
     assert fea.shape == (1, 257, 1280)
+
+
+def test_moe_phase_overrides():
+    """Wan2.2 MoE: per-phase sampler overrides (reference
+    high_noise_sample_params, SamplePlan stable-diffusion.cpp:4184-4256)."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+    from sdtpu.models.wan import init_wan_params
+
+    import dataclasses as _dc
+
+    pipe = create_pipeline(SDVersion.WAN2, small=True, seed=0)
+    # the tokenizer-less small conditioner encodes every prompt identically
+    # (cond == uncond → cfg moot); add a prompt-dependent offset so guidance
+    # has something to act on
+    _orig_cond = pipe.conditioner.get_learned_condition
+
+    def _salted(text, **kw):
+        c = _orig_cond(text, **kw)
+        off = (abs(hash(text)) % 997) / 997.0
+        return _dc.replace(c, c_crossattn=c.c_crossattn + off)
+
+    pipe.conditioner.get_learned_condition = _salted
+    hn = init_wan_params(
+        __import__("dataclasses").replace(
+            __import__("sdtpu.models.wan", fromlist=["WanConfig"]).WanConfig(
+                in_dim=4, dim=64, ffn_dim=128, freq_dim=32, text_dim=96,
+                out_dim=4, num_heads=2, num_layers=2, axes_dim=(8, 12, 12),
+            )
+        ), seed=9,
+    )
+    gp = GenerationParams(prompt="cat", width=64, height=64, sample_steps=4,
+                          sample_method="euler", seed=3, cfg_scale=3.0)
+    base = pipe.generate_video(gp, frames=5, high_noise_params=hn,
+                               high_noise_steps=2).latents
+    # different high-noise cfg → different trajectory
+    hot = pipe.generate_video(gp, frames=5, high_noise_params=hn,
+                              high_noise_steps=2,
+                              high_noise_cfg_scale=6.0).latents
+    assert np.abs(base - hot).max() > 1e-5
+    # high-noise stochastic method with eta works end-to-end
+    mixed = pipe.generate_video(gp, frames=5, high_noise_params=hn,
+                                high_noise_steps=2,
+                                high_noise_sample_method="euler_a",
+                                high_noise_eta=1.0).latents
+    assert np.isfinite(mixed).all()
+    assert np.abs(base - mixed).max() > 1e-5
