@@ -146,6 +146,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--hires-steps", type=int, default=0,
                     help="hires pass steps, 0 = same as --steps")
     ap.add_argument("--hires-denoising-strength", type=float, default=0.7)
+    ap.add_argument("--hires-sigmas", default="",
+                    help="custom sigma schedule for the hires pass "
+                    "(reference --hires-sigmas)")
     ap.add_argument("--flow-shift", type=float, default=None)
     ap.add_argument("--prediction", default=None,
                     choices=["eps", "v", "edm_v", "flow", "flux_flow",
@@ -664,6 +667,7 @@ def _img_gen(args) -> int:
             esrgan_params=esr,
             hires_width=args.hires_width,
             hires_height=args.hires_height,
+            hires_sigmas=args.hires_sigmas,
         )
     else:
         res = pipe.generate(

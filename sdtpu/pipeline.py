@@ -958,6 +958,7 @@ class DiffusionPipeline:
         esrgan_params=None,
         hires_width: int = 0,
         hires_height: int = 0,
+        hires_sigmas: str = "",
     ) -> GenerationResult:
         """Hires fix (reference stable-diffusion.cpp:5523-5642): base sample →
         upscale (latent bilinear, or decode→ESRGAN→re-encode) → second
@@ -976,6 +977,7 @@ class DiffusionPipeline:
             height=th,
             sample_steps=hires_steps or gp.sample_steps,
             strength=hires_strength,
+            custom_sigmas=hires_sigmas,  # reference --hires-sigmas
         )
         if upscaler == "esrgan" and esrgan_params is not None:
             from sdtpu.models.esrgan import upscale_image
@@ -1359,10 +1361,12 @@ class DiffusionPipeline:
             init_latent = self.encode_image(init_image)  # [1,lh,lw,zc]
         if init_latent is not None:
             if gp.strength < 1.0:
-                t_enc = int(gp.sample_steps * gp.strength)
-                if t_enc == gp.sample_steps:
+                n_total = len(sigmas) - 1  # may differ from sample_steps
+                # when custom_sigmas is set (reference --sigmas)
+                t_enc = int(n_total * gp.strength)
+                if t_enc == n_total:
                     t_enc -= 1
-                sigmas = sigmas[gp.sample_steps - t_enc - 1 :]
+                sigmas = sigmas[n_total - t_enc - 1 :]
         if mask_image is not None:
             m = np.round(np.asarray(mask_image, dtype=np.float32))
             if m.max() > 1.0:

@@ -256,3 +256,29 @@ def test_wan_vae_decode_matches_torch_oracle():
         want = wan_vae_decode_torch(_to_torch(p), torch.from_numpy(z), cfg).numpy()
     assert got.shape == want.shape  # [1, 1+4*(3-1), 32, 32, 3]
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_ernie_image_matches_torch_oracle():
+    from sdtpu.models.ernie_image import (
+        ErnieImageConfig, ernie_image_forward, init_ernie_params,
+    )
+    from tests.torch_ref.ernie_image import ernie_image_forward_torch
+
+    cfg = ErnieImageConfig(
+        hidden_size=64, num_heads=4, num_layers=2, ffn_hidden_size=128,
+        in_channels=8, out_channels=8, patch_size=1, text_in_dim=48,
+        axes_dim=(8, 4, 4),
+    )
+    p = init_ernie_params(cfg, seed=0)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 6, 6, 8), dtype=np.float32)
+    t = np.array([600.0], dtype=np.float32)
+    ctx = rng.standard_normal((1, 7, 48), dtype=np.float32)
+
+    got = np.asarray(ernie_image_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg))
+    with torch.no_grad():
+        want = ernie_image_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
