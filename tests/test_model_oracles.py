@@ -282,3 +282,27 @@ def test_ernie_image_matches_torch_oracle():
             _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
             torch.from_numpy(ctx), cfg).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_lens_matches_torch_oracle():
+    from sdtpu.models.lens import LensConfig, init_lens_params, lens_forward
+    from tests.torch_ref.lens import lens_forward_torch
+
+    cfg = LensConfig(
+        in_channels=16, out_channels=4, num_layers=2, head_dim=16,
+        num_heads=4, joint_attention_dim=24, selected_layer_count=2,
+        axes_dim=(4, 6, 6),
+    )
+    p = init_lens_params(cfg, seed=0)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 6, 6, 16), dtype=np.float32)
+    t = np.array([0.5], dtype=np.float32)
+    ctx = rng.standard_normal((1, 7, 48), dtype=np.float32)
+
+    got = np.asarray(lens_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg))
+    with torch.no_grad():
+        want = lens_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
