@@ -284,6 +284,41 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_ideogram4_matches_torch_oracle():
+    from sdtpu.models.ideogram4 import (
+        Ideogram4Config, ideogram4_forward, init_ideogram4_params,
+    )
+    from tests.torch_ref.ideogram4 import ideogram4_forward_torch
+
+    cfg = Ideogram4Config(
+        emb_dim=64, num_layers=2, num_heads=4, intermediate_size=96,
+        adaln_dim=32, in_channels=16, llm_features_dim=24,
+        patch_size=2, ae_channels=4, mrope_section=(4, 2, 2), llm_layers=2,
+    )
+    p = init_ideogram4_params(cfg, seed=0)
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((1, 5, 6, 16), dtype=np.float32)
+    t = np.array([0.7], dtype=np.float32)
+    ctx = rng.standard_normal((1, 5, 24), dtype=np.float32)
+
+    got = np.asarray(ideogram4_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg))
+    with torch.no_grad():
+        want = ideogram4_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # no-context path (separate-uncond checkpoints, prefix="")
+    got_nc = np.asarray(ideogram4_forward(
+        p, jnp.asarray(x), jnp.asarray(t), None, cfg=cfg))
+    with torch.no_grad():
+        want_nc = ideogram4_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            None, cfg).numpy()
+    np.testing.assert_allclose(got_nc, want_nc, rtol=2e-4, atol=2e-4)
+
+
 def test_lens_matches_torch_oracle():
     from sdtpu.models.lens import LensConfig, init_lens_params, lens_forward
     from tests.torch_ref.lens import lens_forward_torch
