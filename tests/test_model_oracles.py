@@ -284,6 +284,30 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_krea2_matches_torch_oracle():
+    from sdtpu.models.krea2 import Krea2Config, init_krea2_params, krea2_forward
+    from tests.torch_ref.krea2 import krea2_forward_torch
+
+    cfg = Krea2Config(
+        features=64, heads=4, kv_heads=2, layers=2, timestep_dim=16,
+        text_dim=32, text_heads=2, text_kv_heads=2, text_layers=3,
+        in_channels=8, out_channels=8, patch_size=2,
+    )
+    p = init_krea2_params(cfg, seed=0)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 5, 6, 8), dtype=np.float32)  # odd h: pad path
+    t = np.array([0.4], dtype=np.float32)
+    ctx = rng.standard_normal((1, 5, 3 * 32), dtype=np.float32)
+
+    got = np.asarray(krea2_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg))
+    with torch.no_grad():
+        want = krea2_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_ideogram4_matches_torch_oracle():
     from sdtpu.models.ideogram4 import (
         Ideogram4Config, ideogram4_forward, init_ideogram4_params,
