@@ -284,6 +284,34 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_boogu_matches_torch_oracle():
+    from sdtpu.models.boogu import BooguConfig, boogu_forward, init_boogu_params
+    from tests.torch_ref.boogu import boogu_forward_torch
+
+    cfg = BooguConfig(
+        hidden_size=64, num_layers=2, num_double_stream_layers=1,
+        num_refiner_layers=1, num_heads=4, num_kv_heads=2, head_dim=16,
+        multiple_of=32, instruction_feat_dim=24, in_channels=8, out_channels=8,
+        axes_dim=(8, 4, 4),
+    )
+    p = init_boogu_params(cfg, seed=0)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((1, 6, 4, 8), dtype=np.float32)
+    ref = rng.standard_normal((1, 4, 4, 8), dtype=np.float32)
+    t = np.array([0.3], dtype=np.float32)
+    ctx = rng.standard_normal((1, 5, 24), dtype=np.float32)
+
+    got = np.asarray(boogu_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg,
+        ref_latents=[jnp.asarray(ref)]))
+    with torch.no_grad():
+        want = boogu_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg,
+            ref_latents=[torch.from_numpy(ref)]).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_krea2_matches_torch_oracle():
     from sdtpu.models.krea2 import Krea2Config, init_krea2_params, krea2_forward
     from tests.torch_ref.krea2 import krea2_forward_torch
