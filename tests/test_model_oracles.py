@@ -284,6 +284,33 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_minit2i_matches_torch_oracle():
+    from sdtpu.models.minit2i import (
+        MiniT2IConfig, init_minit2i_params, minit2i_forward,
+    )
+    from tests.torch_ref.minit2i import minit2i_forward_torch
+
+    cfg = MiniT2IConfig(
+        image_size=32, patch_size=8, hidden_size=64, txt_hidden_size=64,
+        txt_input_size=24, cond_vec_size=32, depth_double=2,
+        txt_preamble_depth=1, num_heads=4, head_dim=16, pca_channels=12,
+    )
+    p = init_minit2i_params(cfg, seed=0)
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((1, 32, 32, 3), dtype=np.float32)
+    ctx = rng.standard_normal((1, 6, 24), dtype=np.float32)
+    mask = np.array([[1, 1, 1, 1, 0, 0]], dtype=np.float32)
+
+    got = np.asarray(minit2i_forward(
+        p, jnp.asarray(x), None, jnp.asarray(ctx), mask=jnp.asarray(mask),
+        cfg=cfg))
+    with torch.no_grad():
+        want = minit2i_forward_torch(
+            _to_torch(p), torch.from_numpy(x), None, torch.from_numpy(ctx),
+            torch.from_numpy(mask), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_boogu_matches_torch_oracle():
     from sdtpu.models.boogu import BooguConfig, boogu_forward, init_boogu_params
     from tests.torch_ref.boogu import boogu_forward_torch
