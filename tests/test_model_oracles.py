@@ -284,6 +284,45 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_anima_matches_torch_oracle():
+    from sdtpu.models.anima import (
+        AnimaConfig, anima_forward, init_anima_params, llm_adapter_forward,
+    )
+    from tests.torch_ref.anima import (
+        anima_forward_torch, llm_adapter_forward_torch,
+    )
+
+    cfg = AnimaConfig(
+        hidden_size=64, num_heads=4, head_dim=16, num_layers=2,
+        text_embed_dim=24, adaln_lora_dim=16, in_channels=8, out_channels=8,
+        axes_dim=(8, 4, 4),
+    )
+    p = init_anima_params(cfg, seed=0, adapter_layers=1, adapter_vocab=32,
+                          adapter_dim=24)
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal((1, 5, 6, 8), dtype=np.float32)
+    t = np.array([600.0], dtype=np.float32)
+    ctx = rng.standard_normal((1, 5, 24), dtype=np.float32)
+
+    got = np.asarray(anima_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg))
+    with torch.no_grad():
+        want = anima_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    src = rng.standard_normal((1, 4, 24), dtype=np.float32)
+    ids = np.array([[3, 1, 7, 0, 2]], dtype=np.int32)
+    got_a = np.asarray(llm_adapter_forward(p, jnp.asarray(src),
+                                           jnp.asarray(ids)))
+    with torch.no_grad():
+        want_a = llm_adapter_forward_torch(
+            _to_torch(p), torch.from_numpy(src),
+            torch.from_numpy(ids).long()).numpy()
+    np.testing.assert_allclose(got_a, want_a, rtol=2e-4, atol=2e-4)
+
+
 def test_minit2i_matches_torch_oracle():
     from sdtpu.models.minit2i import (
         MiniT2IConfig, init_minit2i_params, minit2i_forward,
