@@ -284,6 +284,91 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def _tiny_llm_cfgs():
+    from sdtpu.models.llm import LLMConfig
+
+    return {
+        "qwen25vl": LLMConfig(
+            arch="qwen2.5vl", num_layers=2, hidden_size=48,
+            intermediate_size=96, num_heads=4, num_kv_heads=2, head_dim=12,
+            vocab_size=64, qkv_bias=True),
+        "qwen3_vl": LLMConfig(
+            arch="qwen3_vl", num_layers=2, hidden_size=48,
+            intermediate_size=96, num_heads=4, num_kv_heads=2, head_dim=12,
+            vocab_size=64, qkv_bias=False, qk_norm=True, rope_theta=5e6,
+            rope_style="imrope", mrope_sections=(2, 1, 1, 0)),
+        "gemma": LLMConfig(
+            arch="gemma2_2b", num_layers=2, hidden_size=48,
+            intermediate_size=96, num_heads=4, num_kv_heads=2, head_dim=12,
+            vocab_size=64, qkv_bias=False, rope_theta=1e4,
+            mlp_activation="gelu_tanh", norm_add=True, normalize_input=True,
+            gemma_norms=True),
+        "mistral": LLMConfig(
+            arch="mistral_small_3_2", num_layers=2, hidden_size=48,
+            intermediate_size=96, num_heads=4, num_kv_heads=2, head_dim=12,
+            vocab_size=64, qkv_bias=False, rms_norm_eps=1e-5,
+            rope_theta=1e9, rope_style="normal"),
+        "gpt_oss": LLMConfig(
+            arch="gpt_oss_20b", num_layers=2, hidden_size=48,
+            intermediate_size=32, num_heads=4, num_kv_heads=2, head_dim=12,
+            vocab_size=64, qkv_bias=True, attention_out_bias=True,
+            rms_norm_eps=1e-5, rope_theta=150000.0, rope_scales=(32.0,),
+            rope_yarn=True, rope_orig_ctx=4096, sliding_attention=(4, 0),
+            attention_sinks=True, num_experts=4, num_experts_per_tok=2),
+    }
+
+
+@pytest.mark.parametrize("arch", ["qwen25vl", "qwen3_vl", "gemma", "mistral",
+                                  "gpt_oss"])
+def test_llm_matches_torch_oracle(arch):
+    from sdtpu.models.llm import init_llm_params, llm_forward
+    from tests.torch_ref.llm import llm_forward_torch
+
+    cfg = _tiny_llm_cfgs()[arch]
+    p = init_llm_params(cfg, seed=0)
+    # perturb norm weights so scale handling (incl. norm_add) is exercised
+    rng = np.random.default_rng(15)
+    p = {k: (jnp.asarray(np.asarray(v) +
+                         0.1 * rng.standard_normal(np.asarray(v).shape)
+                         .astype(np.float32))
+             if k.endswith("norm.weight") or "layernorm" in k else v)
+         for k, v in p.items()}
+    ids = np.array([[3, 1, 7, 0, 2, 5, 9, 4]], dtype=np.int32)
+
+    got = np.asarray(llm_forward(p, jnp.asarray(ids), cfg))
+    with torch.no_grad():
+        want = llm_forward_torch(_to_torch(p), torch.from_numpy(ids).long(),
+                                 cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_hidream_o1_matches_torch_oracle():
+    from sdtpu.models.hidream_o1 import (
+        HiDreamO1Config, build_hidream_state, hidream_forward,
+        init_hidream_params,
+    )
+    from tests.torch_ref.hidream_o1 import hidream_forward_torch
+
+    cfg = HiDreamO1Config(llm=_tiny_llm_cfgs()["qwen3_vl"], patch_size=8)
+    p = init_hidream_params(cfg, seed=0)
+    state = build_hidream_state([3, 1, 5, 2], 2, 2)
+    rng = np.random.default_rng(16)
+    x = rng.standard_normal((1, 16, 16, 3), dtype=np.float32)
+    t = np.array([0.25], dtype=np.float32)
+
+    got = np.asarray(hidream_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(state["input_ids"]),
+        jnp.asarray(state["position_ids"]), jnp.asarray(state["attn_bias"]),
+        cfg=cfg))
+    with torch.no_grad():
+        want = hidream_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(state["input_ids"]).long(),
+            state["position_ids"],
+            torch.from_numpy(state["attn_bias"]), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 def test_anima_matches_torch_oracle():
     from sdtpu.models.anima import (
         AnimaConfig, anima_forward, init_anima_params, llm_adapter_forward,
