@@ -284,6 +284,33 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_lingbot_video_matches_torch_oracle():
+    from sdtpu.models.lingbot_video import (
+        LingBotVideoConfig, init_lingbot_params, lingbot_forward,
+    )
+    from tests.torch_ref.lingbot_video import lingbot_forward_torch
+
+    cfg = LingBotVideoConfig(
+        hidden_size=64, num_heads=4, depth=2, intermediate_size=96,
+        text_dim=24, freq_dim=16, in_channels=8, out_channels=8,
+        axes_dim=(8, 4, 4), num_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=32, n_group=4, topk_group=2, sparse_layers=(1,),
+    )
+    p = init_lingbot_params(cfg, seed=0)
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((1, 2, 4, 4, 8), dtype=np.float32)
+    t = np.array([[700.0, 400.0]], dtype=np.float32)  # per-frame timesteps
+    ctx = rng.standard_normal((1, 5, 24), dtype=np.float32)
+
+    got = np.asarray(lingbot_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), cfg=cfg))
+    with torch.no_grad():
+        want = lingbot_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def _tiny_llm_cfgs():
     from sdtpu.models.llm import LLMConfig
 
