@@ -284,6 +284,34 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_hunyuan_vae_matches_torch_oracle():
+    from sdtpu.models.hunyuan_vae import (
+        HunyuanVAEConfig, hunyuan_vae_decode, hunyuan_vae_encode,
+        init_hunyuan_vae_params,
+    )
+    from tests.torch_ref.hunyuan_vae import (
+        hunyuan_vae_decode_torch, hunyuan_vae_encode_torch,
+    )
+
+    cfg = HunyuanVAEConfig(
+        z_channels=4, block_out_channels=(8, 16, 16), layers_per_block=1,
+        spatial_ratio=4, temporal_ratio=2,
+    )
+    p = init_hunyuan_vae_params(cfg, seed=0)
+    rng = np.random.default_rng(18)
+    x = rng.standard_normal((1, 5, 8, 8, 3), dtype=np.float32)
+    z = rng.standard_normal((1, 3, 2, 2, 4), dtype=np.float32)
+
+    got_e = np.asarray(hunyuan_vae_encode(p, jnp.asarray(x), cfg))
+    got_d = np.asarray(hunyuan_vae_decode(p, jnp.asarray(z), cfg))
+    with torch.no_grad():
+        tp = _to_torch(p)
+        want_e = hunyuan_vae_encode_torch(tp, torch.from_numpy(x), cfg).numpy()
+        want_d = hunyuan_vae_decode_torch(tp, torch.from_numpy(z), cfg).numpy()
+    np.testing.assert_allclose(got_e, want_e, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-4, atol=3e-4)
+
+
 def test_lingbot_video_matches_torch_oracle():
     from sdtpu.models.lingbot_video import (
         LingBotVideoConfig, init_lingbot_params, lingbot_forward,
