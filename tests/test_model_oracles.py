@@ -284,6 +284,43 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_ltx_vae_matches_torch_oracle():
+    from sdtpu.models.ltx_vae import (
+        LTXVAEBlock, LTXVAEConfig, init_ltx_vae_params, ltx_vae_decode,
+        ltx_vae_encode,
+    )
+    from tests.torch_ref.ltx_vae import (
+        ltx_vae_decode_torch, ltx_vae_encode_torch,
+    )
+
+    cfg = LTXVAEConfig(
+        patch_size=2, latent_channels=8, timestep_conditioning=True,
+        encoder_blocks=(LTXVAEBlock("res_x", 1),
+                        LTXVAEBlock("compress_all_res", 0, 2),
+                        LTXVAEBlock("res_x", 1)),
+        decoder_blocks=(LTXVAEBlock("res_x", 1),
+                        LTXVAEBlock("compress_all", 0, 2),
+                        LTXVAEBlock("res_x", 1)),
+    )
+    p = init_ltx_vae_params(cfg, channels=16, seed=0)
+    rng = np.random.default_rng(19)
+    p["per_channel_statistics.mean-of-means"] = jnp.asarray(
+        rng.standard_normal(8, dtype=np.float32) * 0.2)
+    p["per_channel_statistics.std-of-means"] = jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal(8).astype(np.float32))
+    x = rng.standard_normal((1, 3, 8, 8, 3), dtype=np.float32)
+    z = rng.standard_normal((1, 2, 2, 2, 8), dtype=np.float32)
+
+    got_e = np.asarray(ltx_vae_encode(p, jnp.asarray(x), cfg))
+    got_d = np.asarray(ltx_vae_decode(p, jnp.asarray(z), cfg))
+    with torch.no_grad():
+        tp = _to_torch(p)
+        want_e = ltx_vae_encode_torch(tp, torch.from_numpy(x), cfg).numpy()
+        want_d = ltx_vae_decode_torch(tp, torch.from_numpy(z), cfg).numpy()
+    np.testing.assert_allclose(got_e, want_e, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-4, atol=3e-4)
+
+
 def test_hunyuan_vae_matches_torch_oracle():
     from sdtpu.models.hunyuan_vae import (
         HunyuanVAEConfig, hunyuan_vae_decode, hunyuan_vae_encode,
