@@ -284,6 +284,34 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_mage_vae_matches_torch_oracle():
+    from sdtpu.models.mage_vae import (
+        init_mage_vae_params, mage_vae_decode, mage_vae_encode,
+    )
+    from tests.torch_ref.mage_vae import (
+        mage_vae_decode_torch, mage_vae_encode_torch,
+    )
+
+    p = init_mage_vae_params(seed=0, n_blocks=2)
+    rng = np.random.default_rng(20)
+    img = rng.standard_normal((1, 32, 32, 3), dtype=np.float32)
+    z = rng.standard_normal((1, 2, 2, 128), dtype=np.float32) * 0.5
+    noise = rng.standard_normal((1, 2, 2, 128), dtype=np.float32)
+
+    got_e = np.asarray(mage_vae_encode(p, jnp.asarray(img),
+                                       noise=jnp.asarray(noise), n_blocks=2))
+    got_d = np.asarray(mage_vae_decode(p, jnp.asarray(z), n_blocks=2))
+    with torch.no_grad():
+        tp = _to_torch(p)
+        want_e = mage_vae_encode_torch(tp, torch.from_numpy(img),
+                                       noise=torch.from_numpy(noise),
+                                       n_blocks=2).numpy()
+        want_d = mage_vae_decode_torch(tp, torch.from_numpy(z),
+                                       n_blocks=2).numpy()
+    np.testing.assert_allclose(got_e, want_e, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-4, atol=3e-4)
+
+
 def test_ltx_vae_matches_torch_oracle():
     from sdtpu.models.ltx_vae import (
         LTXVAEBlock, LTXVAEConfig, init_ltx_vae_params, ltx_vae_decode,
