@@ -284,6 +284,51 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_taesd_matches_torch_oracle():
+    from sdtpu.models.tae import (
+        TAEConfig, init_tae_params, tae_decode, tae_encode,
+    )
+    from tests.torch_ref.tae import tae_decode_torch, tae_encode_torch
+
+    cfg = TAEConfig(channels=16, num_blocks=1)
+    p = init_tae_params(cfg, seed=0)
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((1, 16, 16, 3), dtype=np.float32)
+    z = rng.standard_normal((1, 2, 2, 4), dtype=np.float32) * 0.2
+
+    got_e = np.asarray(tae_encode(p, jnp.asarray(x), cfg))
+    got_d = np.asarray(tae_decode(p, jnp.asarray(z), cfg))
+    with torch.no_grad():
+        tp = _to_torch(p)
+        want_e = tae_encode_torch(tp, torch.from_numpy(x), cfg).numpy()
+        want_d = tae_decode_torch(tp, torch.from_numpy(z), cfg).numpy()
+    np.testing.assert_allclose(got_e, want_e, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_taehv_matches_torch_oracle(wide):
+    from sdtpu.models.taehv import (
+        TAEHVConfig, init_taehv_params, taehv_decode, taehv_encode,
+    )
+    from tests.torch_ref.tae import taehv_decode_torch, taehv_encode_torch
+
+    cfg = TAEHVConfig(z_channels=8, patch_size=2, num_blocks=1, is_wide=wide)
+    p = init_taehv_params(cfg, seed=0, hidden=16)
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((1, 5, 16, 16, 3), dtype=np.float32)
+    z = rng.standard_normal((1, 2, 2, 2, 8), dtype=np.float32) * 0.3
+
+    got_e = np.asarray(taehv_encode(p, jnp.asarray(x), cfg))
+    got_d = np.asarray(taehv_decode(p, jnp.asarray(z), cfg))
+    with torch.no_grad():
+        tp = _to_torch(p)
+        want_e = taehv_encode_torch(tp, torch.from_numpy(x), cfg).numpy()
+        want_d = taehv_decode_torch(tp, torch.from_numpy(z), cfg).numpy()
+    np.testing.assert_allclose(got_e, want_e, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-4, atol=3e-4)
+
+
 def test_mage_vae_matches_torch_oracle():
     from sdtpu.models.mage_vae import (
         init_mage_vae_params, mage_vae_decode, mage_vae_encode,
