@@ -284,6 +284,33 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["spatial", "temporal", "rational"])
+def test_ltx_latent_upsampler_matches_torch_oracle(mode):
+    from sdtpu.models.ltx_latent_upsampler import (
+        LatentUpsamplerConfig, init_upsampler_params, latent_upsample,
+    )
+    from tests.torch_ref.ltx_latent_upsampler import latent_upsample_torch
+
+    cfg = LatentUpsamplerConfig(
+        in_channels=8, mid_channels=32, num_blocks_per_stage=1,
+        spatial_upsample=mode == "spatial",
+        temporal_upsample=mode == "temporal",
+        rational_resampler=mode == "rational",
+        spatial_up_num=3 if mode == "rational" else 2,
+        spatial_down_den=2 if mode == "rational" else 1,
+        temporal_up_factor=2 if mode == "temporal" else 1,
+    )
+    p = init_upsampler_params(cfg, seed=0)
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((1, 2, 4, 4, 8), dtype=np.float32)
+
+    got = np.asarray(latent_upsample(p, jnp.asarray(x), cfg))
+    with torch.no_grad():
+        want = latent_upsample_torch(_to_torch(p), torch.from_numpy(x),
+                                     cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 def test_taesd_matches_torch_oracle():
     from sdtpu.models.tae import (
         TAEConfig, init_tae_params, tae_decode, tae_encode,
