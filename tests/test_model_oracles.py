@@ -284,6 +284,36 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_ltx_audio_vae_matches_torch_oracle():
+    from sdtpu.models.ltx_audio_vae import (
+        LTXAudioVAEConfig, init_ltx_audio_vae_params, ltx_audio_vae_decode,
+    )
+    from tests.torch_ref.ltx_audio_vae import ltx_audio_vae_decode_torch
+
+    cfg = LTXAudioVAEConfig(
+        latent_channels=4, latent_frequency_bins=4, mel_bins=8,
+        audio_channels=2, decoder_channels=8,
+        decoder_channel_multipliers=(1, 2), decoder_num_res_blocks=1,
+        base_upsample_initial_channel=16, base_upsample_rates=(2, 2),
+        base_upsample_kernel_sizes=(4, 4), base_resblock_kernel_sizes=(3,),
+        base_resblock_dilations=((1, 3, 5),),
+        has_bwe=True, bwe_hop_length=4, bwe_n_fft=16, bwe_num_mels=8,
+        bwe_upsample_initial_channel=16, bwe_upsample_rates=(2, 2),
+        bwe_upsample_kernel_sizes=(4, 4), bwe_resblock_kernel_sizes=(3,),
+        bwe_resblock_dilations=((1, 3, 5),),
+        bwe_input_sample_rate=16000, bwe_output_sample_rate=32000,
+    )
+    p = init_ltx_audio_vae_params(cfg, seed=0)
+    rng = np.random.default_rng(24)
+    z = rng.standard_normal((1, 3, 4, 4), dtype=np.float32)
+
+    got = np.asarray(ltx_audio_vae_decode(p, jnp.asarray(z), cfg))
+    with torch.no_grad():
+        want = ltx_audio_vae_decode_torch(_to_torch(p), torch.from_numpy(z),
+                                          cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("mode", ["spatial", "temporal", "rational"])
 def test_ltx_latent_upsampler_matches_torch_oracle(mode):
     from sdtpu.models.ltx_latent_upsampler import (
