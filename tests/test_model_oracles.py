@@ -284,6 +284,63 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_controlnet_matches_torch_oracle():
+    from sdtpu.models.controlnet import controlnet_forward
+    from sdtpu.models.unet import UNetConfig
+    from tests.torch_ref.controlnet import TorchControlNet
+
+    cfg = UNetConfig(
+        in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(1, 2),
+        transformer_depth=(1, 1), context_dim=48, num_heads=2,
+    )
+    torch.manual_seed(0)
+    m = TorchControlNet(cfg)
+    m.eval()
+    rng = np.random.default_rng(25)
+    x = rng.standard_normal((1, 16, 16, 4), dtype=np.float32)
+    hint = rng.random((1, 128, 128, 3), dtype=np.float32)
+    t = np.array([500.0], dtype=np.float32)
+    ctx = rng.standard_normal((1, 7, 48), dtype=np.float32)
+
+    with torch.no_grad():
+        want_c, want_m = m(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                           torch.from_numpy(hint.transpose(0, 3, 1, 2)),
+                           torch.from_numpy(t), torch.from_numpy(ctx))
+    p = {k: jnp.asarray(v.detach().numpy()) for k, v in m.state_dict().items()}
+    got_c, got_m = controlnet_forward(
+        p, jnp.asarray(x), jnp.asarray(hint), jnp.asarray(t),
+        jnp.asarray(ctx), cfg=cfg)
+    assert len(got_c) == len(want_c)
+    for g, w in zip(got_c, want_c):
+        np.testing.assert_allclose(np.asarray(g),
+                                   w.numpy().transpose(0, 2, 3, 1),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_m),
+                               want_m.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_animatediff_motion_module_matches_torch_oracle():
+    from sdtpu.models.animatediff import (
+        init_motion_params, motion_module_forward,
+    )
+    from tests.torch_ref.animatediff import motion_module_forward_torch
+
+    key = "down_blocks.0.motion_modules.0"
+    p = init_motion_params({key: 32}, max_frames=8, seed=0)
+    rng = np.random.default_rng(26)
+    x = rng.standard_normal((4, 6, 6, 32), dtype=np.float32)
+
+    got = np.asarray(motion_module_forward(
+        p, f"motion_module.{key}", jnp.asarray(x), num_frames=4, num_heads=4))
+    with torch.no_grad():
+        want = motion_module_forward_torch(
+            _to_torch(p), f"motion_module.{key}", torch.from_numpy(x),
+            num_frames=4, num_heads=4).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_ltx_audio_vae_matches_torch_oracle():
     from sdtpu.models.ltx_audio_vae import (
         LTXAudioVAEConfig, init_ltx_audio_vae_params, ltx_audio_vae_decode,
