@@ -284,6 +284,52 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_esrgan_matches_torch_oracle():
+    from sdtpu.models.esrgan import (
+        ESRGANConfig, esrgan_forward, init_esrgan_params,
+    )
+    from tests.torch_ref.esrgan_yolo import esrgan_forward_torch
+
+    cfg = ESRGANConfig(num_feat=16, num_block=2, num_grow=8)
+    p = init_esrgan_params(cfg, seed=0)
+    rng = np.random.default_rng(27)
+    x = rng.random((1, 8, 8, 3), dtype=np.float32)
+
+    got = np.asarray(esrgan_forward(p, jnp.asarray(x), cfg))
+    with torch.no_grad():
+        want = esrgan_forward_torch(_to_torch(p), torch.from_numpy(x),
+                                    cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_yolov8_matches_torch_oracle():
+    from sdtpu.models.yolov8 import (
+        YOLOv8Config, init_yolov8_params, yolov8_forward,
+    )
+    from tests.torch_ref.esrgan_yolo import yolov8_forward_torch
+
+    oc = [0] * 22
+    for i, c in zip((0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 15, 16, 18, 19, 21),
+                    (8, 16, 16, 32, 32, 32, 32, 64, 64, 64, 32, 16, 16, 32,
+                     32, 64)):
+        oc[i] = c
+    cfg = YOLOv8Config(
+        out_channels=tuple(oc),
+        hidden={2: 8, 4: 16, 6: 16, 8: 32, 12: 16, 15: 8, 18: 16, 21: 32},
+        repeats={k: 1 for k in (2, 4, 6, 8, 12, 15, 18, 21)},
+        reg_max=4, num_classes=2,
+    )
+    p = init_yolov8_params(cfg, seed=0)
+    rng = np.random.default_rng(28)
+    x = rng.random((1, 64, 64, 3), dtype=np.float32)
+
+    got = np.asarray(yolov8_forward(p, jnp.asarray(x), cfg))
+    with torch.no_grad():
+        want = yolov8_forward_torch(_to_torch(p), torch.from_numpy(x),
+                                    cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 def test_controlnet_matches_torch_oracle():
     from sdtpu.models.controlnet import controlnet_forward
     from sdtpu.models.unet import UNetConfig
