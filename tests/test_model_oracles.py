@@ -284,6 +284,37 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("v2", [False, True])
+def test_photomaker_matches_torch_oracle(v2):
+    from sdtpu.models.clip import CLIPVisionConfig
+    from sdtpu.models.pmid import init_pmid_params, photomaker_encode
+    from tests.torch_ref.pmid import photomaker_encode_torch
+
+    vcfg = CLIPVisionConfig(
+        image_size=28, patch_size=14, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, projection_dim=16, hidden_act="quick_gelu",
+    )
+    p = init_pmid_params(vcfg, embed_dim=48, v2=v2, seed=0)
+    rng = np.random.default_rng(29)
+    pixels = rng.standard_normal((1, 28, 28, 3), dtype=np.float32)
+    prompt = rng.standard_normal((1, 6, 48), dtype=np.float32)
+    mask = np.zeros(6, dtype=bool)
+    mask[2] = True
+    if v2:
+        mask[3] = True  # 2 tokens per id image
+    id_embeds = rng.standard_normal((1, 512), dtype=np.float32) if v2 else None
+
+    got = np.asarray(photomaker_encode(
+        p, jnp.asarray(pixels), jnp.asarray(prompt), mask,
+        id_embeds=jnp.asarray(id_embeds) if v2 else None, vision_cfg=vcfg))
+    with torch.no_grad():
+        want = photomaker_encode_torch(
+            _to_torch(p), torch.from_numpy(pixels), torch.from_numpy(prompt),
+            mask, id_embeds=torch.from_numpy(id_embeds) if v2 else None,
+            vision_cfg=vcfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_esrgan_matches_torch_oracle():
     from sdtpu.models.esrgan import (
         ESRGANConfig, esrgan_forward, init_esrgan_params,
