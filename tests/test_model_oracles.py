@@ -284,6 +284,44 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("pit", [False, True])
+def test_pid_matches_torch_oracle(pit):
+    from sdtpu.models.pid import PidConfig, init_pid_params, pid_forward
+    from tests.torch_ref.pid import pid_forward_torch
+
+    cfg = PidConfig(
+        hidden_size=48, num_groups=4, patch_mlp_hidden_dim=64,
+        pixel_hidden_size=8, pixel_attn_hidden_size=32, pixel_num_groups=4,
+        patch_depth=2, pixel_depth=1, patch_size=4, txt_embed_dim=24,
+        txt_max_length=10, lq_hidden_dim=8, lq_num_res_blocks=1,
+        lq_interval=2,
+        lq_latent_channels=24 if pit else 6,
+        lq_latent_unpatchify_factor=2 if pit else 1,
+        lq_replicate_padding=pit, lq_gate_per_token=pit, pit_lq_inject=pit,
+    )
+    p = init_pid_params(cfg, seed=0)
+    rng = np.random.default_rng(30)
+    if pit:
+        x = rng.standard_normal((1, 8, 8, 3), dtype=np.float32)
+        lq = rng.standard_normal((1, 1, 1, 24), dtype=np.float32)
+    else:
+        x = rng.standard_normal((1, 9, 10, 3), dtype=np.float32)  # pad path
+        lq = rng.standard_normal((1, 3, 3, 6), dtype=np.float32)
+    t = np.array([700.0], dtype=np.float32)
+    ctx = rng.standard_normal((1, 7, 24), dtype=np.float32)
+    sigma = np.array([0.4], dtype=np.float32)
+
+    got = np.asarray(pid_forward(
+        p, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(lq),
+        cfg=cfg, degrade_sigma=jnp.asarray(sigma)))
+    with torch.no_grad():
+        want = pid_forward_torch(
+            _to_torch(p), torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), torch.from_numpy(lq), cfg,
+            degrade_sigma=torch.from_numpy(sigma)).numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("v2", [False, True])
 def test_photomaker_matches_torch_oracle(v2):
     from sdtpu.models.clip import CLIPVisionConfig
