@@ -284,6 +284,31 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("arch", ["qwen2.5vl", "qwen3vl"])
+def test_qwen_vl_vision_matches_torch_oracle(arch):
+    from sdtpu.models.qwen_vl_vision import (
+        QwenVLVisionConfig, init_vision_params, qwen_vision_encode,
+    )
+    from tests.torch_ref.qwen_vl_vision import qwen_vision_encode_torch
+
+    q3 = arch == "qwen3vl"
+    cfg = QwenVLVisionConfig(
+        arch=arch, num_layers=2, hidden_size=32, intermediate_size=48,
+        num_heads=4, out_hidden_size=40, patch_size=4, spatial_merge_size=2,
+        window_size=16, num_position_embeddings=16 if q3 else 0,
+        fullatt_block_indexes=() if q3 else (1,), split_patch_embed=q3,
+    )
+    p = init_vision_params(cfg, seed=0)
+    rng = np.random.default_rng(31)
+    img = rng.standard_normal((16, 16, 3) if q3 else (24, 24, 3)
+                              ).astype(np.float32)
+
+    got = np.asarray(qwen_vision_encode(p, img, cfg))
+    with torch.no_grad():
+        want = qwen_vision_encode_torch(_to_torch(p), img, cfg).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("pit", [False, True])
 def test_pid_matches_torch_oracle(pit):
     from sdtpu.models.pid import PidConfig, init_pid_params, pid_forward
