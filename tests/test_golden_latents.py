@@ -27,6 +27,17 @@ CASES = {
     "sd3_euler": (SDVersion.SD3, dict(sample_method="euler")),
     "flux_euler": (SDVersion.FLUX, dict(sample_method="euler")),
     "qwen_euler": (SDVersion.QWEN_IMAGE, dict(sample_method="euler")),
+    "sd2_heun": (SDVersion.SD2, dict(sample_method="heun")),
+    "sd1_dpmpp2sa": (SDVersion.SD1,
+                     dict(sample_method="dpm++2s_a", eta=1.0)),
+    "sd1_ipndm": (SDVersion.SD1, dict(sample_method="ipndm")),
+    "chroma_euler": (SDVersion.CHROMA, dict(sample_method="euler")),
+    "z_image_euler": (SDVersion.Z_IMAGE, dict(sample_method="euler")),
+    "ernie_euler": (SDVersion.ERNIE_IMAGE, dict(sample_method="euler")),
+    "krea2_euler": (SDVersion.KREA2, dict(sample_method="euler")),
+    "ideogram4_euler": (SDVersion.IDEOGRAM4, dict(sample_method="euler")),
+    "boogu_euler": (SDVersion.BOOGU_IMAGE, dict(sample_method="euler")),
+    "lens_euler": (SDVersion.LENS, dict(sample_method="euler")),
 }
 
 
