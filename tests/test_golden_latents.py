@@ -51,6 +51,33 @@ def _generate(version, overrides):
     return pipe.generate(gp).latents.astype(np.float32)
 
 
+VIDEO_CASES = {
+    "wan2_euler": (SDVersion.WAN2, 5),
+    "hunyuan_euler": (SDVersion.HUNYUAN_VIDEO, 5),
+}
+
+
+@pytest.mark.parametrize("name", sorted(VIDEO_CASES))
+def test_golden_video_latents(name):
+    version, frames = VIDEO_CASES[name]
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    pipe = create_pipeline(version, small=True, seed=0)
+    gp = GenerationParams(
+        prompt="a golden retriever", width=64, height=64, sample_steps=2,
+        cfg_scale=4.0, seed=11, sample_method="euler",
+    )
+    latents = np.asarray(
+        pipe.generate_video(gp, frames=frames).latents, dtype=np.float32)
+    if os.environ.get("SDTPU_REGEN_GOLDEN"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, latents=latents)
+        pytest.skip(f"regenerated {path}")
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {path} not generated yet")
+    want = np.load(path)["latents"]
+    np.testing.assert_allclose(latents, want, rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_golden_latents(name):
     version, overrides = CASES[name]
