@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "noise_scale_start/end=, noise_clip_std=")
     ap.add_argument("--cache-option", default="",
                     help="key=value,... options for the step cache")
+    ap.add_argument("--model-args", default="",
+                    help="key=value,... model escape hatch (reference "
+                    "--model-args): chroma_use_dit_mask=, chroma_use_t5_mask=,"
+                    " chroma_t5_mask_pad=, qwen_image_zero_cond_t=")
     # adetailer mode
     ap.add_argument("--detector", help="yolov8 detector checkpoint (adetailer)")
     ap.add_argument("--ad-prompt", default=None, help="adetailer inpaint prompt")
@@ -384,6 +388,8 @@ def _load_pipeline(args):
                 args.llm_tokenizer)
     if getattr(args, "stream_weights", False):
         tok_kwargs["stream_weights"] = True
+    if getattr(args, "model_args", ""):
+        tok_kwargs["model_args"] = args.model_args
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift,
                            **tok_kwargs)

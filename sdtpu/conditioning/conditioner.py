@@ -435,16 +435,21 @@ class ChromaConditioner:
     modify_mask_to_attend_padding conditioner.hpp)."""
 
     def __init__(self, t5_tokenizer, t5_params, t5_cfg, seq_len: int = 512,
-                 mask_pad: int = 1):
+                 mask_pad: int = 1, use_mask: bool = False):
         self.t5_tokenizer = t5_tokenizer
         self.pt, self.ct = t5_params, t5_cfg
         self.seq_len = seq_len
         self.mask_pad = mask_pad
+        # model_args 'chroma_use_t5_mask': mask padding inside the T5
+        # encoder itself (reference conditioner.hpp:1300-1316)
+        self.use_mask = use_mask
 
         from sdtpu.models.t5 import t5_encoder_forward
 
-        def fwd(pt, ids, w):
-            h = t5_encoder_forward(pt, ids, self.ct)
+        def fwd(pt, ids, w, mask01):
+            h = t5_encoder_forward(
+                pt, ids, self.ct,
+                attention_mask=mask01 if self.use_mask else None)
             return apply_token_weights(h, w)
 
         self._jit_forward = jax.jit(fwd)
@@ -467,6 +472,7 @@ class ChromaConditioner:
             self.pt,
             jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
             jnp.asarray(np.asarray(w, dtype=np.float32)[None]),
+            jnp.asarray(np.asarray(mask01, dtype=np.float32)[None]),
         )
         mask = np.where(np.asarray(mask01, dtype=np.float32) > 0, 0.0, -np.inf)
         # keep mask_pad padding tokens attendable

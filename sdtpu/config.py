@@ -184,3 +184,28 @@ class GenerationParams:
     # comma-separated custom sigma schedule (reference --sigmas); overrides
     # schedule + sample_steps when set
     custom_sigmas: str = ""
+
+
+def parse_key_value_args(spec) -> dict:
+    """key=value,... escape-hatch parser (reference parse_key_value_args,
+    util.cpp) shared by --extra-sample-args / --model-args / --cache-option.
+    Accepts a pre-parsed dict unchanged."""
+    if isinstance(spec, dict):
+        return dict(spec)
+    out = {}
+    for part in (spec or "").split(","):
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        v = v.strip()
+        try:
+            out[k.strip()] = int(v)
+        except ValueError:
+            try:
+                out[k.strip()] = float(v)
+            except ValueError:
+                if v.lower() in ("true", "false"):
+                    out[k.strip()] = v.lower() == "true"
+                else:
+                    out[k.strip()] = v
+    return out

@@ -165,6 +165,7 @@ def _create_pipeline(
         return _create_flux_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer,
             is_chroma=version == SDVersion.CHROMA,
+            model_args=kwargs.get("model_args"),
         )
     if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
         return _create_wan_pipeline(
@@ -176,6 +177,7 @@ def _create_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
             layered=version == SDVersion.QWEN_IMAGE_LAYERED,
+            model_args=kwargs.get("model_args"),
         )
     if version == SDVersion.HUNYUAN_VIDEO:
         return _create_hunyuan_pipeline(
@@ -383,9 +385,10 @@ def _create_pipeline(
 
 
 def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
-                          is_chroma: bool = False):
+                          is_chroma: bool = False, model_args=None):
     import dataclasses
 
+    from sdtpu.config import parse_key_value_args
     from sdtpu.conditioning.conditioner import ChromaConditioner, FluxConditioner
     from sdtpu.diffusion.denoiser import FluxFlowDenoiser
     from sdtpu.models import flux as flux_mod
@@ -426,12 +429,21 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         vae_cfg = vae_mod.FLUX_VAE_CONFIG
         t5_seq = 256
 
+    # model_args escape hatch (reference flux.hpp:1417, conditioner.hpp:1300)
+    margs = parse_key_value_args(model_args)
+    if "chroma_use_dit_mask" in margs:
+        dit_cfg = dataclasses.replace(
+            dit_cfg, chroma_use_dit_mask=bool(margs["chroma_use_dit_mask"]))
+
     dit_params = params.get("diffusion") or flux_mod.init_flux_params(dit_cfg, seed, dtype=dtype)
     t5_params = params.get("t5") or t5_mod.init_t5_params(t5_cfg, seed + 2, dtype=dtype)
     vae_params = params.get("vae") or vae_mod.init_vae_params(vae_cfg, seed=seed, dtype=dtype)
 
     if is_chroma:
-        conditioner = ChromaConditioner(t5_tokenizer, t5_params, t5_cfg, seq_len=t5_seq)
+        conditioner = ChromaConditioner(
+            t5_tokenizer, t5_params, t5_cfg, seq_len=t5_seq,
+            mask_pad=int(margs.get("chroma_t5_mask_pad", 1)),
+            use_mask=bool(margs.get("chroma_use_t5_mask", False)))
     else:
         clip_l_params = params.get("clip_l") or clip_mod.init_clip_params(
             clip_l_cfg, seed, dtype=dtype
@@ -1219,7 +1231,8 @@ def _create_sefi_pipeline(params, rng_type, dtype, small, seed, flow_shift,
 
 
 def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift,
-                                qwen_tokenizer=None, layered=False):
+                                qwen_tokenizer=None, layered=False,
+                                model_args=None):
     """Qwen-Image (reference stable-diffusion.cpp qwen_image construction):
     Qwen2.5-VL conditioner + joint-stream DiT + Wan 2.1 VAE in image mode.
 
@@ -1262,6 +1275,14 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
             if params.get("vae")
             else wan_vae_mod.WAN21_VAE_CONFIG
         )
+
+    # model_args 'qwen_image_zero_cond_t' (reference qwen_image.hpp:579-588)
+    import dataclasses as _dc
+
+    from sdtpu.config import parse_key_value_args
+    margs = parse_key_value_args(model_args)
+    if margs.get("qwen_image_zero_cond_t"):
+        dit_cfg = _dc.replace(dit_cfg, zero_cond_t=True)
 
     dit_params = params.get("diffusion") or qi_mod.init_qwen_image_params(dit_cfg, seed, dtype=dtype)
     llm_params = params.get("llm") or llm_mod.init_llm_params(llm_cfg, seed + 3, dtype=dtype)

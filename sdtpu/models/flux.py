@@ -38,6 +38,9 @@ class FluxConfig:
     vec_in_dim: int = 768
     guidance_embed: bool = True  # dev; schnell = False
     is_chroma: bool = False  # Chroma: distilled modulation + T5 mask
+    # model_args 'chroma_use_dit_mask': drop the T5 mask from the DiT
+    # attention when false (reference flux.hpp:1417-1425)
+    chroma_use_dit_mask: bool = True
     # FLUX.2 variants (reference flux.hpp:83-95)
     share_modulation: bool = False  # global per-stream modulation blocks
     disable_bias: bool = False  # all linears bias-less
@@ -407,7 +410,7 @@ def flux_forward(
         # (reference flux.hpp:1029-1053)
         modt = _chroma_mod_vectors(p, timesteps, guidance, cfg, x.dtype)
         vec = None
-        if y is not None:
+        if y is not None and cfg.chroma_use_dit_mask:
             pad = jnp.zeros((b, img.shape[1]), dtype=y.dtype)
             attn_mask = (
                 jnp.concatenate([y, pad], axis=1).astype(jnp.float32)[:, None, None, :]
