@@ -207,6 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "the whole sigma schedule runs as one on-device scan)")
     # convert mode
     ap.add_argument("--output-type", default="f16", help="convert: f32/f16/bf16/q8_0")
+    ap.add_argument("--tensor-type-rules", default="",
+                    help="convert: regex=type,... per-tensor quant overrides "
+                    "(reference --tensor-type-rules); first matching pattern "
+                    "wins, e.g. 'attn=q8_0,^first_stage=f16'")
     ap.add_argument("--imatrix-out", help="collect an importance matrix during img_gen")
     ap.add_argument("--imatrix", help="importance matrix .dat for quantizing conversion")
     return ap
@@ -871,6 +875,13 @@ def _convert(args) -> int:
 
     tensors = read_checkpoint_file(args.model)
     out_type = args.output_type
+    # regex=type,... per-tensor overrides, first match wins (reference
+    # tensor_type_rules, model_loader.cpp:766-820)
+    type_rules = []
+    for item in (getattr(args, "tensor_type_rules", "") or "").split(","):
+        if "=" in item:
+            pat, tn = item.rsplit("=", 1)
+            type_rules.append((pat.strip(), tn.strip()))
     print(f"writing {len(tensors)} tensors to {args.output} ({out_type})")
     if args.output.lower().endswith(".gguf"):
         from sdtpu.io.gguf import save_gguf
@@ -883,20 +894,32 @@ def _convert(args) -> int:
             imatrix = {n: col.get(n) for n in col.values}
             print(f"using imatrix with {len(imatrix)} entries")
         save_gguf(args.output, tensors, out_type=out_type,
-                  metadata={"converter": "sdtpu"}, imatrix=imatrix)
+                  metadata={"converter": "sdtpu"}, imatrix=imatrix,
+                  type_rules=type_rules)
         return 0
+    import re
+
     from sdtpu.io.safetensors import save_safetensors
 
-    if out_type == "f16":
-        tensors = {k: v.astype(np.float16) if v.dtype == np.float32 else v for k, v in tensors.items()}
-    elif out_type == "bf16":
-        import jax.numpy as jnp
+    def _target(name):
+        for pat, tn in type_rules:
+            if re.search(pat, name):
+                return tn
+        return out_type
 
-        tensors = {
-            k: np.asarray(jnp.asarray(v, dtype=jnp.bfloat16))
-            if v.dtype == np.float32 else v
-            for k, v in tensors.items()
-        }
+    def _cast(k, v):
+        tt = _target(k)
+        if v.dtype != np.float32:
+            return v
+        if tt == "f16":
+            return v.astype(np.float16)
+        if tt == "bf16":
+            import jax.numpy as jnp
+
+            return np.asarray(jnp.asarray(v, dtype=jnp.bfloat16))
+        return v
+
+    tensors = {k: _cast(k, v) for k, v in tensors.items()}
     save_safetensors(args.output, tensors, metadata={"format": "pt", "converter": "sdtpu"})
     return 0
 

@@ -466,21 +466,34 @@ QUANTIZE_FNS = {
 
 def save_gguf(path: str, tensors: Dict[str, np.ndarray], out_type: str = "f16",
               metadata: Optional[Dict[str, str]] = None, min_quant_size: int = 1024,
-              imatrix: Optional[Dict[str, np.ndarray]] = None):
+              imatrix: Optional[Dict[str, np.ndarray]] = None,
+              type_rules: Optional[list] = None):
     """Write a GGUF v3 file (reference: src/model_io/gguf_io.cpp writer +
     src/convert.cpp quantizing conversion).
 
     out_type: f32/f16/bf16/q8_0/q4_0/q4_1.  2-D tensors whose inner dim is a
     multiple of the block size and with ≥ min_quant_size elements are
-    quantized; everything else falls back to f16/f32."""
+    quantized; everything else falls back to f16/f32.
+
+    type_rules: [(regex, type_name), ...] per-tensor overrides — the first
+    pattern that regex-searches the tensor name wins (reference
+    tensor_type_rules, model_loader.cpp:766-820)."""
+    import re
+
     name_to_type = {v: k for k, v in TYPE_NAMES.items()}
     target = name_to_type[out_type]
+    rules = [(re.compile(pat), name_to_type[tn])
+             for pat, tn in (type_rules or []) if tn in name_to_type]
     align = 32
 
     entries = []  # (name, type_id, shape, payload bytes)
     for name, arr in tensors.items():
         arr = np.asarray(arr)
         t = target
+        for pat, rt in rules:
+            if pat.search(name):
+                t = rt
+                break
         if str(arr.dtype) == "bfloat16":
             arr = arr.astype(np.float32)
         if arr.dtype not in (np.float32, np.float16) or arr.ndim == 0:

@@ -254,3 +254,61 @@ def test_gguf_quantize_matches_dequant_identity():
     back = dequantize(np.frombuffer(blob.tobytes(), np.uint8), GGML_Q8_0, 1024)
     rel = np.abs(back - x).mean() / np.abs(x).mean()
     assert rel < 0.01, rel
+
+
+def test_gguf_tensor_type_rules(tmp_path):
+    """Per-tensor regex=type overrides (reference tensor_type_rules,
+    model_loader.cpp:766-820): first matching pattern wins."""
+    import numpy as np
+
+    from sdtpu.io.gguf import GGUFFile, save_gguf
+
+    rng = np.random.default_rng(1)
+    tensors = {
+        "attn.q.weight": rng.standard_normal((64, 64)).astype(np.float32),
+        "mlp.fc1.weight": rng.standard_normal((64, 64)).astype(np.float32),
+        "norm.weight": rng.standard_normal((64,)).astype(np.float32),
+    }
+    path = str(tmp_path / "rules.gguf")
+    save_gguf(path, tensors, out_type="q8_0", min_quant_size=256,
+              type_rules=[("attn", "f32"), ("^mlp", "q4_0")])
+    f = GGUFFile(path)
+    assert f.tensor_type("attn.q.weight") == "f32"
+    assert f.tensor_type("mlp.fc1.weight") == "q4_0"
+    assert f.tensor_type("norm.weight") == "f16"  # 1-D falls back from q8_0
+    np.testing.assert_allclose(f.tensor("attn.q.weight"),
+                               tensors["attn.q.weight"], atol=0)
+    f.close()
+
+
+def test_cli_convert_tensor_type_rules(tmp_path):
+    """sdtpu.cli convert honors --tensor-type-rules for both gguf and
+    safetensors outputs."""
+    import numpy as np
+
+    from sdtpu.cli import main as cli_main
+    from sdtpu.io.gguf import GGUFFile
+    from sdtpu.io.safetensors import load_safetensors, save_safetensors
+
+    src = str(tmp_path / "in.safetensors")
+    rng = np.random.default_rng(2)
+    save_safetensors(src, {
+        "attn.weight": rng.standard_normal((64, 64)).astype(np.float32),
+        "other.weight": rng.standard_normal((64, 64)).astype(np.float32),
+    })
+    out = str(tmp_path / "out.gguf")
+    rc = cli_main(["convert", "-m", src, "-o", out, "--output-type", "q8_0",
+                   "--tensor-type-rules", "attn=f16"])
+    assert rc == 0
+    f = GGUFFile(out)
+    assert f.tensor_type("attn.weight") == "f16"
+    assert f.tensor_type("other.weight") == "q8_0"
+    f.close()
+
+    out2 = str(tmp_path / "out.safetensors")
+    rc = cli_main(["convert", "-m", src, "-o", out2, "--output-type", "f16",
+                   "--tensor-type-rules", "attn=f32"])
+    assert rc == 0
+    back = load_safetensors(out2, as_float32=False)
+    assert back["attn.weight"].dtype == np.float32
+    assert back["other.weight"].dtype == np.float16
