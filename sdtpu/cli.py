@@ -159,6 +159,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "sefi_flow", "minit2i_flow"],
                     help="override the prediction type / denoiser "
                     "(reference --prediction)")
+    ap.add_argument("--ref-image-args", default="",
+                    help="key=value,... reference-image routing overrides "
+                    "(reference --ref-image-args): pass_to_vlm=, pass_to_dit=,"
+                    " vlm_max_pixels=, vlm_min_pixels=")
     ap.add_argument("--sigmas", default="",
                     help="custom comma-separated sigma schedule (reference "
                     "--sigmas); overrides --schedule/--steps")
@@ -542,6 +546,7 @@ def _img_gen(args) -> int:
         apg_norm_threshold=args.apg_nt,
         extra_sample_args=args.extra_sample_args,
         custom_sigmas=args.sigmas,
+        ref_image_args=getattr(args, "ref_image_args", ""),
     )
     init_image = mask_image = control_image = None
     if args.init_img:

@@ -587,13 +587,14 @@ class QwenImageConditioner:
         self._jit_forward = jax.jit(fwd)
         self._jit_forward_embeds = jax.jit(fwd_embeds)
 
-    def _edit_condition(self, text: str, ref_images) -> SDCondition:
+    def _edit_condition(self, text: str, ref_images, **kw) -> SDCondition:
         """Edit path (reference QwenImageEditPlusPipeline branch,
         conditioner.hpp:2213-2273): vision tokens spliced into the token
         embeddings at the <|image_pad|> positions, 64-token prefix dropped."""
-        embeds = encode_vlm_ref_images(self.vision_params, self.vision_cfg,
-                                       ref_images, max_pixels=self.vlm_max,
-                                       min_pixels=self.vlm_min)
+        embeds = encode_vlm_ref_images(
+            self.vision_params, self.vision_cfg, ref_images,
+            max_pixels=kw.get("vlm_max_pixels", self.vlm_max),
+            min_pixels=kw.get("vlm_min_pixels", self.vlm_min))
         img_prompt = "".join(
             f"{self.picture_word} {i + 1}: " + vision_pad_segment(e.shape[0])
             for i, e in enumerate(embeds))
@@ -607,7 +608,7 @@ class QwenImageConditioner:
                               ref_images=None, **kw) -> SDCondition:
         if (ref_images and self.vision_params is not None
                 and self.tokenizer is not None):
-            return self._edit_condition(text, ref_images)
+            return self._edit_condition(text, ref_images, **kw)
         if self.tokenizer is not None:
             ids = self.tokenizer.encode(self.template.format(text))[: self.max_len]
             drop = self.drop_idx
@@ -1157,9 +1158,10 @@ class LongCatConditioner(OvisImageConditioner):
         if not (ref_images and self.vision_params is not None
                 and self.tokenizer is not None):
             return super().get_learned_condition(text, clip_skip=clip_skip, **kw)
-        embeds = encode_vlm_ref_images(self.vision_params, self.vision_cfg,
-                                       ref_images, max_pixels=self.vlm_max,
-                                       min_pixels=self.vlm_min)
+        embeds = encode_vlm_ref_images(
+            self.vision_params, self.vision_cfg, ref_images,
+            max_pixels=kw.get("vlm_max_pixels", self.vlm_max),
+            min_pixels=kw.get("vlm_min_pixels", self.vlm_min))
         img_prompt = "".join(vision_pad_segment(e.shape[0]) for e in embeds)
         prompt = (self.EDIT_PREFIX + img_prompt + text
                   + "<|im_end|>\n<|im_start|>assistant\n")
@@ -1377,7 +1379,8 @@ class BooguConditioner:
                 and self.tokenizer is not None):
             embeds = encode_vlm_ref_images(
                 self.vision_params, self.vision_cfg, ref_images,
-                max_pixels=self.vlm_max, min_pixels=self.vlm_min)
+                max_pixels=kw.get("vlm_max_pixels", self.vlm_max),
+                min_pixels=kw.get("vlm_min_pixels", self.vlm_min))
             img_prompt = "".join(vision_pad_segment(e.shape[0]) for e in embeds)
             prompt = (f"<|im_start|>system\n{self.EDIT_SYSTEM}<|im_end|>\n"
                       f"<|im_start|>user\n{img_prompt}{text}<|im_end|>\n")

@@ -184,6 +184,11 @@ class GenerationParams:
     # comma-separated custom sigma schedule (reference --sigmas); overrides
     # schedule + sample_steps when set
     custom_sigmas: str = ""
+    # key=value,... reference-image routing overrides (reference
+    # ref_image_args, stable-diffusion.cpp:3030-3128): pass_to_vlm=,
+    # pass_to_dit=, vlm_max_pixels=, vlm_min_pixels= (family presets are the
+    # per-pipeline defaults)
+    ref_image_args: str = ""
 
 
 def parse_key_value_args(spec) -> dict:

@@ -1308,6 +1308,23 @@ class DiffusionPipeline:
             gp = dataclasses.replace(
                 gp, prompt=" ".join(gp.prompt.replace(tw, " ").split()))
 
+        # reference-image routing overrides (reference ref_image_args,
+        # stable-diffusion.cpp:3030-3128): the per-family defaults are the
+        # pipeline's hardwired presets; these flip vlm/dit routing per call
+        from sdtpu.config import parse_key_value_args
+
+        ria = parse_key_value_args(getattr(gp, "ref_image_args", ""))
+        vlm_refs = dit_refs = ref_images
+        cond_kw = {}
+        if ref_images is not None and ria:
+            if ria.get("pass_to_vlm") is False:
+                vlm_refs = None
+            if ria.get("pass_to_dit") is False:
+                dit_refs = None
+            for k in ("vlm_max_pixels", "vlm_min_pixels"):
+                if k in ria:
+                    cond_kw[k] = int(ria[k])
+
         has_uncond = gp.cfg_scale != 1.0
         ckey = None
         if self.cond_cache_size and ref_images is None:
@@ -1319,12 +1336,12 @@ class DiffusionPipeline:
             with self._platform_ctx("conditioner"):
                 cond = self.conditioner.get_learned_condition(
                     gp.prompt, clip_skip=gp.clip_skip, width=w, height=h,
-                    ref_images=ref_images,
+                    ref_images=vlm_refs, **cond_kw,
                 )
                 uncond = (
                     self.conditioner.get_learned_condition(
                         gp.negative_prompt, clip_skip=gp.clip_skip,
-                        width=w, height=h, ref_images=ref_images,
+                        width=w, height=h, ref_images=vlm_refs, **cond_kw,
                     )
                     if has_uncond
                     else None
@@ -1481,7 +1498,7 @@ class DiffusionPipeline:
         img_mode = None
         if (has_uncond and gp.img_cfg_scale is not None
                 and float(gp.img_cfg_scale) != float(gp.cfg_scale)):
-            if ref_images is not None and self.ref_extras_fn is not None:
+            if dit_refs is not None and self.ref_extras_fn is not None:
                 img_mode = "refs"
             elif img_uncond_concat is not None:
                 img_mode = "concat"
@@ -1596,9 +1613,9 @@ class DiffusionPipeline:
                         np.asarray(id_vec), (bc,) + id_vec.shape[1:]))
                 kwargs["ctx_switch_step"] = jnp.int32(start_merge)
                 log_info(f"PhotoMaker: ID condition from step {start_merge}")
-        if ref_images is not None and self.ref_extras_fn is not None:
+        if dit_refs is not None and self.ref_extras_fn is not None:
             ex = kwargs.setdefault("extras", {})
-            for k2, v2 in self.ref_extras_fn(ref_images).items():
+            for k2, v2 in self.ref_extras_fn(dit_refs).items():
                 v2 = np.asarray(v2)
                 ex[k2] = jnp.asarray(np.broadcast_to(v2, (bc,) + v2.shape[1:]))
         if c_concat is not None:

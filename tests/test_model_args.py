@@ -102,3 +102,20 @@ def test_model_args_via_create_pipeline_chroma():
     a = np.asarray(base.generate(gp).latents)
     b = np.asarray(alt.generate(gp).latents)
     assert a.shape == b.shape
+
+
+def test_ref_image_args_routing():
+    """ref_image_args (reference stable-diffusion.cpp:3030-3128):
+    pass_to_dit=false drops the ref latents from the DiT extras."""
+    ref = np.full((32, 32, 3), 0.4, dtype=np.float32)
+    pipe = create_pipeline(SDVersion.QWEN_IMAGE, small=True, seed=0)
+    gp = GenerationParams(prompt="x", width=32, height=32, sample_steps=1,
+                          cfg_scale=1.0, seed=3, sample_method="euler")
+    with_refs = np.asarray(pipe.generate(gp, ref_images=[ref]).latents)
+    no_dit = np.asarray(pipe.generate(
+        dataclasses.replace(gp, ref_image_args="pass_to_dit=false"),
+        ref_images=[ref]).latents)
+    plain = np.asarray(pipe.generate(gp).latents)
+    # dropping the DiT refs reproduces the no-ref trajectory
+    np.testing.assert_allclose(no_dit, plain, rtol=1e-5, atol=1e-5)
+    assert np.abs(with_refs - plain).max() > 1e-6
