@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tile VAE encode/decode (low-memory hires)")
     ap.add_argument("--vae-tile-size", type=int, default=64, help="latent units")
     ap.add_argument("--vae-tile-overlap", type=int, default=8)
+    ap.add_argument("--vae-temporal-tiling", action="store_true",
+                    help="window the video VAE decode over latent frames "
+                    "(reference sd_tiling_params_t.temporal_tiling)")
+    ap.add_argument("--extra-tiling-args", default="",
+                    help="key=value,... tiling escape hatch (reference "
+                    "extra_tiling_args): temporal_tile_frames=, "
+                    "temporal_tile_overlap=")
     ap.add_argument("--stream-weights", action="store_true",
                     help="keep diffusion block weights in host RAM and "
                     "stream them per layer (>HBM models; reference "
@@ -401,8 +408,11 @@ def _load_pipeline(args):
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift,
                            **tok_kwargs)
-    if args.vae_tiling:
-        pipe.set_vae_tiling(True, args.vae_tile_size, args.vae_tile_overlap)
+    if args.vae_tiling or getattr(args, "vae_temporal_tiling", False):
+        pipe.set_vae_tiling(
+            args.vae_tiling, args.vae_tile_size, args.vae_tile_overlap,
+            temporal=getattr(args, "vae_temporal_tiling", False),
+            extra_tiling_args=getattr(args, "extra_tiling_args", ""))
     if getattr(args, "sampler_rng", None):
         pipe.sampler_rng_type = args.sampler_rng
     if getattr(args, "prediction", None):

@@ -142,3 +142,40 @@ def tiled_encode(encode_fn, x, tile: int = 512, overlap: int = 64,
             canvas[sl] += t_out * mask
             weight[oy : oy + th // s, ox : ox + tw // s] += mask
     return canvas / np.maximum(weight, 1e-8)
+
+
+def tiled_decode_temporal(decode_fn, z, frames: int = 16, overlap: int = 4,
+                          temporal_scale: int = 4):
+    """Temporal-tiled video decode (reference LTX decode_tiled,
+    ltx_vae.hpp:1100-1160 + sd_tiling_params_t.temporal_tiling): the latent
+    clip splits into windows of `frames` latent frames advancing by
+    `frames - overlap`; each window decodes independently and the output
+    frames belonging to the `overlap` context prefix are dropped.
+
+    The reference carries conv features across chunks (feat_map); here the
+    `overlap` latent frames ARE the causal context window, so results
+    converge to the full-clip decode as overlap grows (exact for receptive
+    fields ≤ overlap).  For causal VAEs latent frame 0 of a window decodes
+    to 1 output frame and later frames to `temporal_scale` each — use
+    overlap ≥ 1 so interior windows never re-enter the frame-0 special case.
+    """
+    z = np.asarray(z)
+    T = z.shape[1]
+    frames = max(1, frames)
+    overlap = max(0, min(overlap, frames - 1))
+    if T <= frames:
+        return np.asarray(decode_fn(z))
+    stride = frames - overlap
+    outs = []
+    s = 0
+    while True:
+        e = min(T, s + frames)
+        y = np.asarray(decode_fn(z[:, s:e]))
+        if s > 0 and overlap > 0:
+            drop = 1 + temporal_scale * (overlap - 1)
+            y = y[:, drop:]
+        outs.append(y)
+        if e == T:
+            break
+        s += stride
+    return np.concatenate(outs, axis=1)

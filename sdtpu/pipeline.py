@@ -153,6 +153,9 @@ class DiffusionPipeline:
         self._vae_tiling = False
         self._vae_tile = 64
         self._vae_overlap = 8
+        self._vae_temporal = False
+        self._vae_temporal_frames = 16
+        self._vae_temporal_overlap = 4
         self._program_cache: Dict[tuple, object] = {}
         self._stepwise_step_cache: Dict[tuple, object] = {}
         self._decode_cache: Dict[tuple, object] = {}
@@ -373,14 +376,26 @@ class DiffusionPipeline:
         self.controlnet_params = params
 
     def set_vae_tiling(self, enabled: bool = True, tile_size: int = 64,
-                       overlap: int = 8) -> None:
+                       overlap: int = 8, temporal: bool = False,
+                       extra_tiling_args="") -> None:
         """Spatial VAE tiling (reference sd_tiling_params_t /
         process_tiles_2d): decode/encode run tile-wise with feathered
         blending; tile/overlap in latent units (pixels ×scale_factor for
-        encode)."""
+        encode).
+
+        temporal: additionally window the video decode over latent frames
+        (reference sd_tiling_params_t.temporal_tiling + LTX decode_tiled).
+        extra_tiling_args: 'temporal_tile_frames=N,temporal_tile_overlap=M'
+        (reference extra_tiling_args, ltx_vae.hpp:1260-1271)."""
+        from sdtpu.config import parse_key_value_args
+
         self._vae_tiling = enabled
         self._vae_tile = tile_size
         self._vae_overlap = overlap
+        self._vae_temporal = temporal
+        eta = parse_key_value_args(extra_tiling_args)
+        self._vae_temporal_frames = max(1, int(eta.get("temporal_tile_frames", 16)))
+        self._vae_temporal_overlap = max(0, int(eta.get("temporal_tile_overlap", 4)))
         self._decode_cache.clear()
 
     def set_photomaker(self, pmid_params, id_images, style_strength: float = 20.0,
@@ -908,10 +923,14 @@ class DiffusionPipeline:
     def _decode_program(self):
         if "decode" not in self._decode_cache:
             jit_decode = jax.jit(lambda p, z: self.vae_decode_fn(p, z))
-            if self._vae_tiling:
-                from sdtpu.models.tiling import tiled_decode
+            if self._vae_tiling or self._vae_temporal:
+                from sdtpu.models.tiling import (
+                    tiled_decode, tiled_decode_temporal,
+                )
 
-                def decode(params, z):
+                def spatial(params, z):
+                    if not self._vae_tiling:
+                        return jit_decode(params, z)
                     return tiled_decode(
                         lambda t: jit_decode(params, t),
                         z,
@@ -920,6 +939,16 @@ class DiffusionPipeline:
                         scale_factor=self.scale_factor,
                         out_channels=3,
                     )
+
+                def decode(params, z):
+                    if self._vae_temporal and getattr(z, "ndim", 0) == 5:
+                        return tiled_decode_temporal(
+                            lambda t: spatial(params, t), z,
+                            frames=self._vae_temporal_frames,
+                            overlap=self._vae_temporal_overlap,
+                            temporal_scale=self.temporal_scale,
+                        )
+                    return spatial(params, z)
 
                 self._decode_cache["decode"] = decode
             else:

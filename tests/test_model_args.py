@@ -119,3 +119,53 @@ def test_ref_image_args_routing():
     # dropping the DiT refs reproduces the no-ref trajectory
     np.testing.assert_allclose(no_dit, plain, rtol=1e-5, atol=1e-5)
     assert np.abs(with_refs - plain).max() > 1e-6
+
+
+def test_temporal_tiled_decode_windowing():
+    """Temporal window math (reference LTX decode_tiled TemporalTilePlan):
+    with a synthetic causal decoder whose receptive field fits the overlap,
+    windowed decode is EXACT."""
+    from sdtpu.models.tiling import tiled_decode_temporal
+
+    ts = 4
+
+    def causal_decode(z):
+        # out frame count 1 + ts*(T-1); each output frame depends on its
+        # latent frame and the previous one (receptive field 1)
+        z = np.asarray(z)
+        b, t = z.shape[:2]
+        outs = [z[:, :1]]
+        for i in range(1, t):
+            prev, cur = z[:, i - 1: i], z[:, i: i + 1]
+            for k in range(ts):
+                outs.append(cur * (k + 1) / ts + prev * (ts - k - 1) / ts)
+        return np.concatenate(outs, axis=1)
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((1, 9, 2, 2, 3), dtype=np.float32)
+    full = causal_decode(z)
+    for frames, overlap in [(3, 1), (4, 2), (5, 1), (9, 4)]:
+        tiled = tiled_decode_temporal(causal_decode, z, frames=frames,
+                                      overlap=overlap, temporal_scale=ts)
+        assert tiled.shape == full.shape, (frames, overlap, tiled.shape)
+        np.testing.assert_allclose(tiled, full, atol=1e-6,
+                                   err_msg=f"frames={frames} ov={overlap}")
+
+
+def test_temporal_tiled_decode_pipeline():
+    """Pipeline wiring: temporal tiling produces the right frame count and
+    matches the full decode over the first window (causal prefix)."""
+    pipe = create_pipeline(SDVersion.WAN2, small=True, seed=0)
+    gp = GenerationParams(prompt="a dog", width=64, height=64, sample_steps=1,
+                          cfg_scale=1.0, seed=5, sample_method="euler")
+    full = pipe.generate_video(gp, frames=17)  # 5 latent frames
+    pipe.set_vae_tiling(False, temporal=True,
+                        extra_tiling_args="temporal_tile_frames=3,"
+                                          "temporal_tile_overlap=2")
+    tiled = pipe.generate_video(gp, frames=17)
+    a = np.asarray(full.frames, dtype=np.float32).reshape(-1, 64, 64, 3)
+    b = np.asarray(tiled.frames, dtype=np.float32).reshape(-1, 64, 64, 3)
+    assert a.shape == b.shape
+    # the first window decodes the causal prefix exactly (uint8 rounding)
+    n0 = 1 + 4 * (3 - 1)  # frames from the first 3 latent frames
+    assert np.abs(a[:n0] - b[:n0]).max() <= 1.0
