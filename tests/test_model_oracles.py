@@ -284,6 +284,102 @@ def test_ernie_image_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def _svd_block_params(c, emb_dim, ctx_dim, depth, rng):
+    def wt(*shape, scale=0.05):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale)
+
+    p = {}
+
+    def lin(pre, o, i, bias=True):
+        p[f"{pre}.weight"] = wt(o, i)
+        if bias:
+            p[f"{pre}.bias"] = jnp.zeros((o,))
+
+    def gn(pre, d):
+        p[f"{pre}.weight"] = jnp.ones((d,))
+        p[f"{pre}.bias"] = jnp.zeros((d,))
+
+    def ln(pre, d):
+        gn(pre, d)
+
+    def res(pre, temporal):
+        gn(f"{pre}.in_layers.0", c)
+        p[f"{pre}.in_layers.2.weight"] = (wt(c, c, 3, 1, 1) if temporal
+                                          else wt(c, c, 3, 3))
+        p[f"{pre}.in_layers.2.bias"] = jnp.zeros((c,))
+        lin(f"{pre}.emb_layers.1", c, emb_dim)
+        gn(f"{pre}.out_layers.0", c)
+        p[f"{pre}.out_layers.3.weight"] = (wt(c, c, 3, 1, 1) if temporal
+                                           else wt(c, c, 3, 3))
+        p[f"{pre}.out_layers.3.bias"] = jnp.zeros((c,))
+
+    res("blk", False)
+    res("blk.time_stack", True)
+    p["blk.time_mixer.mix_factor"] = jnp.asarray([0.3])
+
+    def tblock(pre, ff_in, cdim):
+        if ff_in:
+            ln(f"{pre}.norm_in", c)
+            lin(f"{pre}.ff_in.net.0.proj", 8 * c, c)
+            lin(f"{pre}.ff_in.net.2", c, 4 * c)
+        for i, cd in (("1", c), ("2", cdim)):
+            ln(f"{pre}.norm{i}", c)
+            a = f"{pre}.attn{i}"
+            lin(f"{a}.to_q", c, c, bias=False)
+            lin(f"{a}.to_k", c, cd, bias=False)
+            lin(f"{a}.to_v", c, cd, bias=False)
+            lin(f"{a}.to_out.0", c, c)
+        ln(f"{pre}.norm3", c)
+        lin(f"{pre}.ff.net.0.proj", 8 * c, c)
+        lin(f"{pre}.ff.net.2", c, 4 * c)
+
+    gn("tr.norm", c)
+    lin("tr.proj_in", c, c)
+    lin("tr.proj_out", c, c)
+    lin("tr.time_pos_embed.0", c, c)
+    lin("tr.time_pos_embed.2", c, c)
+    p["tr.time_mixer.mix_factor"] = jnp.asarray([0.2])
+    for k in range(depth):
+        tblock(f"tr.transformer_blocks.{k}", False, ctx_dim)
+        tblock(f"tr.time_stack.{k}", True, ctx_dim)
+    return p
+
+
+def test_svd_video_blocks_match_torch_oracle():
+    from sdtpu.models.unet import (
+        UNetConfig, spatial_transformer, video_resblock,
+    )
+    from tests.torch_ref.svd_blocks import (
+        spatial_video_transformer_torch, video_resblock_torch,
+    )
+
+    c, emb_dim, ctx_dim, frames, depth = 32, 24, 32, 4, 1
+    rng = np.random.default_rng(32)
+    p = _svd_block_params(c, emb_dim, ctx_dim, depth, rng)
+    x = rng.standard_normal((frames, 6, 6, c)).astype(np.float32)
+    emb = rng.standard_normal((frames, emb_dim)).astype(np.float32)
+    ctx = rng.standard_normal((frames, 5, ctx_dim)).astype(np.float32)
+
+    got = np.asarray(video_resblock(p, "blk", jnp.asarray(x),
+                                    jnp.asarray(emb), frames))
+    with torch.no_grad():
+        want = video_resblock_torch(_to_torch(p), "blk",
+                                    torch.from_numpy(x),
+                                    torch.from_numpy(emb), frames).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    cfg = UNetConfig(num_heads=4, svd=True, use_linear_in_transformer=True,
+                     context_dim=ctx_dim)
+    got_t = np.asarray(spatial_transformer(
+        p, "tr", jnp.asarray(x), jnp.asarray(ctx), cfg, depth,
+        num_frames=frames))
+    with torch.no_grad():
+        want_t = spatial_video_transformer_torch(
+            _to_torch(p), "tr", torch.from_numpy(x), torch.from_numpy(ctx),
+            4, depth, frames).numpy()
+    np.testing.assert_allclose(got_t, want_t, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("arch", ["qwen2.5vl", "qwen3vl"])
 def test_qwen_vl_vision_matches_torch_oracle(arch):
     from sdtpu.models.qwen_vl_vision import (
