@@ -40,8 +40,12 @@ class ModelBundle:
     text_projection: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
-def read_checkpoint_file(path: str) -> Dict[str, np.ndarray]:
-    """Read any supported format into {name: np.ndarray} (f32/typed)."""
+def read_checkpoint_file(path: str, keep_quant: bool = False) -> Dict[str, np.ndarray]:
+    """Read any supported format into {name: np.ndarray} (f32/typed).
+
+    keep_quant: quantized GGUF tensors come back as io.gguf.HostQuant —
+    the checkpoint's own blocks, no f32 round-trip (reference keeps ggml
+    types end-to-end, src/model_io/tensor_storage.h:16)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".safetensors" or path.endswith(".index.json"):
         from sdtpu.io.safetensors import load_safetensors
@@ -50,7 +54,7 @@ def read_checkpoint_file(path: str) -> Dict[str, np.ndarray]:
     if ext == ".gguf":
         from sdtpu.io.gguf import load_gguf
 
-        return load_gguf(path)
+        return load_gguf(path, keep_quant=keep_quant)
     if ext in (".ckpt", ".pt", ".pth", ".bin"):
         from sdtpu.io.torch_ckpt import load_torch_checkpoint
 
@@ -284,12 +288,13 @@ def load_model_bundle(
     vae_path: Optional[str] = None,
     llm_path: Optional[str] = None,
     audio_vae_path: Optional[str] = None,
+    keep_quant: bool = False,
 ) -> ModelBundle:
     """Aggregate N weight files with per-file logical prefixes
     (reference stable-diffusion.cpp:714-854)."""
     tensors: Dict[str, np.ndarray] = {}
     if model_path:
-        tensors.update(read_checkpoint_file(model_path))
+        tensors.update(read_checkpoint_file(model_path, keep_quant=keep_quant))
     for path, prefix in (
         (diffusion_model_path, "model.diffusion_model."),
         (clip_l_path, "text_encoders.clip_l.transformer."),
@@ -301,7 +306,8 @@ def load_model_bundle(
     ):
         if not path:
             continue
-        sub = read_checkpoint_file(path)
+        sub = read_checkpoint_file(
+            path, keep_quant=keep_quant and path == diffusion_model_path)
         if path == diffusion_model_path:
             sub = convert_diffusers_diffusion_names(sub)
         elif path == vae_path:

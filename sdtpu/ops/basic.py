@@ -35,6 +35,13 @@ def linear(x: jnp.ndarray, weight, bias: Optional[jnp.ndarray] = None) -> jnp.nd
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+    if type(weight).__name__ == "GroupQuantTensor":
+        from .quant import group_quant_matmul
+
+        y = group_quant_matmul(x, weight)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     if type(weight).__name__ in ("QuantTensor", "QuantLoraTensor"):
         from .quant import quant_matmul
 

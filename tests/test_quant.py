@@ -126,11 +126,12 @@ def test_q4_roundtrip_and_matmul():
     rng = np.random.default_rng(0)
     w = rng.standard_normal((96, 640)).astype(np.float32) * 0.02
     qt = quantize_q4(w)
-    # memory class: 4 bits/weight payload + per-128-group scales
+    # memory class: 4 bits/weight payload + per-group scales (transposed
+    # [K, N] storage — the kernel's natural MXU orientation)
     assert qt.packed.dtype == jnp.uint8
-    kp = qt.packed.shape[1] * 2
+    kp = qt.packed.shape[0] * 2
     assert qt.packed.size == 96 * kp // 2
-    assert qt.scale.shape == (96, kp // 128)
+    assert qt.scale.shape == (kp // qt.group, 96)
 
     wd = np.asarray(dequantize_q4(qt, jnp.float32))
     rel = np.abs(wd[:, :640] - w).max() / np.abs(w).max()
