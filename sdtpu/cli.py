@@ -194,6 +194,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["q8_0", "q4_0"],
                     help="quantize large diffusion weights at load "
                     "(int8 W8A8 / packed 4-bit; reference --type)")
+    ap.add_argument("--auto-fit", type=float, default=None, metavar="GIB",
+                    help="derive a memory plan for the given HBM budget and "
+                    "apply it (quantize / VAE-tile / stream weights; "
+                    "reference --auto-fit, backend_fit.h:12)")
     ap.add_argument("--no-keep-quant", action="store_true",
                     help="dequantize quantized GGUF weights to the compute "
                     "dtype instead of computing on the checkpoint's own "
@@ -475,6 +479,20 @@ def _load_pipeline(args):
             **quantize_params(dense, bits=bits),
         }
         print(f"quantized diffusion weights to {args.wtype}")
+    if getattr(args, "auto_fit", None):
+        # memory plan for the given HBM budget (reference --auto-fit,
+        # src/core/backend_fit.h:12 + docs/backend.md:142)
+        from sdtpu.parallel.autofit import autofit_pipeline
+
+        plan = autofit_pipeline(
+            pipe, int(args.auto_fit * (1 << 30)),
+            width=args.width, height=args.height,
+            allow_quantize=args.wtype is None,
+        )
+        print(f"auto-fit: weights={plan.weight_mode} "
+              f"vae_tiling={plan.vae_tiling} "
+              f"est={plan.est_bytes / 2**30:.2f} GiB "
+              f"budget={plan.budget_bytes / 2**30:.2f} GiB")
     if getattr(args, "circular", False) or getattr(args, "circularx", False) \
             or getattr(args, "circulary", False):
         pipe.set_circular(

@@ -166,6 +166,7 @@ def _create_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer,
             is_chroma=version == SDVersion.CHROMA,
             model_args=kwargs.get("model_args"),
+            stream_weights=kwargs.get("stream_weights", False),
         )
     if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
         return _create_wan_pipeline(
@@ -183,10 +184,12 @@ def _create_pipeline(
         return _create_hunyuan_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             qwen_tokenizer=kwargs.get("qwen_tokenizer"),
+            stream_weights=kwargs.get("stream_weights", False),
         )
     if version == SDVersion.LTXAV:
         return _create_ltxav_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
+            stream_weights=kwargs.get("stream_weights", False),
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
         )
     if version == SDVersion.SVD:
@@ -385,7 +388,8 @@ def _create_pipeline(
 
 
 def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
-                          is_chroma: bool = False, model_args=None):
+                          is_chroma: bool = False, model_args=None,
+                          stream_weights: bool = False):
     import dataclasses
 
     from sdtpu.config import parse_key_value_args
@@ -467,7 +471,7 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
     def vae_encode_fn(p, x, noise=None):
         return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
 
-    return DiffusionPipeline(
+    pipe = DiffusionPipeline(
         version=SDVersion.CHROMA if is_chroma else SDVersion.FLUX,
         ref_extras_fn=_make_ref_extras_fn(vae_params, vae_encode_fn),
         diffusion_params=dit_params,
@@ -482,6 +486,27 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
     )
+    def _setup_streaming():
+        # >HBM FLUX models: double/single block stacks stream from host RAM
+        # (reference --stream-layers + params-backend offload applied to flux)
+        import numpy as _np
+
+        from sdtpu.parallel.streaming import FluxStreamer
+
+        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
+        streamer = FluxStreamer(host, dit_cfg, prefetch=2)
+        pipe.diffusion_params = streamer.resident
+
+        def streamed_fn(p, x, t, ctx, y, guidance=None, **ex):
+            return streamer(x, t, ctx, y, guidance=guidance)
+
+        pipe.set_streamed_diffusion(streamed_fn)
+
+    if not is_chroma:
+        pipe._stream_setup = _setup_streaming
+        if stream_weights:
+            _setup_streaming()
+    return pipe
 
 
 def _create_flux_llm_pipeline(params, rng_type, dtype, small, seed, flow_shift,
@@ -1341,7 +1366,7 @@ def _create_qwen_image_pipeline(params, rng_type, dtype, small, seed, flow_shift
 
 
 def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
-                             qwen_tokenizer=None):
+                             qwen_tokenizer=None, stream_weights=False):
     """Hunyuan Video 1.5 (reference stable-diffusion.cpp:1086): Qwen2.5-VL
     conditioner (video chat template), FLUX-style double-stream DiT with the
     token refiner, 16×/4× causal VAE, flow shift 7."""
@@ -1433,6 +1458,32 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     )
     # meanflow checkpoints consume the next-step timestep every forward
     pipe.needs_sigma_next = dit_cfg.use_meanflow
+
+    def _setup_streaming():
+        # >HBM Hunyuan models: double-stream stack streams from host RAM
+        import numpy as _np
+
+        from sdtpu.parallel.streaming import HunyuanStreamer
+
+        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
+        streamer = HunyuanStreamer(host, dit_cfg, prefetch=2)
+        pipe.diffusion_params = streamer.resident
+
+        def streamed_fn(p, x, t, ctx, y, timestep_r=None, **ex):
+            single = x.ndim == 4
+            if single:
+                x = x[:, None]
+            if extra_in > 0:
+                pad = jnp.zeros(x.shape[:-1] + (extra_in,), dtype=x.dtype)
+                x = jnp.concatenate([x, pad], axis=-1)
+            out = streamer(x, t, ctx, timestep_r=timestep_r)
+            return out[:, 0] if single else out
+
+        pipe.set_streamed_diffusion(streamed_fn)
+
+    pipe._stream_setup = _setup_streaming
+    if stream_weights:
+        _setup_streaming()
     return pipe
 
 
@@ -1628,14 +1679,14 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
         video_condition_fn=video_condition_fn,
     )
     pipe.vace_prepare_fn = _vace_prepare
-    if stream_weights:
+    def _setup_streaming():
         # >HBM Wan models: keep block weights in host RAM, stream per use
         # (reference --stream-layers + params-backend offload)
         import numpy as _np
 
         from sdtpu.parallel.streaming import WanStreamer
 
-        host = {k: _np.asarray(v) for k, v in dit_params.items()}
+        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
         streamer = WanStreamer(host, dit_cfg, prefetch=2)
         pipe.diffusion_params = streamer.resident  # sampler passes these through
 
@@ -1643,6 +1694,10 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
             return streamer(x, t, ctx, clip_fea=y)
 
         pipe.set_streamed_diffusion(streamed_fn)
+
+    pipe._stream_setup = _setup_streaming
+    if stream_weights:
+        _setup_streaming()
     return pipe
 
 
@@ -1730,7 +1785,7 @@ def _create_sd3_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
 
 
 def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
-                           gemma_tokenizer=None):
+                           gemma_tokenizer=None, stream_weights=False):
     """LTX-2 audio-video (reference construction for VERSION_LTXAV:
     LTXAVEmbedder + LTXAVRunner + LTXVideoVAE + LTXAudioVAERunner,
     stable-diffusion.cpp:1140-1220; FluxFlowDenoiser with default flow shift
@@ -1834,6 +1889,8 @@ def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     # caches are keyed on it (LTXAVPipeline._av_key)
     av_state = {"audio_len": 0, "fps": 24.0, "positions": None}
 
+    ltx_holder = {"streamer": None}  # filled by _setup_streaming
+
     def diffusion_fn(p, x, t, ctx, y, av_mask=None, av_init=None):
         """x: packed AV latent [B, T, H, W, zc+extra]; t: [B]."""
         if av_mask is not None:
@@ -1848,10 +1905,16 @@ def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
             b = x.shape[0]
             tok_mask = av_mask[..., 0].reshape(b, -1)
             ts = t[:, None] * tok_mask
-        vout, aout = ltxv_mod.ltxav_forward(
-            p, video, ts, ctx, audio_x=audio, audio_timesteps=t,
-            frame_rate=av_state["fps"], video_positions=av_state["positions"],
-            cfg=dit_cfg)
+        if ltx_holder["streamer"] is not None:
+            vout, aout = ltx_holder["streamer"](
+                video, ts, ctx, audio_x=audio, audio_timesteps=t,
+                frame_rate=av_state["fps"],
+                video_positions=av_state["positions"])
+        else:
+            vout, aout = ltxv_mod.ltxav_forward(
+                p, video, ts, ctx, audio_x=audio, audio_timesteps=t,
+                frame_rate=av_state["fps"],
+                video_positions=av_state["positions"], cfg=dit_cfg)
         if aout is None:
             return vout
         return ltxv_mod.pack_av_latents_jnp(vout, aout,
@@ -1871,7 +1934,7 @@ def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
 
         return latent_upsample(p, z)
 
-    return LTXAVPipeline(
+    pipe = LTXAVPipeline(
         version=SDVersion.LTXAV,
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
@@ -1893,6 +1956,23 @@ def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         audio_channels=ca,
         audio_freq_bins=fb,
     )
+    def _setup_streaming():
+        # >HBM LTX models: transformer_blocks stream from host RAM;
+        # diffusion_fn already routes through the streamer — it just must run
+        # eagerly so the per-block device_puts execute outside jit
+        import numpy as _np
+
+        from sdtpu.parallel.streaming import LTXVStreamer
+
+        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
+        ltx_holder["streamer"] = LTXVStreamer(host, dit_cfg, prefetch=2)
+        pipe.diffusion_params = ltx_holder["streamer"].resident
+        pipe.set_streamed_diffusion(diffusion_fn)
+
+    pipe._stream_setup = _setup_streaming
+    if stream_weights:
+        _setup_streaming()
+    return pipe
 
 
 def _create_z_image_pipeline(params, rng_type, dtype, small, seed, flow_shift,

@@ -338,6 +338,155 @@ def _pulid_ca(p, idx: int, id_emb, img, weight):
     return img + o * w
 
 
+def _k(pre: str, name: str) -> str:
+    return f"{pre}.{name}" if pre else name
+
+
+def flux_double_block(p, pre, img, txt, vec, rot, attn_mask, cfg: FluxConfig,
+                      mods=None):
+    """One MMDiT double-stream block (reference flux.hpp DoubleStreamBlock).
+
+    p may be the full param dict (pre='double_blocks.i') or a block-local
+    dict (pre='') — the same function serves flux_forward's loop and the
+    weight-streamed path.  mods overrides the per-block modulation (chroma
+    distilled table / FLUX.2 shared modulation)."""
+    b = img.shape[0]
+    hidden = cfg.hidden_size
+    nh = cfg.num_heads
+    l_txt = txt.shape[1]
+    if mods is None:
+        img_mods = _modulation(p, _k(pre, "img_mod"), vec, 6)
+        txt_mods = _modulation(p, _k(pre, "txt_mod"), vec, 6)
+    else:
+        img_mods, txt_mods = mods
+    img_n = layer_norm(img, eps=1e-6) * (1 + img_mods[1][:, None]) + img_mods[0][:, None]
+    txt_n = layer_norm(txt, eps=1e-6) * (1 + txt_mods[1][:, None]) + txt_mods[0][:, None]
+    iq, ik, iv = _qkv_norm(p, _k(pre, "img_attn"), img_n, nh)
+    tq, tk, tv = _qkv_norm(p, _k(pre, "txt_attn"), txt_n, nh)
+    q = jnp.concatenate([tq, iq], axis=2)
+    k = jnp.concatenate([tk, ik], axis=2)
+    v = jnp.concatenate([tv, iv], axis=2)
+    q = apply_rope(q, rot)
+    k = apply_rope(k, rot)
+    att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, -1, hidden)
+    txt_att, img_att = att[:, :l_txt], att[:, l_txt:]
+    img = img + img_mods[2][:, None] * linear(
+        img_att, p[_k(pre, "img_attn.proj.weight")], p.get(_k(pre, "img_attn.proj.bias"))
+    )
+    img_m = layer_norm(img, eps=1e-6) * (1 + img_mods[4][:, None]) + img_mods[3][:, None]
+    img = img + img_mods[5][:, None] * _double_mlp(p, _k(pre, "img_mlp"), img_m, cfg)
+    txt = txt + txt_mods[2][:, None] * linear(
+        txt_att, p[_k(pre, "txt_attn.proj.weight")], p.get(_k(pre, "txt_attn.proj.bias"))
+    )
+    txt_m = layer_norm(txt, eps=1e-6) * (1 + txt_mods[4][:, None]) + txt_mods[3][:, None]
+    txt = txt + txt_mods[5][:, None] * _double_mlp(p, _k(pre, "txt_mlp"), txt_m, cfg)
+    return img, txt
+
+
+def flux_single_block(p, pre, xx, vec, rot, attn_mask, cfg: FluxConfig,
+                      mods=None):
+    """One single-stream block (reference flux.hpp SingleStreamBlock); same
+    dual full-dict / block-local usage as flux_double_block."""
+    b = xx.shape[0]
+    hidden = cfg.hidden_size
+    nh = cfg.num_heads
+    d_head = hidden // nh
+    if mods is None:
+        mods = _modulation(p, _k(pre, "modulation"), vec, 3)
+    xn = layer_norm(xx, eps=1e-6) * (1 + mods[1][:, None]) + mods[0][:, None]
+    h1 = linear(xn, p[_k(pre, "linear1.weight")], p.get(_k(pre, "linear1.bias")))
+    qkv, mlp = h1[..., : 3 * hidden], h1[..., 3 * hidden :]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    L = xx.shape[1]
+    q = q.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
+    k = k.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
+    v = v.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
+    q = rms_norm(q, p[_k(pre, "norm.query_norm.scale")], eps=1e-6)
+    k = rms_norm(k, p[_k(pre, "norm.key_norm.scale")], eps=1e-6)
+    q = apply_rope(q, rot)
+    k = apply_rope(k, rot)
+    att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, L, hidden)
+    out = linear(
+        jnp.concatenate([att, _mlp_act(mlp, cfg)], axis=-1),
+        p[_k(pre, "linear2.weight")],
+        p.get(_k(pre, "linear2.bias")),
+    )
+    return xx + mods[2][:, None] * out
+
+
+def flux_prologue(p, x, timesteps, context, y, guidance, cfg: FluxConfig):
+    """Embedding stage of the standard FLUX path (no chroma/sefi/radiance,
+    no reference latents) — the resident prefix for the weight-streamed
+    forward (reference streams any model under a VRAM budget,
+    ggml_graph_cut.h:125; this is the flux split).
+    Returns (img, txt, vec, rot, shared_mods)."""
+    assert not (cfg.is_chroma or cfg.is_sefi or cfg.is_radiance), \
+        "streamed path covers the standard FLUX family"
+    b, h, w, c = x.shape
+    ps = cfg.patch_size
+    hidden = cfg.hidden_size
+    hp, wp = h // ps, w // ps
+    img = (x.reshape(b, hp, ps, wp, ps, c).transpose(0, 1, 3, 2, 4, 5)
+           .reshape(b, hp * wp, ps * ps * c))
+    img = linear(img, p["img_in.weight"], p.get("img_in.bias"))
+    ctx_in = context.astype(x.dtype)
+    if cfg.semantic_txt_norm:
+        ctx_in = rms_norm(ctx_in, p["txt_norm.weight"], eps=1e-6)
+    txt = linear(ctx_in, p["txt_in.weight"], p.get("txt_in.bias"))
+    l_txt = txt.shape[1]
+
+    t_emb = timestep_embedding(timesteps * 1000.0, 256).astype(x.dtype)
+    vec = _mlp_embed(p, "time_in", t_emb)
+    if cfg.guidance_embed and guidance is not None:
+        g_emb = timestep_embedding(guidance * 1000.0, 256).astype(x.dtype)
+        vec = vec + _mlp_embed(p, "guidance_in", g_emb)
+    if cfg.vec_in_dim > 0 and y is not None:
+        vec = vec + _mlp_embed(p, "vector_in", y.astype(x.dtype))
+
+    n_axes = len(cfg.axes_dim)
+    ids = np.zeros((l_txt + hp * wp, n_axes), dtype=np.int64)
+    ii, jj = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+    if cfg.longcat_rope:
+        ids[:l_txt, 1] = np.arange(l_txt)
+        ids[:l_txt, 2] = np.arange(l_txt)
+        ids[l_txt:, 0] = 1
+        ids[l_txt:, 1] = ii.reshape(-1) + l_txt
+        ids[l_txt:, 2] = jj.reshape(-1) + l_txt
+    else:
+        ids[l_txt:, 1] = ii.reshape(-1)
+        ids[l_txt:, 2] = jj.reshape(-1)
+        for a in cfg.txt_arange_axes:
+            ids[:l_txt, a] = np.arange(l_txt)
+    rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
+
+    shared = None
+    if cfg.share_modulation:
+        shared = (
+            _modulation(p, "double_stream_modulation_img", vec, 6),
+            _modulation(p, "double_stream_modulation_txt", vec, 6),
+            _modulation(p, "single_stream_modulation", vec, 3),
+        )
+    return img, txt, vec, rot, shared
+
+
+def flux_head(p, img, vec, dims, cfg: FluxConfig):
+    """Final adaLN + unpatchify of the standard FLUX path; dims is the
+    static (b, h, w, c) of the latent."""
+    b, h, w, c = dims
+    ps = cfg.patch_size
+    hp, wp = h // ps, w // ps
+    mf = linear(
+        silu(vec),
+        p["final_layer.adaLN_modulation.1.weight"],
+        p.get("final_layer.adaLN_modulation.1.bias"),
+    )
+    shift, scale = jnp.split(mf, 2, axis=-1)
+    img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
+    img = linear(img, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
+    return (img.reshape(b, hp, wp, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h, w, c))
+
+
 def flux_forward(
     p,
     x: jnp.ndarray,
@@ -508,34 +657,13 @@ def flux_forward(
             img = _pulid_ca(p, pulid_ca_idx, pulid_id, img, pulid_weight)
             pulid_ca_idx += 1
         if cfg.share_modulation:
-            img_mods, txt_mods = shared_img, shared_txt
+            mods = (shared_img, shared_txt)
         elif cfg.is_chroma:
-            img_mods = _mods(6 * i + 3 * ns, 6)
-            txt_mods = _mods(6 * i + 6 * nd + 3 * ns, 6)
+            mods = (_mods(6 * i + 3 * ns, 6), _mods(6 * i + 6 * nd + 3 * ns, 6))
         else:
-            img_mods = _modulation(p, f"{pre}.img_mod", vec, 6)
-            txt_mods = _modulation(p, f"{pre}.txt_mod", vec, 6)
-        img_n = layer_norm(img, eps=1e-6) * (1 + img_mods[1][:, None]) + img_mods[0][:, None]
-        txt_n = layer_norm(txt, eps=1e-6) * (1 + txt_mods[1][:, None]) + txt_mods[0][:, None]
-        iq, ik, iv = _qkv_norm(p, f"{pre}.img_attn", img_n, nh)
-        tq, tk, tv = _qkv_norm(p, f"{pre}.txt_attn", txt_n, nh)
-        q = jnp.concatenate([tq, iq], axis=2)
-        k = jnp.concatenate([tk, ik], axis=2)
-        v = jnp.concatenate([tv, iv], axis=2)
-        q = apply_rope(q, rot)
-        k = apply_rope(k, rot)
-        att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, -1, hidden)
-        txt_att, img_att = att[:, :l_txt], att[:, l_txt:]
-        img = img + img_mods[2][:, None] * linear(
-            img_att, p[f"{pre}.img_attn.proj.weight"], p.get(f"{pre}.img_attn.proj.bias")
-        )
-        img_m = layer_norm(img, eps=1e-6) * (1 + img_mods[4][:, None]) + img_mods[3][:, None]
-        img = img + img_mods[5][:, None] * _double_mlp(p, f"{pre}.img_mlp", img_m, cfg)
-        txt = txt + txt_mods[2][:, None] * linear(
-            txt_att, p[f"{pre}.txt_attn.proj.weight"], p.get(f"{pre}.txt_attn.proj.bias")
-        )
-        txt_m = layer_norm(txt, eps=1e-6) * (1 + txt_mods[4][:, None]) + txt_mods[3][:, None]
-        txt = txt + txt_mods[5][:, None] * _double_mlp(p, f"{pre}.txt_mlp", txt_m, cfg)
+            mods = None
+        img, txt = flux_double_block(p, pre, img, txt, vec, rot, attn_mask,
+                                     cfg, mods=mods)
 
     xx = jnp.concatenate([txt, img], axis=1)
     mlp_hidden = int(hidden * cfg.mlp_ratio)
@@ -554,26 +682,8 @@ def flux_forward(
         elif cfg.is_chroma:
             mods = _mods(3 * i, 3)
         else:
-            mods = _modulation(p, f"{pre}.modulation", vec, 3)
-        xn = layer_norm(xx, eps=1e-6) * (1 + mods[1][:, None]) + mods[0][:, None]
-        h1 = linear(xn, p[f"{pre}.linear1.weight"], p.get(f"{pre}.linear1.bias"))
-        qkv, mlp = h1[..., : 3 * hidden], h1[..., 3 * hidden :]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        L = xx.shape[1]
-        q = q.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
-        k = k.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
-        v = v.reshape(b, L, nh, d_head).transpose(0, 2, 1, 3)
-        q = rms_norm(q, p[f"{pre}.norm.query_norm.scale"], eps=1e-6)
-        k = rms_norm(k, p[f"{pre}.norm.key_norm.scale"], eps=1e-6)
-        q = apply_rope(q, rot)
-        k = apply_rope(k, rot)
-        att = attention(q, k, v, mask=attn_mask).transpose(0, 2, 1, 3).reshape(b, L, hidden)
-        out = linear(
-            jnp.concatenate([att, _mlp_act(mlp, cfg)], axis=-1),
-            p[f"{pre}.linear2.weight"],
-            p.get(f"{pre}.linear2.bias"),
-        )
-        xx = xx + mods[2][:, None] * out
+            mods = None
+        xx = flux_single_block(p, pre, xx, vec, rot, attn_mask, cfg, mods=mods)
 
     img = xx[:, l_txt:l_txt + n_img]
     if cfg.is_radiance:

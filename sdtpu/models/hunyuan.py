@@ -102,19 +102,53 @@ def _token_refiner(p, txt, timesteps, cfg):
     return h, vec
 
 
-def hunyuan_forward(
-    p,
-    x: jnp.ndarray,
-    timesteps: jnp.ndarray,
-    context: jnp.ndarray,
-    guidance: Optional[jnp.ndarray] = None,
-    cfg: HunyuanVideoConfig = HUNYUAN_VIDEO_15_CONFIG,
-    timestep_r: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """x: [B, T, H, W, C] video latent; timesteps: [B] (flow t, raw scale);
-    context: [B, L, 3584] Qwen2.5-VL states → velocity [B, T, H, W, out].
-    timestep_r: [B] next-step t for meanflow checkpoints (reference
-    hunyuan_timestep_r, stable-diffusion.cpp:2564-2566)."""
+def _k(pre: str, name: str) -> str:
+    return f"{pre}.{name}" if pre else name
+
+
+def hunyuan_double_block(p, pre, img, txt, vec, rot, cfg: "HunyuanVideoConfig"):
+    """One HunyuanVideo double-stream block (reference hunyuan.hpp
+    DoubleStreamBlock).  p may be the full dict (pre='double_blocks.i') or a
+    block-local dict (pre='') for the weight-streamed path."""
+    b = img.shape[0]
+    hid = cfg.hidden_size
+    nh = cfg.num_heads
+    l_txt = txt.shape[1]
+    img_mods = _modulation(p, _k(pre, "img_mod"), vec, 6)
+    txt_mods = _modulation(p, _k(pre, "txt_mod"), vec, 6)
+    img_n = layer_norm(img, eps=1e-6) * (1 + img_mods[1][:, None]) + img_mods[0][:, None]
+    txt_n = layer_norm(txt, eps=1e-6) * (1 + txt_mods[1][:, None]) + txt_mods[0][:, None]
+    iq, ik, iv = _qkv_norm(p, _k(pre, "img_attn"), img_n, nh)
+    tq, tk, tv = _qkv_norm(p, _k(pre, "txt_attn"), txt_n, nh)
+    q = apply_rope(jnp.concatenate([tq, iq], axis=2), rot)
+    k = apply_rope(jnp.concatenate([tk, ik], axis=2), rot)
+    v = jnp.concatenate([tv, iv], axis=2)
+    att = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, -1, hid)
+    txt_att, img_att = att[:, :l_txt], att[:, l_txt:]
+    img = img + img_mods[2][:, None] * linear(
+        img_att, p[_k(pre, "img_attn.proj.weight")], p[_k(pre, "img_attn.proj.bias")]
+    )
+    img_m = layer_norm(img, eps=1e-6) * (1 + img_mods[4][:, None]) + img_mods[3][:, None]
+    img_mlp = linear(img_m, p[_k(pre, "img_mlp.0.weight")], p[_k(pre, "img_mlp.0.bias")])
+    img = img + img_mods[5][:, None] * linear(
+        gelu_tanh(img_mlp), p[_k(pre, "img_mlp.2.weight")], p[_k(pre, "img_mlp.2.bias")]
+    )
+    txt = txt + txt_mods[2][:, None] * linear(
+        txt_att, p[_k(pre, "txt_attn.proj.weight")], p[_k(pre, "txt_attn.proj.bias")]
+    )
+    txt_m = layer_norm(txt, eps=1e-6) * (1 + txt_mods[4][:, None]) + txt_mods[3][:, None]
+    txt_mlp = linear(txt_m, p[_k(pre, "txt_mlp.0.weight")], p[_k(pre, "txt_mlp.0.bias")])
+    txt = txt + txt_mods[5][:, None] * linear(
+        gelu_tanh(txt_mlp), p[_k(pre, "txt_mlp.2.weight")], p[_k(pre, "txt_mlp.2.bias")]
+    )
+    return img, txt
+
+
+def hunyuan_prologue(p, x, timesteps, context, guidance, cfg,
+                     timestep_r=None):
+    """Embedding stage (patchify + token refiner + time/guidance vec + RoPE)
+    — the resident prefix for the weight-streamed forward.
+    Returns (img, txt, vec, rot, dims)."""
     b, t, hh, ww, c = x.shape
     pt, ph, pw = cfg.patch_size
     hid = cfg.hidden_size
@@ -128,13 +162,12 @@ def hunyuan_forward(
     w_patch = p["img_in.proj.weight"].reshape(hid, -1)
     img = linear(img, w_patch, p["img_in.proj.bias"])
 
-    txt, _refiner_vec = _token_refiner(p, context.astype(x.dtype), timesteps, cfg)
+    txt, _ = _token_refiner(p, context.astype(x.dtype), timesteps, cfg)
     l_txt = txt.shape[1]
 
     t_emb = timestep_embedding(timesteps, 256).astype(x.dtype)
     vec = _mlp_embed(p, "time_in", t_emb)
     if cfg.use_meanflow and timestep_r is not None:
-        # second (next-step) timestep stream (reference hunyuan.hpp:433-439)
         tr_emb = timestep_embedding(timestep_r, 256).astype(x.dtype)
         vec = vec + _mlp_embed(p, "time_r_in", tr_emb)
         if not cfg.use_meanflow_sum:
@@ -143,56 +176,51 @@ def hunyuan_forward(
         g_emb = timestep_embedding(guidance, 256).astype(x.dtype)
         vec = vec + _mlp_embed(p, "guidance_in", g_emb)
 
-    # RoPE: txt zeros, video (t, h, w) grid, theta 256
     ids = np.zeros((l_txt + tl * hl * wl, 3), dtype=np.int64)
     ti, hi, wi = np.meshgrid(np.arange(tl), np.arange(hl), np.arange(wl), indexing="ij")
     ids[l_txt:, 0] = ti.reshape(-1)
     ids[l_txt:, 1] = hi.reshape(-1)
     ids[l_txt:, 2] = wi.reshape(-1)
     rot = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
+    return img, txt, vec, rot, (b, t, hh, ww, tl, hl, wl)
 
-    nh = cfg.num_heads
-    for i in range(cfg.depth):
-        pre = f"double_blocks.{i}"
-        img_mods = _modulation(p, f"{pre}.img_mod", vec, 6)
-        txt_mods = _modulation(p, f"{pre}.txt_mod", vec, 6)
-        img_n = layer_norm(img, eps=1e-6) * (1 + img_mods[1][:, None]) + img_mods[0][:, None]
-        txt_n = layer_norm(txt, eps=1e-6) * (1 + txt_mods[1][:, None]) + txt_mods[0][:, None]
-        iq, ik, iv = _qkv_norm(p, f"{pre}.img_attn", img_n, nh)
-        tq, tk, tv = _qkv_norm(p, f"{pre}.txt_attn", txt_n, nh)
-        q = apply_rope(jnp.concatenate([tq, iq], axis=2), rot)
-        k = apply_rope(jnp.concatenate([tk, ik], axis=2), rot)
-        v = jnp.concatenate([tv, iv], axis=2)
-        att = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, -1, hid)
-        txt_att, img_att = att[:, :l_txt], att[:, l_txt:]
-        img = img + img_mods[2][:, None] * linear(
-            img_att, p[f"{pre}.img_attn.proj.weight"], p[f"{pre}.img_attn.proj.bias"]
-        )
-        img_m = layer_norm(img, eps=1e-6) * (1 + img_mods[4][:, None]) + img_mods[3][:, None]
-        img_mlp = linear(img_m, p[f"{pre}.img_mlp.0.weight"], p[f"{pre}.img_mlp.0.bias"])
-        img = img + img_mods[5][:, None] * linear(
-            gelu_tanh(img_mlp), p[f"{pre}.img_mlp.2.weight"], p[f"{pre}.img_mlp.2.bias"]
-        )
-        txt = txt + txt_mods[2][:, None] * linear(
-            txt_att, p[f"{pre}.txt_attn.proj.weight"], p[f"{pre}.txt_attn.proj.bias"]
-        )
-        txt_m = layer_norm(txt, eps=1e-6) * (1 + txt_mods[4][:, None]) + txt_mods[3][:, None]
-        txt_mlp = linear(txt_m, p[f"{pre}.txt_mlp.0.weight"], p[f"{pre}.txt_mlp.0.bias"])
-        txt = txt + txt_mods[5][:, None] * linear(
-            gelu_tanh(txt_mlp), p[f"{pre}.txt_mlp.2.weight"], p[f"{pre}.txt_mlp.2.bias"]
-        )
 
+def hunyuan_head(p, img, vec, dims, cfg):
+    """Final adaLN + unpatchify; dims from hunyuan_prologue."""
+    b, t, hh, ww, tl, hl, wl = dims
+    pt, ph, pw = cfg.patch_size
     mf = linear(silu(vec), p["final_layer.adaLN_modulation.1.weight"],
                 p["final_layer.adaLN_modulation.1.bias"])
     shift, scale = jnp.split(mf, 2, axis=-1)
     img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
     img = linear(img, p["final_layer.linear.weight"], p["final_layer.linear.bias"])
-
     out = img.reshape(b, tl, hl, wl, cfg.out_channels, pt, ph, pw)
     out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4).reshape(
         b, tl * pt, hl * ph, wl * pw, cfg.out_channels
     )
     return out[:, :t, :hh, :ww, :]
+
+
+def hunyuan_forward(
+    p,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    cfg: HunyuanVideoConfig = HUNYUAN_VIDEO_15_CONFIG,
+    timestep_r: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """x: [B, T, H, W, C] video latent; timesteps: [B] (flow t, raw scale);
+    context: [B, L, 3584] Qwen2.5-VL states → velocity [B, T, H, W, out].
+    timestep_r: [B] next-step t for meanflow checkpoints (reference
+    hunyuan_timestep_r, stable-diffusion.cpp:2564-2566)."""
+    img, txt, vec, rot, dims = hunyuan_prologue(
+        p, x, timesteps, context, guidance, cfg, timestep_r=timestep_r
+    )
+    for i in range(cfg.depth):
+        img, txt = hunyuan_double_block(p, f"double_blocks.{i}", img, txt,
+                                        vec, rot, cfg)
+    return hunyuan_head(p, img, vec, dims, cfg)
 
 
 def init_hunyuan_params(cfg: HunyuanVideoConfig = HUNYUAN_VIDEO_15_CONFIG, seed: int = 0,

@@ -636,10 +636,15 @@ def ltxav_forward(
     frame_rate: float = 24.0,
     video_positions: Optional[np.ndarray] = None,
     cfg: LTXAVConfig = LTXAV_CONFIG,
+    run_blocks=None,
 ):
     """x: [B, T, H, W, C] video latent; timesteps: [B] or [B, T*H*W]
     (per-token, from the denoise mask); context: [B, Lc, D];
     audio_x: [B, Ta, Ca, F] or None; audio_timesteps: [B].
+
+    run_blocks: optional ``(vx, ax, aux_tuple) -> (vx, ax)`` override for the
+    transformer stack — the weight-streamed path routes the blocks through a
+    BlockStreamer while prologue/head use the resident params.
 
     Returns (video_out [B, T, H, W, out_ch], audio_out or None).
     Reference: LTXAVModelBlock::forward (ltxv.hpp:1548).
@@ -716,11 +721,14 @@ def ltxav_forward(
         a_cross_pe = audio_rope(ta, cfg.audio_cross_attention_dim,
                                 cfg.audio_num_heads, cfg.rope_theta, tmax, True)
 
-    for i in range(cfg.num_layers):
-        vx, ax = _av_block(p, f"transformer_blocks.{i}", vx, ax, v_ctx, a_ctx,
-                           v_t_mod, a_t_mod, v_pe, a_pe, v_cross_pe,
-                           a_cross_pe, v_cs_t, a_cs_t, v_gate_t, a_gate_t,
-                           v_prompt_mod, a_prompt_mod, cfg)
+    aux = (v_ctx, a_ctx, v_t_mod, a_t_mod, v_pe, a_pe, v_cross_pe,
+           a_cross_pe, v_cs_t, a_cs_t, v_gate_t, a_gate_t,
+           v_prompt_mod, a_prompt_mod)
+    if run_blocks is not None:
+        vx, ax = run_blocks(vx, ax, aux)
+    else:
+        for i in range(cfg.num_layers):
+            vx, ax = _av_block(p, f"transformer_blocks.{i}", vx, ax, *aux, cfg)
 
     # output heads (scale_shift_table [2, dim] + embedded timestep)
     v_ss = v_emb[:, :, None] + p["scale_shift_table"][None, None].astype(dtype)

@@ -132,6 +132,161 @@ class BlockStreamer:
         return carry
 
 
+class FluxStreamer:
+    """Weight-streamed FLUX forward: FLUX.1-dev bf16 (~24 GB params) samples
+    on a 16 GB v5e (resident embeds/head ≈ 0.3 GB + prefetch × block +
+    activations).  Covers the standard FLUX family (dev/schnell/FLUX.2 shared
+    modulation); chroma/sefi/radiance keep the resident path.
+
+    The double_blocks and single_blocks stacks stream independently — each
+    has its own jitted block program (shape-homogeneous within a stack).
+    Reference analog: any-model residency streaming, ggml_graph_cut.h:125 +
+    docs/performance.md:56-74."""
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+        from sdtpu.models.flux import (
+            flux_double_block,
+            flux_head,
+            flux_prologue,
+            flux_single_block,
+        )
+
+        self.cfg = cfg
+        rest, self.double_host = split_stacked_params(params, "double_blocks")
+        self.resident, self.single_host = split_stacked_params(rest, "single_blocks")
+        if device is not None:
+            self.resident = {
+                k: jax.device_put(v, device) for k, v in self.resident.items()
+            }
+
+        def _prologue(p, x, t, ctx, y, g):
+            return flux_prologue(p, x, t, ctx, y, g, cfg)
+
+        def _dblock(bp, carry, vec, rot, mods):
+            img, txt = carry
+            return flux_double_block(bp, "", img, txt, vec, rot, None, cfg,
+                                     mods=mods)
+
+        def _sblock(bp, xx, vec, rot, mods):
+            return flux_single_block(bp, "", xx, vec, rot, None, cfg,
+                                     mods=mods)
+
+        def _head(p, img, vec, dims):
+            return flux_head(p, img, vec, dims, cfg)
+
+        self._prologue = jax.jit(_prologue)
+        self._head_jit = jax.jit(_head, static_argnames=("dims",))
+        self._double = BlockStreamer(_dblock, prefetch=prefetch, device=device)
+        self._single = BlockStreamer(_sblock, prefetch=prefetch, device=device)
+        self.last_peak_blocks = 0
+
+    def __call__(self, x, timesteps, context, y, guidance=None):
+        cfg = self.cfg
+        b, h, w, c = x.shape
+        img, txt, vec, rot, shared = self._prologue(
+            self.resident, x, timesteps, context, y, guidance
+        )
+        l_txt = txt.shape[1]
+        dmods = (shared[0], shared[1]) if shared is not None else None
+        smods = shared[2] if shared is not None else None
+        img, txt = self._double(self.double_host, (img, txt), vec, rot, dmods)
+        xx = jnp.concatenate([txt, img], axis=1)
+        xx = self._single(self.single_host, xx, vec, rot, smods)
+        self.last_peak_blocks = max(self._double.peak_resident_blocks,
+                                    self._single.peak_resident_blocks)
+        return self._head_jit(self.resident, xx[:, l_txt:], vec, (b, h, w, c))
+
+
+class HunyuanStreamer:
+    """Weight-streamed HunyuanVideo forward (double-stream stack from host
+    RAM; prologue/token-refiner/head resident)."""
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+        from sdtpu.models.hunyuan import (
+            hunyuan_double_block,
+            hunyuan_head,
+            hunyuan_prologue,
+        )
+
+        self.cfg = cfg
+        self.resident, self.blocks_host = split_stacked_params(
+            params, "double_blocks")
+        if device is not None:
+            self.resident = {
+                k: jax.device_put(v, device) for k, v in self.resident.items()
+            }
+
+        def _prologue(p, x, t, ctx, g, tr):
+            img, txt, vec, rot, _ = hunyuan_prologue(p, x, t, ctx, g, cfg,
+                                                     timestep_r=tr)
+            return img, txt, vec, rot
+
+        def _block(bp, carry, vec, rot):
+            img, txt = carry
+            return hunyuan_double_block(bp, "", img, txt, vec, rot, cfg)
+
+        def _head(p, img, vec, dims):
+            return hunyuan_head(p, img, vec, dims, cfg)
+
+        self._prologue = jax.jit(_prologue)
+        self._head_jit = jax.jit(_head, static_argnames=("dims",))
+        self._streamer = BlockStreamer(_block, prefetch=prefetch, device=device)
+        self.last_peak_blocks = 0
+
+    def __call__(self, x, timesteps, context, guidance=None, timestep_r=None):
+        b, t, hh, ww, _ = x.shape
+        pt, ph, pw = self.cfg.patch_size
+        dims = (b, t, hh, ww, -(-t // pt), -(-hh // ph), -(-ww // pw))
+        img, txt, vec, rot = self._prologue(
+            self.resident, x, timesteps, context, guidance, timestep_r
+        )
+        img, txt = self._streamer(self.blocks_host, (img, txt), vec, rot)
+        self.last_peak_blocks = self._streamer.peak_resident_blocks
+        return self._head_jit(self.resident, img, vec, dims)
+
+
+class LTXVStreamer:
+    """Weight-streamed LTX(-AV) forward: the transformer_blocks stack streams
+    from host RAM via ltxav_forward's ``run_blocks`` hook; prologue/head run
+    eagerly on the resident params (tiny vs the 48-block stack)."""
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+        from sdtpu.models.ltxv import _av_block
+
+        self.cfg = cfg
+        self.resident, self.blocks_host = split_stacked_params(
+            params, "transformer_blocks")
+        if device is not None:
+            self.resident = {
+                k: jax.device_put(v, device) for k, v in self.resident.items()
+            }
+
+        def _block(bp, carry, *aux):
+            # re-prefix block-local keys so _av_block's f"{pre}.…" lookups hit
+            bp2 = {f"blk.{k}": v for k, v in bp.items()}
+            vx, ax = carry
+            return _av_block(bp2, "blk", vx, ax, *aux, cfg)
+
+        self._streamer = BlockStreamer(_block, prefetch=prefetch, device=device)
+        self.last_peak_blocks = 0
+
+    def __call__(self, x, timesteps, context=None, audio_x=None,
+                 audio_timesteps=None, frame_rate=24.0, video_positions=None):
+        from sdtpu.models.ltxv import ltxav_forward
+
+        def run_blocks(vx, ax, aux):
+            out = self._streamer(self.blocks_host, (vx, ax), *aux)
+            self.last_peak_blocks = self._streamer.peak_resident_blocks
+            return out
+
+        return ltxav_forward(
+            self.resident, x, timesteps, context=context, audio_x=audio_x,
+            audio_timesteps=audio_timesteps, frame_rate=frame_rate,
+            video_positions=video_positions, cfg=self.cfg,
+            run_blocks=run_blocks,
+        )
+
+
 class WanStreamer:
     """Weight-streamed Wan forward: Wan-14B bf16 (~28 GB params) samples on a
     16 GB v5e (resident ≈ 1.5 GB + 2 blocks ≈ 1.4 GB + activations).

@@ -124,3 +124,56 @@ def test_streamed_wan_pipeline_matches_jitted():
                                stream_weights=True)
     got = streamed.generate_video(gp, frames=5).latents
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_streamed_flux_pipeline_matches_jitted():
+    """create_pipeline(FLUX, stream_weights=True) routes generation through
+    the eager FluxStreamer (double + single stacks streamed from host RAM)
+    and matches the jitted resident path (VERDICT r2 missing #2)."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    gp = GenerationParams(prompt="a cat", width=64, height=64, sample_steps=2,
+                          sample_method="euler", seed=3, cfg_scale=1.0,
+                          guidance=3.5)
+    base = create_pipeline(SDVersion.FLUX, small=True, seed=0)
+    want = base.generate(gp).latents
+
+    streamed = create_pipeline(SDVersion.FLUX, small=True, seed=0,
+                               stream_weights=True)
+    got = streamed.generate(gp).latents
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_streamed_hunyuan_pipeline_matches_jitted():
+    """HunyuanVideo stream_weights: double-stream stack from host RAM
+    matches the jitted resident path."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    gp = GenerationParams(prompt="a cat", width=64, height=64, sample_steps=2,
+                          sample_method="euler", seed=3, cfg_scale=1.0)
+    base = create_pipeline(SDVersion.HUNYUAN_VIDEO, small=True, seed=0)
+    want = base.generate_video(gp, frames=5).latents
+
+    streamed = create_pipeline(SDVersion.HUNYUAN_VIDEO, small=True, seed=0,
+                               stream_weights=True)
+    got = streamed.generate_video(gp, frames=5).latents
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_streamed_ltxav_pipeline_matches_jitted():
+    """LTX-AV stream_weights: transformer_blocks stream via the run_blocks
+    hook and match the jitted resident path."""
+    from sdtpu.config import GenerationParams, SDVersion
+    from sdtpu.factory import create_pipeline
+
+    gp = GenerationParams(prompt="a cat", width=64, height=64, sample_steps=2,
+                          sample_method="euler", seed=3, cfg_scale=1.0)
+    base = create_pipeline(SDVersion.LTXAV, small=True, seed=0)
+    want = base.generate_video(gp, frames=5, fps=24).latents
+
+    streamed = create_pipeline(SDVersion.LTXAV, small=True, seed=0,
+                               stream_weights=True)
+    got = streamed.generate_video(gp, frames=5, fps=24).latents
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
