@@ -164,6 +164,7 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
     # vision tower under "model.visual." (reference HiDreamO1Runner prefix
     # "model", hidream_o1.hpp:347)
     hidream = version == SDVersion.HIDREAM_O1
+    _gguf_vision_is_q3 = None  # lazily decided from the full name set
 
     for name, arr in canon.items():
         if hidream and name.startswith("model.") and not name.startswith(
@@ -176,9 +177,15 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
             continue
         if name.startswith("model.diffusion_model."):
             local = name[len("model.diffusion_model.") :]
-            # PiD nests the PixelDiT under "net." (reference PiDRunner
-            # prefix "model.diffusion_model.net", stable-diffusion.cpp:1004)
-            if local.startswith("net."):
+            if version == SDVersion.ANIMA:
+                # Anima keeps the "net." nesting; add it when a checkpoint
+                # omits it (reference convert_other_dit_to_original_anima,
+                # name_conversion.cpp:771)
+                if not local.startswith("net."):
+                    local = "net." + local
+            elif local.startswith("net."):
+                # PiD nests the PixelDiT under "net." (reference PiDRunner
+                # prefix "model.diffusion_model.net", stable-diffusion.cpp:1004)
                 local = local[len("net.") :]
             diffusion[local] = arr
         elif name.startswith("first_stage_model."):
@@ -196,13 +203,46 @@ def split_modules(tensors: Dict[str, np.ndarray]) -> ModelBundle:
             if cv is not None:
                 clip_g[cv] = arr
         elif name.startswith("text_encoders.t5xxl.transformer."):
-            t5[name[len("text_encoders.t5xxl.transformer.") :]] = arr
+            local = name[len("text_encoders.t5xxl.transformer.") :]
+            if local.startswith(("enc.", "dec.", "token_embd.", "output_norm.")):
+                # llama.cpp GGUF T5 export (reference t5_name_map,
+                # name_conversion.cpp:113-128)
+                from sdtpu.io.name_conversion import convert_gguf_t5_name
+
+                local = convert_gguf_t5_name(local)
+            t5[local] = arr
         elif name.startswith("text_encoders.clip_l.transformer."):
             clip_l[name[len("text_encoders.clip_l.transformer.") :]] = arr
         elif name.startswith("text_encoders.clip_g.transformer."):
             clip_g[name[len("text_encoders.clip_g.transformer.") :]] = arr
         elif name.startswith("text_encoders.llm."):
-            llm[name[len("text_encoders.llm.") :]] = arr
+            local = name[len("text_encoders.llm.") :]
+            if local.startswith("model.visual."):
+                # HF checkpoints nest the vision tower under model.visual
+                # (reference name_conversion.cpp:1461-1463)
+                local = "visual." + local[len("model.visual.") :]
+            elif local.startswith(("blk.", "token_embd.", "output_norm.",
+                                   "v.", "mm.", "attn_sinks.")):
+                # llama.cpp GGUF LLM / mmproj export (reference llm_name_map
+                # + vision maps, name_conversion.cpp:130-207); qwen3-vl
+                # mmprojs carry fused attn_qkv, qwen2.5-vl separate q/k/v
+                from sdtpu.io.name_conversion import (
+                    convert_gguf_llm_name,
+                    convert_gguf_te_name,
+                )
+
+                if local.startswith(("v.", "mm.")):
+                    if _gguf_vision_is_q3 is None:
+                        _gguf_vision_is_q3 = any(
+                            "attn_qkv." in n or "position_embd" in n
+                            for n in canon
+                            if ".llm.v." in n or ".llm.mm." in n
+                        )
+                    local = convert_gguf_te_name(
+                        local, qwen3_vision=_gguf_vision_is_q3)
+                else:
+                    local = convert_gguf_llm_name(local)
+            llm[local] = arr
         elif name.startswith(("audio_vae.", "vocoder.")):
             # LTX audio VAE keeps its full names (reference prefix "",
             # ltx_audio_vae.hpp LTXAudioVAE param naming)

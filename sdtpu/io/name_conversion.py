@@ -537,6 +537,139 @@ def convert_diffusers_wan_vae_name(name: str) -> str:
     return name
 
 
+# ------------------------------------------------- GGUF (llama.cpp) TE names
+
+def _replace_name_map(name: str, pairs) -> str:
+    """First-substring-occurrence replacement per pair, applied in order
+    (reference replace_with_name_map semantics, name_conversion.cpp)."""
+    for src, dst in pairs:
+        idx = name.find(src)
+        if idx >= 0:
+            name = name[:idx] + dst + name[idx + len(src):]
+    return name
+
+
+_GGUF_T5_MAP = (
+    ("enc.", "encoder."),
+    ("blk.", "block."),
+    ("output_norm.", "final_layer_norm."),
+    ("attn_q.", "layer.0.SelfAttention.q."),
+    ("attn_k.", "layer.0.SelfAttention.k."),
+    ("attn_v.", "layer.0.SelfAttention.v."),
+    ("attn_o.", "layer.0.SelfAttention.o."),
+    ("attn_norm.", "layer.0.layer_norm."),
+    ("ffn_norm.", "layer.1.layer_norm."),
+    ("ffn_up.", "layer.1.DenseReluDense.wi_1."),
+    ("ffn_down.", "layer.1.DenseReluDense.wo."),
+    ("ffn_gate.", "layer.1.DenseReluDense.wi_0."),
+    ("attn_rel_b.", "layer.0.SelfAttention.relative_attention_bias."),
+    ("token_embd.", "shared."),
+)
+
+_GGUF_LLM_MAP = (
+    ("attn_sinks.weight", "self_attn.sinks"),
+    ("token_embd.", "model.embed_tokens."),
+    ("blk.", "model.layers."),
+    ("attn_q.", "self_attn.q_proj."),
+    ("attn_k.", "self_attn.k_proj."),
+    ("attn_v.", "self_attn.v_proj."),
+    ("attn_q_norm.", "self_attn.q_norm."),
+    ("attn_k_norm.", "self_attn.k_norm."),
+    ("attn_output.", "self_attn.o_proj."),
+    ("attn_norm.", "input_layernorm."),
+    ("attn_post_norm.", "post_attention_norm."),
+    ("ffn_gate_inp.", "mlp.router."),
+    ("ffn_gate_exps.", "mlp.experts.gate_proj."),
+    ("ffn_up_exps.", "mlp.experts.up_proj."),
+    ("ffn_down_exps.", "mlp.experts.down_proj."),
+    ("ffn_down.", "mlp.down_proj."),
+    ("ffn_gate.", "mlp.gate_proj."),
+    ("ffn_up.", "mlp.up_proj."),
+    ("ffn_post_norm.", "post_ffw_norm."),
+    ("ffn_norm.", "post_attention_layernorm."),
+    ("output_norm.", "model.norm."),
+)
+
+# Qwen2.5-VL mmproj (llama.cpp clip.cpp names) → HF vision-tower names
+_GGUF_QWEN25_VISION_MAP = (
+    ("mm.", "merger.mlp."),
+    ("v.post_ln.", "merger.ln_q."),
+    ("v.patch_embd.weight", "patch_embed.proj.0.weight"),
+    ("patch_embed.proj.0.weight.1", "patch_embed.proj.1.weight"),
+    ("v.patch_embd.weight.1", "patch_embed.proj.1.weight"),
+    ("v.blk.", "blocks."),
+    ("attn_q.", "attn.q_proj."),
+    ("attn_k.", "attn.k_proj."),
+    ("attn_v.", "attn.v_proj."),
+    ("attn_out.", "attn.proj."),
+    ("ffn_down.", "mlp.down_proj."),
+    ("ffn_gate.", "mlp.gate_proj."),
+    ("ffn_up.", "mlp.up_proj."),
+    ("ln1.", "norm1."),
+    ("ln2.", "norm2."),
+)
+
+_GGUF_QWEN3_VISION_MAP = (
+    ("mm.0.", "merger.linear_fc1."),
+    ("mm.2.", "merger.linear_fc2."),
+    ("v.post_ln.", "merger.norm."),
+    ("v.position_embd.weight", "pos_embed.weight"),
+    ("v.patch_embd.weight.1", "patch_embed.proj.1.weight"),
+    ("v.patch_embd.weight", "patch_embed.proj.0.weight"),
+    ("v.patch_embd.bias", "patch_embed.bias"),
+    ("v.blk.", "blocks."),
+    ("attn_qkv.", "attn.qkv."),
+    ("attn_out.", "attn.proj."),
+    ("ffn_up.", "mlp.linear_fc1."),
+    ("ffn_down.", "mlp.linear_fc2."),
+    ("ln1.", "norm1."),
+    ("ln2.", "norm2."),
+)
+
+
+def convert_gguf_t5_name(name: str) -> str:
+    """llama.cpp GGUF T5 names → HF T5EncoderModel names (reference
+    t5_name_map, name_conversion.cpp:113-128)."""
+    return _replace_name_map(name, _GGUF_T5_MAP)
+
+
+def convert_gguf_llm_name(name: str) -> str:
+    """llama.cpp GGUF decoder-LLM names → HF names (reference llm_name_map,
+    name_conversion.cpp:130-153)."""
+    return _replace_name_map(name, _GGUF_LLM_MAP)
+
+
+def convert_qwen25_vl_vision_name(name: str) -> str:
+    """llama.cpp mmproj Qwen2.5-VL vision names → HF `visual.*`-local names
+    (reference llm_vision_name_map, name_conversion.cpp:155-171)."""
+    return _replace_name_map(name, _GGUF_QWEN25_VISION_MAP)
+
+
+def convert_qwen3_vl_vision_name(name: str) -> str:
+    """llama.cpp mmproj Qwen3-VL vision names → HF `visual.*`-local names
+    (reference convert_qwen3_vl_vision_name, name_conversion.cpp:187-207)."""
+    return _replace_name_map(name, _GGUF_QWEN3_VISION_MAP)
+
+
+def convert_gguf_te_name(name: str, qwen3_vision: bool = False) -> str:
+    """Dispatch a GGUF llama.cpp-style text-encoder-local name (reference
+    convert_cond_stage_model_name, name_conversion.cpp:105-185).  `name` is
+    the module-local name (t5xxl/llm prefix already stripped)."""
+    if name.startswith(("v.", "mm.")):
+        cv = (convert_qwen3_vl_vision_name if qwen3_vision
+              else convert_qwen25_vl_vision_name)(name)
+        return "visual." + cv
+    return name
+
+
+def convert_anima_dit_name(name: str) -> str:
+    """Anima DiT checkpoints may omit the `net.` nesting (reference
+    convert_other_dit_to_original_anima, name_conversion.cpp:771)."""
+    if not name.startswith("net."):
+        return "net." + name
+    return name
+
+
 # ----------------------------------------------------- PhotoMaker / IP-Adapter
 
 def convert_pmid_name(name: str) -> str:

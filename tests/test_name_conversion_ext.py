@@ -206,3 +206,117 @@ def test_hunyuan_video_names():
     d = {"double_blocks.0.img_attn_qkv.weight": np.zeros((4, 4), np.float32)}
     out = convert_diffusers_diffusion_names(d)
     assert "double_blocks.0.img_attn.qkv.weight" in out
+
+
+def test_gguf_t5_and_llm_names():
+    """llama.cpp GGUF TE exports → HF names (VERDICT r2 item 8; reference
+    t5_name_map / llm_name_map, name_conversion.cpp:113-153)."""
+    from sdtpu.io.name_conversion import convert_gguf_llm_name, convert_gguf_t5_name
+
+    t5_cases = {
+        "enc.blk.0.attn_q.weight": "encoder.block.0.layer.0.SelfAttention.q.weight",
+        "enc.blk.3.ffn_gate.weight": "encoder.block.3.layer.1.DenseReluDense.wi_0.weight",
+        "enc.blk.0.attn_rel_b.weight":
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+        "enc.blk.5.ffn_norm.weight": "encoder.block.5.layer.1.layer_norm.weight",
+        "enc.output_norm.weight": "encoder.final_layer_norm.weight",
+        "token_embd.weight": "shared.weight",
+    }
+    for src, want in t5_cases.items():
+        assert convert_gguf_t5_name(src) == want, src
+
+    llm_cases = {
+        "token_embd.weight": "model.embed_tokens.weight",
+        "blk.0.attn_q.weight": "model.layers.0.self_attn.q_proj.weight",
+        "blk.12.attn_output.weight": "model.layers.12.self_attn.o_proj.weight",
+        "blk.2.attn_q_norm.weight": "model.layers.2.self_attn.q_norm.weight",
+        "blk.4.ffn_gate_exps.weight": "model.layers.4.mlp.experts.gate_proj.weight",
+        "blk.4.ffn_gate_inp.weight": "model.layers.4.mlp.router.weight",
+        "blk.7.ffn_down.weight": "model.layers.7.mlp.down_proj.weight",
+        "blk.1.attn_norm.weight": "model.layers.1.input_layernorm.weight",
+        "blk.1.ffn_norm.weight": "model.layers.1.post_attention_layernorm.weight",
+        "blk.3.attn_sinks.weight": "model.layers.3.self_attn.sinks",
+        "output_norm.weight": "model.norm.weight",
+    }
+    for src, want in llm_cases.items():
+        assert convert_gguf_llm_name(src) == want, src
+
+
+def test_qwen_vl_vision_gguf_names():
+    """mmproj vision-tower GGUF names → HF visual.* (reference
+    llm_vision_name_map :155 + convert_qwen3_vl_vision_name :187)."""
+    from sdtpu.io.name_conversion import (
+        convert_qwen25_vl_vision_name,
+        convert_qwen3_vl_vision_name,
+    )
+
+    q25 = {
+        "mm.0.weight": "merger.mlp.0.weight",
+        "v.post_ln.weight": "merger.ln_q.weight",
+        "v.patch_embd.weight": "patch_embed.proj.0.weight",
+        "v.patch_embd.weight.1": "patch_embed.proj.1.weight",
+        "v.blk.0.attn_q.weight": "blocks.0.attn.q_proj.weight",
+        "v.blk.2.ffn_up.weight": "blocks.2.mlp.up_proj.weight",
+        "v.blk.2.ln1.weight": "blocks.2.norm1.weight",
+    }
+    for src, want in q25.items():
+        assert convert_qwen25_vl_vision_name(src) == want, src
+
+    q3 = {
+        "mm.0.weight": "merger.linear_fc1.weight",
+        "mm.2.bias": "merger.linear_fc2.bias",
+        "v.post_ln.weight": "merger.norm.weight",
+        "v.position_embd.weight": "pos_embed.weight",
+        "v.patch_embd.weight": "patch_embed.proj.0.weight",
+        "v.patch_embd.weight.1": "patch_embed.proj.1.weight",
+        "v.patch_embd.bias": "patch_embed.bias",
+        "v.blk.0.attn_qkv.weight": "blocks.0.attn.qkv.weight",
+        "v.blk.5.ffn_up.weight": "blocks.5.mlp.linear_fc1.weight",
+        "v.blk.5.ffn_down.bias": "blocks.5.mlp.linear_fc2.bias",
+    }
+    for src, want in q3.items():
+        assert convert_qwen3_vl_vision_name(src) == want, src
+
+
+def test_sdxl_controlnet_diffusers_names():
+    """diffusers-SDXL ControlNet → original layout (reference
+    convert_diffusers_controlnet_to_original_sdxl, name_conversion.cpp:815)."""
+    from sdtpu.io.name_conversion import convert_diffusers_controlnet_name
+
+    cases = {
+        # controlnet-only pieces (identical to SD1.5)
+        "controlnet_cond_embedding.conv_in.weight": "input_hint_block.0.weight",
+        "controlnet_cond_embedding.blocks.3.weight": "input_hint_block.8.weight",
+        "controlnet_cond_embedding.conv_out.weight": "input_hint_block.14.weight",
+        "controlnet_down_blocks.4.bias": "zero_convs.4.0.bias",
+        "controlnet_mid_block.weight": "middle_block_out.0.weight",
+        # SDXL encoder copy: add_embedding + 3-level down blocks
+        "add_embedding.linear_1.weight": "label_emb.0.0.weight",
+        "add_embedding.linear_2.bias": "label_emb.0.2.bias",
+        "time_embedding.linear_1.weight": "time_embed.0.weight",
+        "conv_in.weight": "input_blocks.0.0.weight",
+        "down_blocks.1.resnets.0.norm1.weight":
+            "input_blocks.4.0.in_layers.0.weight",
+        "down_blocks.1.attentions.1.transformer_blocks.1.attn1.to_q.weight":
+            "input_blocks.5.1.transformer_blocks.1.attn1.to_q.weight",
+        "down_blocks.2.resnets.1.time_emb_proj.weight":
+            "input_blocks.8.0.emb_layers.1.weight",
+        "down_blocks.0.downsamplers.0.conv.weight":
+            "input_blocks.3.0.op.weight",
+        "mid_block.resnets.1.conv2.weight":
+            "middle_block.2.out_layers.3.weight",
+        "mid_block.attentions.0.proj_in.weight": "middle_block.1.proj_in.weight",
+    }
+    for src, want in cases.items():
+        assert convert_diffusers_controlnet_name(src) == want, src
+
+
+def test_anima_net_prefix_and_loader_dispatch():
+    """Anima keeps the net. nesting; checkpoints without it gain the prefix
+    (reference convert_other_dit_to_original_anima, name_conversion.cpp:771)."""
+    from sdtpu.io.name_conversion import convert_anima_dit_name
+
+    assert convert_anima_dit_name("blocks.0.self_attn.q_proj.weight") == \
+        "net.blocks.0.self_attn.q_proj.weight"
+    assert convert_anima_dit_name("net.x_embedder.proj.1.weight") == \
+        "net.x_embedder.proj.1.weight"
