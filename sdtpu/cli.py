@@ -868,7 +868,12 @@ def _vid_gen(args) -> int:
                               init_image=init_image, **vkw)
     print(f"generated {res.frames.shape[1]} frames in {time.time() - t0:.2f}s")
     out = args.output if args.output != "output.png" else "output.avi"
-    write_video(out, res.frames[0], fps=args.fps)
+    # .webm muxes the audio track in-container (reference
+    # create_webm_from_sd_images, media_io.cpp:1146)
+    vkw2 = {}
+    if out.lower().endswith(".webm") and res.audio is not None:
+        vkw2 = {"audio": res.audio, "sample_rate": res.sample_rate}
+    write_video(out, res.frames[0], fps=args.fps, **vkw2)
     print(f"saved {out}")
     if res.audio is not None:
         from sdtpu.utils.video import write_wav
