@@ -756,20 +756,43 @@ class DiffusionPipeline:
                 from sdtpu.diffusion.samplers import sample_stepwise
                 from sdtpu.diffusion.stepcache import make_step_cache
 
-                jit_model = self._stepwise_step_cache.get(("model",) + key)
-                if jit_model is None:
-                    jit_model = jax.jit(
-                        lambda mi, xt, sigma, i: make_model_fn(mi)(xt, sigma, i)
-                    )
-                    self._stepwise_step_cache[("model",) + key] = jit_model
-
                 kind, options = _step_cache
                 if apg_momentum:
-                    log_info("APG momentum is not tracked across skipped "
-                             "steps in step-cache mode")
+                    # APG momentum survives cache skips: the buffer is member
+                    # state in the reference (guidance.h:43-98) that a skipped
+                    # forward leaves untouched; here it lives in a host cell
+                    # threaded through the stateful jit model, so skipped
+                    # steps neither reset nor advance it.
+                    jit_model_s = self._stepwise_step_cache.get(("model_s",) + key)
+                    if jit_model_s is None:
+                        jit_model_s = jax.jit(
+                            lambda mi, xt, sigma, i, mbuf: make_model_fn(
+                                mi, stateful=True
+                            ).fn(xt, sigma, i, mbuf)
+                        )
+                        self._stepwise_step_cache[("model_s",) + key] = jit_model_s
+                    buf_cell = {"b": jnp.zeros(x.shape, dtype=jnp.float32)}
+
+                    def base_model(xt, sigma, i):
+                        pred, unc, new_buf = jit_model_s(
+                            mi, xt, sigma, i, buf_cell["b"]
+                        )
+                        buf_cell["b"] = new_buf
+                        return pred, unc
+                else:
+                    jit_model = self._stepwise_step_cache.get(("model",) + key)
+                    if jit_model is None:
+                        jit_model = jax.jit(
+                            lambda mi, xt, sigma, i: make_model_fn(mi)(xt, sigma, i)
+                        )
+                        self._stepwise_step_cache[("model",) + key] = jit_model
+
+                    def base_model(xt, sigma, i):
+                        return jit_model(mi, xt, sigma, i)
+
                 cached = make_step_cache(
                     kind,
-                    lambda xt, sigma, i: jit_model(mi, xt, sigma, i),
+                    base_model,
                     denoiser,
                     steps,
                     **options,

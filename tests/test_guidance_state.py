@@ -187,3 +187,38 @@ def test_extra_sample_args_guidance_schedule_and_sampler_kv():
         cfg_scale=3.0, extra_sample_args="gamma=5.0",
         **{**kw, "sample_method": "euler_ge"})).latents
     assert np.abs(g1 - g2).max() > 1e-5
+
+
+def test_apg_momentum_survives_step_cache_skips():
+    """APG momentum is member state in the reference (guidance.h:43-98) that a
+    cache-skipped forward leaves untouched; in step-cache mode the buffer must
+    persist across skips instead of being disabled (VERDICT r2 item 7)."""
+    from sdtpu.utils import set_log_callback
+
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    kw = dict(prompt="cat", width=64, height=64, sample_steps=10,
+              cfg_scale=4.0, sample_method="euler", seed=3,
+              apg_momentum=-0.75, apg_eta=0.8)
+
+    full = pipe.generate(GenerationParams(**kw)).latents
+
+    logs = []
+    set_log_callback(lambda lvl, msg: logs.append(msg))
+    try:
+        cached = pipe.generate(
+            GenerationParams(**kw), step_cache="easycache",
+            cache_options={"reuse_threshold": 0.6, "start_percent": 0.05,
+                           "end_percent": 0.95},
+        ).latents
+    finally:
+        set_log_callback(None)
+
+    skip_lines = [m for m in logs if "step cache" in m and "skipped" in m]
+    assert skip_lines, "no step-cache summary logged"
+    n_skipped = int(skip_lines[-1].split("skipped ")[1].split("/")[0])
+    assert n_skipped > 0, "cache never skipped; test exercises nothing"
+
+    # the cached trajectory (with momentum threading) stays close to the
+    # uncached APG reference
+    rel = np.abs(cached - full).mean() / (np.abs(full).mean() + 1e-6)
+    assert rel < 0.5, f"APG+easycache diverged from no-cache APG: rel={rel}"
