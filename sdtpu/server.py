@@ -55,6 +55,7 @@ class JobManager:
         self.ctx_mutex = threading.Lock()  # one generation at a time
         self.lora_dir = lora_dir  # reference server lora dir cache
         self.upscaler_dir = upscaler_dir
+        self.esrgan_cache: Dict[str, dict] = {}  # hr_upscaler model params
         self.options: Dict[str, object] = {"sd_model_checkpoint": "loaded"}
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
@@ -104,7 +105,11 @@ class JobManager:
                     if job.cancel_requested.is_set():
                         job.status = "cancelled"
                         continue
-                    job.images = run_generation(self.pipeline, job.params, job=job)
+                    job.images = run_generation(
+                        self.pipeline, job.params, job=job,
+                        lora_dir=self.lora_dir,
+                        upscaler_dir=self.upscaler_dir,
+                        esrgan_cache=self.esrgan_cache)
                     job.status = (
                         "cancelled" if job.cancel_requested.is_set() else "completed"
                     )
@@ -113,8 +118,91 @@ class JobManager:
                 job.status = "failed"
 
 
+def flatten_native_params(data: dict) -> dict:
+    """Flatten the native nested schema (sample_params / guidance / slg /
+    hires objects, reference make_sample_params_json routes_sdcpp.cpp:80-104)
+    onto the flat request keys params_from_json reads.  Flat keys already
+    present win (they came from the outer body)."""
+    out = dict(data)
+    sp = data.get("sample_params") or {}
+    for k in ("scheduler", "sample_method", "sample_steps", "eta",
+              "shifted_timestep", "flow_shift"):
+        if k in sp and sp[k] is not None:
+            out.setdefault("schedule" if k == "scheduler" else k, sp[k])
+    g = sp.get("guidance")
+    if not isinstance(g, dict) and isinstance(data.get("guidance"), dict):
+        g = data["guidance"]
+    if isinstance(g, dict):
+        if g.get("txt_cfg") is not None:
+            out.setdefault("cfg_scale", g["txt_cfg"])
+        if g.get("img_cfg") is not None:
+            out.setdefault("img_cfg_scale", g["img_cfg"])
+        if g.get("distilled_guidance") is not None:
+            out.setdefault("guidance", g["distilled_guidance"])
+        slg = g.get("slg") or {}
+        if slg.get("scale") is not None:
+            out.setdefault("slg_scale", slg["scale"])
+        if slg.get("layers"):
+            out.setdefault("skip_layers", slg["layers"])
+        if slg.get("layer_start") is not None:
+            out.setdefault("slg_start", slg["layer_start"])
+        if slg.get("layer_end") is not None:
+            out.setdefault("slg_end", slg["layer_end"])
+    hr = data.get("hires") or {}
+    if hr.get("enabled"):
+        out.setdefault("enable_hr", True)
+        for src, dst in (("upscaler", "hr_upscaler"), ("scale", "hr_scale"),
+                         ("target_width", "hr_resize_x"),
+                         ("target_height", "hr_resize_y"),
+                         ("steps", "hr_steps"),
+                         ("denoising_strength", "denoising_strength")):
+            if hr.get(src) is not None:
+                out.setdefault(dst, hr[src])
+    if isinstance(out.get("guidance"), dict):
+        out.pop("guidance")
+    return out
+
+
+_EXTRA_ARGS_RE = None
+
+
+def extract_extra_args(data: dict) -> dict:
+    """Pull a ``<sd_cpp_extra_args>{json}</sd_cpp_extra_args>`` block out of
+    the prompt and merge its native-schema fields over the request (reference
+    extract_and_remove_sd_cpp_extra_args, routes_openai.cpp:11-21 + api.md
+    "sd_cpp_extra_args").  Raises ValueError on malformed JSON."""
+    global _EXTRA_ARGS_RE
+    import re
+
+    if _EXTRA_ARGS_RE is None:
+        _EXTRA_ARGS_RE = re.compile(
+            r"<sd_cpp_extra_args>(.*?)</sd_cpp_extra_args>", re.S)
+    prompt = data.get("prompt", "")
+    if not isinstance(prompt, str):
+        return data
+    m = _EXTRA_ARGS_RE.search(prompt)
+    if not m:
+        return data
+    try:
+        extra = json.loads(m.group(1))
+    except json.JSONDecodeError as e:
+        raise ValueError(f"invalid sd_cpp_extra_args: {e}")
+    if not isinstance(extra, dict):
+        raise ValueError("sd_cpp_extra_args must be a json object")
+    out = dict(data)
+    out["prompt"] = _EXTRA_ARGS_RE.sub("", prompt).strip()
+    out.update(extra)  # native fields override the outer compat body
+    return flatten_native_params(out)
+
+
 def params_from_json(data: dict) -> GenerationParams:
     """Map request JSON (native/A1111 field names) onto GenerationParams."""
+    data = flatten_native_params(data)
+    seed = int(data.get("seed", 42))
+    if seed < 0:  # A1111 convention: -1 = randomize (api.md seed field)
+        import random
+
+        seed = random.randrange(1 << 31)
     return GenerationParams(
         prompt=data.get("prompt", ""),
         negative_prompt=data.get("negative_prompt", ""),
@@ -123,7 +211,7 @@ def params_from_json(data: dict) -> GenerationParams:
         sample_steps=int(data.get("sample_steps", data.get("steps", 20))),
         cfg_scale=float(data.get("cfg_scale", 7.0)),
         guidance=float(data.get("guidance", 3.5)),
-        seed=int(data.get("seed", 42)),
+        seed=seed,
         batch_count=int(data.get("batch_count", data.get("batch_size", 1))),
         sample_method=str(
             data.get("sample_method", data.get("sampler_name", "euler_a"))
@@ -132,13 +220,58 @@ def params_from_json(data: dict) -> GenerationParams:
         clip_skip=int(data.get("clip_skip", -1)),
         strength=float(data.get("strength", data.get("denoising_strength", 0.75))),
         eta=float(data.get("eta", 0.0)),
+        slg_scale=float(data.get("slg_scale", 0.0)),
+        skip_layers=tuple(data.get("skip_layers", (7, 8, 9))),
+        slg_start=float(data.get("slg_start", 0.01)),
+        slg_end=float(data.get("slg_end", 0.2)),
+        img_cfg_scale=(float(data["img_cfg_scale"])
+                       if data.get("img_cfg_scale") is not None else None),
     )
 
 
-def run_generation(pipeline, data: dict, job: Optional[Job] = None):
-    from sdtpu.utils.image import base64_png_to_image, build_parameters_text, image_to_base64_png
+def _resolve_model_file(directory: str, name: str) -> Optional[str]:
+    import os
 
+    if not directory:
+        return None
+    for ext in ("", ".safetensors", ".ckpt", ".pt", ".pth", ".gguf"):
+        path = os.path.join(directory, name + ext)
+        if os.path.isfile(path):
+            return path
+    return None
+
+
+def apply_structured_loras(pipeline, data: dict, lora_dir: str):
+    """Structured `lora` request field (api.md: server APIs take LoRA as
+    structured fields, never <lora:...> prompt tags): list of
+    {name, multiplier} resolved against --lora-model-dir and applied via
+    set_loras (re-derives from the pristine base each call)."""
+    spec = data.get("lora")
+    if spec is None:
+        return
+    from sdtpu.io.model_loader import read_checkpoint_file
+
+    loras = []
+    for item in spec:
+        name = item.get("name", "")
+        mult = float(item.get("multiplier", item.get("strength", 1.0)))
+        path = _resolve_model_file(lora_dir, name)
+        if path is None:
+            raise ValueError(f"lora {name!r} not found in lora dir")
+        loras.append((read_checkpoint_file(path), mult))
+    pipeline.set_loras(loras)
+
+
+def run_generation(pipeline, data: dict, job: Optional[Job] = None,
+                   lora_dir: str = "", upscaler_dir: str = "",
+                   esrgan_cache: Optional[dict] = None):
+    from sdtpu.utils.image import base64_png_to_image, build_parameters_text, image_to_base64
+
+    data = flatten_native_params(data)
     gp = params_from_json(data)
+    out_fmt = str(data.get("output_format", "png")).lower()
+    out_q = int(data.get("output_compression", 90) or 90)
+    apply_structured_loras(pipeline, data, lora_dir)
     init_image = mask_image = None
     init_b64 = data.get("init_images") or data.get("init_image")
     if isinstance(init_b64, list):
@@ -187,6 +320,10 @@ def run_generation(pipeline, data: dict, job: Optional[Job] = None):
         # decoded reference images (OpenAI /v1/images/edits → ref-image
         # conditioning, reference routes_openai.cpp:160-174)
         kw["ref_images"] = data["ref_images_np"]
+    elif data.get("extra_images"):
+        # A1111-route ref images as base64/data-URLs (api.md extra_images)
+        kw["ref_images"] = [base64_png_to_image(s)
+                            for s in data["extra_images"]]
     if data.get("mask_np") is not None:
         mask_image = data["mask_np"]
     if job is not None:
@@ -197,71 +334,52 @@ def run_generation(pipeline, data: dict, job: Optional[Job] = None):
 
         kw["progress_callback"] = _progress
         kw["cancel_check"] = job.cancel_requested.is_set
-    res = pipeline.generate(gp, init_image=init_image, mask_image=mask_image, **kw)
+    if data.get("enable_hr") and init_image is None:
+        # highres fix on txt2img (api.md enable_hr/hr_*; reference
+        # stable-diffusion.cpp:5523-5642).  hr_upscaler: a Latent* mode uses
+        # latent-space resize; a model name from --upscaler-dir runs ESRGAN.
+        hr_name = str(data.get("hr_upscaler", "Latent"))
+        esr, upscaler = None, "latent"
+        if not hr_name.lower().startswith(("latent", "lanczos", "nearest",
+                                           "none")):
+            path = _resolve_model_file(upscaler_dir, hr_name)
+            if path is not None:
+                if esrgan_cache is not None and path in esrgan_cache:
+                    esr = esrgan_cache[path]
+                else:
+                    from sdtpu.cli import _load_esrgan
+
+                    esr, _cfg = _load_esrgan(path)
+                    if esrgan_cache is not None:
+                        esrgan_cache[path] = esr
+                upscaler = "esrgan"
+        res = pipeline.txt2img_hires(
+            gp,
+            hires_scale=float(data.get("hr_scale", 2.0) or 2.0),
+            hires_steps=int(data.get("hr_steps", 0) or 0) or None,
+            hires_strength=float(data.get("denoising_strength", 0.7)),
+            upscaler=upscaler,
+            esrgan_params=esr,
+            hires_width=int(data.get("hr_resize_x", 0) or 0),
+            hires_height=int(data.get("hr_resize_y", 0) or 0),
+        )
+    else:
+        res = pipeline.generate(gp, init_image=init_image,
+                                mask_image=mask_image, **kw)
     out = []
     for i, img in enumerate(res.images):
         meta = build_parameters_text(
             GenerationParams(**{**gp.__dict__, "seed": res.seeds[i]})
         )
-        out.append(image_to_base64_png(img, parameters=meta))
+        out.append(image_to_base64(img, fmt=out_fmt, quality=out_q,
+                                   parameters=meta))
     return out
 
 
-# Embedded web UI (reference: frontend submodule baked into gen_index_html.h,
-# served by routes_index.cpp).  Minimal single-file client of the native
-# async API: submit → poll job → render images.
-_INDEX_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>sdtpu</title>
-<style>
-body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:720px;
-     color:#ddd;background:#16161a}
-input,textarea,select{width:100%;box-sizing:border-box;margin:.25rem 0 .75rem;
-     background:#232329;color:#eee;border:1px solid #444;border-radius:4px;
-     padding:.45rem}
-label{font-size:.85rem;color:#aaa}
-.row{display:flex;gap:1rem}.row>div{flex:1}
-button{background:#4663ff;color:#fff;border:0;border-radius:4px;
-     padding:.6rem 1.4rem;font-size:1rem;cursor:pointer}
-#status{margin:.75rem 0;color:#8f8}
-img{max-width:100%;border-radius:6px;margin-top:.5rem}
-</style></head><body>
-<h2>sdtpu</h2>
-<label>prompt</label><textarea id="p" rows="3">a photograph of an astronaut riding a horse</textarea>
-<label>negative prompt</label><textarea id="n" rows="1"></textarea>
-<div class="row">
- <div><label>width</label><input id="w" type="number" value="512"></div>
- <div><label>height</label><input id="h" type="number" value="512"></div>
- <div><label>steps</label><input id="s" type="number" value="20"></div>
- <div><label>cfg</label><input id="c" type="number" step="0.5" value="7"></div>
- <div><label>seed</label><input id="seed" type="number" value="42"></div>
-</div>
-<button onclick="gen()">Generate</button>
-<div id="status"></div><div id="out"></div>
-<script>
-async function gen(){
- const st=document.getElementById('status');
- st.textContent='submitting…';
- const body={prompt:p.value,negative_prompt:n.value,width:+w.value,
-   height:+h.value,sample_steps:+s.value,cfg_scale:+c.value,seed:+seed.value};
- const r=await fetch('/sdcpp/v1/img_gen',{method:'POST',
-   headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
- const job=await r.json();
- for(;;){
-  const jr=await fetch('/sdcpp/v1/jobs/'+job.id);const j=await jr.json();
-  st.textContent=j.status+' '+(j.step||0)+'/'+(j.steps||0);
-  if(j.status==='completed'){
-   out.innerHTML='';
-   for(const b64 of j.images){const im=document.createElement('img');
-     im.src='data:image/png;base64,'+b64;out.appendChild(im);}
-   break;
-  }
-  if(j.status==='failed'){st.textContent='failed: '+j.error;break;}
-  if(j.status==='cancelled'){break;}
-  await new Promise(res=>setTimeout(res,500));
- }
-}
-</script></body></html>
-"""
+# Embedded web UI (reference: frontend submodule baked into
+# gen_index_html.h, served by routes_index.cpp).  The full client
+# lives in sdtpu/webui.py.
+from sdtpu.webui import INDEX_HTML as _INDEX_HTML  # noqa: E402
 
 
 def make_handler(manager: JobManager):
@@ -361,6 +479,15 @@ def make_handler(manager: JobManager):
                     {"name": n, "alias": n, "path": n}
                     for n in manager.list_model_files(manager.lora_dir)
                 ])
+            elif p == "/sdapi/v1/latent-upscale-modes":
+                # WebUI-compatible latent mode names (api.md; all map onto
+                # the latent bilinear resize path here)
+                self._json([
+                    {"name": n} for n in (
+                        "Latent", "Latent (nearest)", "Latent (nearest-exact)",
+                        "Latent (antialiased)", "Latent (bicubic)",
+                        "Latent (bicubic antialiased)")
+                ])
             elif p == "/sdapi/v1/upscalers":
                 names = manager.list_model_files(manager.upscaler_dir)
                 self._json(
@@ -423,8 +550,17 @@ def make_handler(manager: JobManager):
                 data = self._read_json()
                 if data is None:
                     return
-                with manager.ctx_mutex:
-                    images = run_generation(manager.pipeline, data)
+                try:
+                    data = extract_extra_args(data)
+                    with manager.ctx_mutex:
+                        images = run_generation(
+                            manager.pipeline, data,
+                            lora_dir=manager.lora_dir,
+                            upscaler_dir=manager.upscaler_dir,
+                            esrgan_cache=manager.esrgan_cache)
+                except ValueError as e:
+                    self._json({"error": str(e)}, 400)
+                    return
                 self._json({"images": images, "parameters": data, "info": "{}"})
             elif p == "/v1/images/generations":
                 data = self._read_json()
@@ -433,16 +569,28 @@ def make_handler(manager: JobManager):
                 req = {
                     "prompt": data.get("prompt", ""),
                     "batch_count": int(data.get("n", 1)),
+                    "output_format": data.get("output_format", "png"),
+                    "output_compression": data.get("output_compression", 90),
                 }
                 size = data.get("size", "512x512")
                 if "x" in str(size):
                     w, h = str(size).split("x")
                     req["width"], req["height"] = int(w), int(h)
-                with manager.ctx_mutex:
-                    images = run_generation(manager.pipeline, req)
+                try:
+                    req = extract_extra_args(req)
+                    with manager.ctx_mutex:
+                        images = run_generation(
+                            manager.pipeline, req,
+                            lora_dir=manager.lora_dir,
+                            upscaler_dir=manager.upscaler_dir,
+                            esrgan_cache=manager.esrgan_cache)
+                except ValueError as e:
+                    self._json({"error": str(e)}, 400)
+                    return
                 self._json(
                     {
                         "created": int(time.time()),
+                        "output_format": req.get("output_format", "png"),
                         "data": [{"b64_json": b64} for b64 in images],
                     }
                 )
@@ -496,6 +644,14 @@ def make_handler(manager: JobManager):
                     "width": refs[0].shape[1],
                     "height": refs[0].shape[0],
                 }
+                if "multipart/form-data" in ctype:
+                    req["output_format"] = fields.get("output_format", "png")
+                    req["output_compression"] = fields.get(
+                        "output_compression", 90)
+                else:
+                    req["output_format"] = data.get("output_format", "png")
+                    req["output_compression"] = data.get(
+                        "output_compression", 90)
                 if "x" in str(size):
                     w, h = str(size).split("x")
                     req["width"], req["height"] = int(w), int(h)
@@ -503,11 +659,21 @@ def make_handler(manager: JobManager):
                     req["mask_np"] = np.asarray(
                         Image.open(_io.BytesIO(mask_raw)).convert("L")
                     )
-                with manager.ctx_mutex:
-                    images = run_generation(manager.pipeline, req)
+                try:
+                    req = extract_extra_args(req)
+                    with manager.ctx_mutex:
+                        images = run_generation(
+                            manager.pipeline, req,
+                            lora_dir=manager.lora_dir,
+                            upscaler_dir=manager.upscaler_dir,
+                            esrgan_cache=manager.esrgan_cache)
+                except ValueError as e:
+                    self._json({"error": str(e)}, 400)
+                    return
                 self._json(
                     {
                         "created": int(time.time()),
+                        "output_format": req.get("output_format", "png"),
                         "data": [{"b64_json": b64} for b64 in images],
                     }
                 )

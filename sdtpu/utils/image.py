@@ -122,6 +122,25 @@ def image_to_base64_png(image: np.ndarray, parameters: Optional[str] = None) -> 
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+def image_to_base64(image: np.ndarray, fmt: str = "png",
+                    quality: int = 90,
+                    parameters: Optional[str] = None) -> str:
+    """Base64-encode an image in png/jpeg/webp (reference OpenAI-route
+    output_format/output_compression, api.md; clamped 0..100)."""
+    import base64
+
+    from PIL import Image
+
+    fmt = (fmt or "png").lower()
+    if fmt == "png":
+        return image_to_base64_png(image, parameters=parameters)
+    quality = max(0, min(100, int(quality)))
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="JPEG" if fmt == "jpeg" else "WEBP",
+                                quality=quality)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
 def base64_png_to_image(data: str) -> np.ndarray:
     import base64
 

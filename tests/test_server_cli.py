@@ -241,3 +241,91 @@ def test_new_cli_flags_parse():
     v = ap.parse_args(["vid_gen", "--high-noise-diffusion-model", "hn.sft",
                        "--moe-boundary", "0.9"])
     assert v.high_noise_diffusion_model == "hn.sft" and v.moe_boundary == 0.9
+
+
+def test_extra_args_and_native_schema_flatten():
+    """<sd_cpp_extra_args> prompt extension + nested native schema (reference
+    extract_and_remove_sd_cpp_extra_args routes_openai.cpp:11 + api.md)."""
+    from sdtpu.server import extract_extra_args, flatten_native_params, params_from_json
+
+    data = extract_extra_args({
+        "prompt": 'a cat <sd_cpp_extra_args>{"sample_params":'
+                  '{"sample_steps": 28, "scheduler": "karras",'
+                  '"guidance": {"txt_cfg": 5.5, "distilled_guidance": 2.0,'
+                  '"slg": {"layers": [3, 4], "scale": 2.5}}}}'
+                  '</sd_cpp_extra_args>',
+        "steps": 10,
+    })
+    assert data["prompt"] == "a cat"
+    gp = params_from_json(data)
+    assert gp.sample_steps == 28          # native block wins over outer steps
+    assert gp.schedule == "karras"
+    assert gp.cfg_scale == 5.5 and gp.guidance == 2.0
+    assert gp.slg_scale == 2.5 and gp.skip_layers == (3, 4)
+
+    # malformed block → ValueError (routes reply 400)
+    with pytest.raises(ValueError):
+        extract_extra_args({"prompt": "<sd_cpp_extra_args>{oops"
+                                      "</sd_cpp_extra_args>"})
+
+    # hires object form flattens onto the A1111 hr_* fields
+    flat = flatten_native_params({"hires": {"enabled": True, "scale": 1.5,
+                                            "steps": 4}})
+    assert flat["enable_hr"] and flat["hr_scale"] == 1.5 and flat["hr_steps"] == 4
+
+
+def test_seed_minus_one_randomizes():
+    from sdtpu.server import params_from_json
+
+    seeds = {params_from_json({"seed": -1}).seed for _ in range(8)}
+    assert all(s >= 0 for s in seeds)
+    assert len(seeds) > 1  # randomized, not a fixed fallback
+
+
+def test_sdapi_latent_upscale_modes(server_port):
+    modes = _get(server_port, "/sdapi/v1/latent-upscale-modes")
+    assert {"name": "Latent"} in modes
+    assert any("bicubic" in m["name"] for m in modes)
+
+
+def test_sdapi_txt2img_hires(server_port):
+    """enable_hr runs the two-pass highres fix (api.md txt2img hr_* fields)."""
+    out = _post(
+        server_port,
+        "/sdapi/v1/txt2img",
+        {"prompt": "a cat", "width": 64, "height": 64, "steps": 2, "seed": 1,
+         "enable_hr": True, "hr_scale": 2.0, "hr_steps": 2,
+         "denoising_strength": 0.6},
+    )
+    from sdtpu.utils.image import base64_png_to_image
+
+    img = base64_png_to_image(out["images"][0])
+    assert img.shape == (128, 128, 3)  # upscaled 2x by the second pass
+
+
+def test_openai_output_format(server_port):
+    """output_format/output_compression on the OpenAI family (api.md)."""
+    import base64
+
+    out = _post(
+        server_port, "/v1/images/generations",
+        {"prompt": "a dog", "size": "64x64", "n": 1,
+         "output_format": "jpeg", "output_compression": 80},
+    )
+    assert out["output_format"] == "jpeg"
+    raw = base64.b64decode(out["data"][0]["b64_json"])
+    assert raw[:3] == b"\xff\xd8\xff"  # JPEG SOI marker
+
+
+def test_structured_lora_field(server_port, tmp_path):
+    """Structured `lora` list resolved against the lora dir (api.md: prompt
+    <lora:..> tags are intentionally unsupported on server APIs)."""
+    # missing lora → failed job with a clear error, not a silent ignore
+    try:
+        _post(server_port, "/sdapi/v1/txt2img",
+              {"prompt": "x", "width": 64, "height": 64, "steps": 1,
+               "lora": [{"name": "nope", "multiplier": 0.5}]})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code in (400, 500)
+    assert raised
