@@ -44,10 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="key=value,... tiling escape hatch (reference "
                     "extra_tiling_args): temporal_tile_frames=, "
                     "temporal_tile_overlap=")
-    ap.add_argument("--stream-weights", action="store_true",
-                    help="keep diffusion block weights in host RAM and "
-                    "stream them per layer (>HBM models; reference "
-                    "--stream-layers). Wan models.")
+    ap.add_argument("--stream-weights", nargs="?", const="host", default=False,
+                    choices=["host", "disk"],
+                    help="stream diffusion block weights per layer (>HBM "
+                    "models; reference --stream-layers): 'host' keeps them "
+                    "in host RAM, 'disk' reads them from the checkpoint "
+                    "mmap per use (ResidencyMode::Disk — neither HBM nor "
+                    "host RSS holds the full model). Wan/FLUX/Hunyuan/LTX.")
+    ap.add_argument("--stream-cache-gib", type=float, default=0.0,
+                    help="host-RAM LRU budget (GiB) for decoded blocks in "
+                    "disk streaming mode (0 = re-read per use)")
     ap.add_argument("--lora-model-dir", default="", help="dir for <lora:name:mult>")
     ap.add_argument("--embd-dir", default="", help="textual-inversion embeddings dir")
     # generation
@@ -396,6 +402,19 @@ def _load_pipeline(args):
             print(f"keeping {n_quant} diffusion weights in checkpoint quant blocks")
         return out
 
+    stream_mode = getattr(args, "stream_weights", False)
+    if stream_mode == "disk":
+        # disk residency: block tensors never materialize on host or HBM —
+        # drop them from the bundle now; _stream_setup reads them from the
+        # checkpoint mmap per use (reference ResidencyMode::Disk,
+        # model_manager.h:31-48)
+        import re as _re
+
+        _blk = _re.compile(
+            r"^(double_blocks|single_blocks|blocks|transformer_blocks)\.\d+\.")
+        bundle.diffusion = {k: v for k, v in bundle.diffusion.items()
+                            if not _blk.match(k)}
+
     params = {
         "diffusion": _diffusion_to_device(bundle.diffusion),
         "clip_l": {k: jnp.asarray(v, dtype=dtype) for k, v in bundle.clip_l.items()} or None,
@@ -432,13 +451,28 @@ def _load_pipeline(args):
 
             tok_kwargs["qwen_tokenizer"] = Qwen2Tokenizer.from_tokenizer_json(
                 args.llm_tokenizer)
-    if getattr(args, "stream_weights", False):
+    if stream_mode == "host":
         tok_kwargs["stream_weights"] = True
     if getattr(args, "model_args", ""):
         tok_kwargs["model_args"] = args.model_args
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift,
                            **tok_kwargs)
+    if stream_mode == "disk":
+        from sdtpu.io.safetensors import SafetensorsFile
+
+        path = args.diffusion_model or args.model
+        if not path.lower().endswith(".safetensors"):
+            raise SystemExit("error: --stream-weights disk needs a "
+                             ".safetensors checkpoint (mmap-backed)")
+        if getattr(pipe, "_stream_setup", None) is None:
+            raise SystemExit(f"error: {bundle.version.name} has no "
+                             "streaming path (Wan/FLUX/Hunyuan/LTX only)")
+        cache = int(getattr(args, "stream_cache_gib", 0.0) * (1 << 30))
+        pipe._disk_stream = (SafetensorsFile(path), cache)
+        pipe._stream_setup()
+        print(f"disk streaming: blocks read from {path} per use"
+              + (f" (LRU {args.stream_cache_gib:g} GiB)" if cache else ""))
     if args.vae_tiling or getattr(args, "vae_temporal_tiling", False):
         pipe.set_vae_tiling(
             args.vae_tiling, args.vae_tile_size, args.vae_tile_overlap,

@@ -488,13 +488,22 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
     )
     def _setup_streaming():
         # >HBM FLUX models: double/single block stacks stream from host RAM
-        # (reference --stream-layers + params-backend offload applied to flux)
+        # (reference --stream-layers + params-backend offload applied to flux);
+        # pipe._disk_stream = (SafetensorsFile, cache_bytes) keeps the stacks
+        # on disk instead (ResidencyMode::Disk analog)
         import numpy as _np
 
-        from sdtpu.parallel.streaming import FluxStreamer
+        from sdtpu.parallel.streaming import FluxStreamer, disk_sources
 
-        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
-        streamer = FluxStreamer(host, dit_cfg, prefetch=2)
+        disk = getattr(pipe, "_disk_stream", None)
+        if disk is not None:
+            resident, srcs = disk_sources(
+                disk[0], FluxStreamer.STACKS, cache_bytes=disk[1])
+            streamer = FluxStreamer(None, dit_cfg, prefetch=2,
+                                    resident=resident, sources=srcs)
+        else:
+            host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
+            streamer = FluxStreamer(host, dit_cfg, prefetch=2)
         pipe.diffusion_params = streamer.resident
 
         def streamed_fn(p, x, t, ctx, y, guidance=None, **ex):
@@ -1460,13 +1469,21 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     pipe.needs_sigma_next = dit_cfg.use_meanflow
 
     def _setup_streaming():
-        # >HBM Hunyuan models: double-stream stack streams from host RAM
+        # >HBM Hunyuan models: double-stream stack streams from host RAM,
+        # or straight from disk when pipe._disk_stream is set
         import numpy as _np
 
-        from sdtpu.parallel.streaming import HunyuanStreamer
+        from sdtpu.parallel.streaming import HunyuanStreamer, disk_sources
 
-        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
-        streamer = HunyuanStreamer(host, dit_cfg, prefetch=2)
+        disk = getattr(pipe, "_disk_stream", None)
+        if disk is not None:
+            resident, srcs = disk_sources(
+                disk[0], HunyuanStreamer.STACKS, cache_bytes=disk[1])
+            streamer = HunyuanStreamer(None, dit_cfg, prefetch=2,
+                                       resident=resident, sources=srcs)
+        else:
+            host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
+            streamer = HunyuanStreamer(host, dit_cfg, prefetch=2)
         pipe.diffusion_params = streamer.resident
 
         def streamed_fn(p, x, t, ctx, y, timestep_r=None, **ex):
@@ -1681,13 +1698,21 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
     pipe.vace_prepare_fn = _vace_prepare
     def _setup_streaming():
         # >HBM Wan models: keep block weights in host RAM, stream per use
-        # (reference --stream-layers + params-backend offload)
+        # (reference --stream-layers + params-backend offload), or straight
+        # from disk when pipe._disk_stream is set
         import numpy as _np
 
-        from sdtpu.parallel.streaming import WanStreamer
+        from sdtpu.parallel.streaming import WanStreamer, disk_sources
 
-        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
-        streamer = WanStreamer(host, dit_cfg, prefetch=2)
+        disk = getattr(pipe, "_disk_stream", None)
+        if disk is not None:
+            resident, srcs = disk_sources(
+                disk[0], WanStreamer.STACKS, cache_bytes=disk[1])
+            streamer = WanStreamer(None, dit_cfg, prefetch=2,
+                                   resident=resident, sources=srcs)
+        else:
+            host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
+            streamer = WanStreamer(host, dit_cfg, prefetch=2)
         pipe.diffusion_params = streamer.resident  # sampler passes these through
 
         def streamed_fn(p, x, t, ctx, y=None, **ex):
@@ -1957,15 +1982,23 @@ def _create_ltxav_pipeline(params, rng_type, dtype, small, seed, flow_shift,
         audio_freq_bins=fb,
     )
     def _setup_streaming():
-        # >HBM LTX models: transformer_blocks stream from host RAM;
-        # diffusion_fn already routes through the streamer — it just must run
-        # eagerly so the per-block device_puts execute outside jit
+        # >HBM LTX models: transformer_blocks stream from host RAM (or disk
+        # when pipe._disk_stream is set); diffusion_fn already routes through
+        # the streamer — it just must run eagerly so the per-block
+        # device_puts execute outside jit
         import numpy as _np
 
-        from sdtpu.parallel.streaming import LTXVStreamer
+        from sdtpu.parallel.streaming import LTXVStreamer, disk_sources
 
-        host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
-        ltx_holder["streamer"] = LTXVStreamer(host, dit_cfg, prefetch=2)
+        disk = getattr(pipe, "_disk_stream", None)
+        if disk is not None:
+            resident, srcs = disk_sources(
+                disk[0], LTXVStreamer.STACKS, cache_bytes=disk[1])
+            ltx_holder["streamer"] = LTXVStreamer(
+                None, dit_cfg, prefetch=2, resident=resident, sources=srcs)
+        else:
+            host = {k: _np.asarray(v) for k, v in pipe.diffusion_params.items()}
+            ltx_holder["streamer"] = LTXVStreamer(host, dit_cfg, prefetch=2)
         pipe.diffusion_params = ltx_holder["streamer"].resident
         pipe.set_streamed_diffusion(diffusion_fn)
 

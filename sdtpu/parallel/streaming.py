@@ -123,6 +123,31 @@ class DiskBlockSource:
         return out
 
 
+def disk_sources(st_file, prefixes: Tuple[str, ...],
+                 strip: str = "model.diffusion_model.",
+                 dtype=np.float32, cache_bytes: int = 0):
+    """(resident_params, [DiskBlockSource per prefix]) for a checkpoint whose
+    block stacks should stay on disk (reference ResidencyMode::Disk applied
+    per stack).  resident = every tensor not claimed by any stack; block
+    tensors are never materialized here."""
+    sources = [
+        DiskBlockSource(st_file, prefix=p, strip=strip, dtype=dtype,
+                        cache_bytes=cache_bytes)
+        for p in prefixes
+    ]
+    claimed = set()
+    for s in sources:
+        for blk in s._blocks.values():
+            claimed.update(blk.values())
+    resident: Dict[str, np.ndarray] = {}
+    for full in st_file.names():
+        if full in claimed:
+            continue
+        name = full[len(strip):] if full.startswith(strip) else full
+        resident[name] = np.asarray(st_file.tensor(full))
+    return resident, sources
+
+
 class BlockStreamer:
     """Run ``carry = block_fn(block_params, carry)`` over a host-resident
     stack with double-buffered uploads.
@@ -170,7 +195,13 @@ class FluxStreamer:
     Reference analog: any-model residency streaming, ggml_graph_cut.h:125 +
     docs/performance.md:56-74."""
 
-    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+    STACKS = ("double_blocks", "single_blocks")
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None,
+                 resident=None, sources=None):
+        """params=None + resident/sources: pre-split stacks (e.g. from
+        disk_sources) — blocks come from any len+getitem provider instead of
+        host lists (true disk residency, no full-model host materialize)."""
         from sdtpu.models.flux import (
             flux_double_block,
             flux_head,
@@ -179,8 +210,13 @@ class FluxStreamer:
         )
 
         self.cfg = cfg
-        rest, self.double_host = split_stacked_params(params, "double_blocks")
-        self.resident, self.single_host = split_stacked_params(rest, "single_blocks")
+        if params is not None:
+            rest, self.double_host = split_stacked_params(params, "double_blocks")
+            self.resident, self.single_host = split_stacked_params(
+                rest, "single_blocks")
+        else:
+            self.resident = resident
+            self.double_host, self.single_host = sources
         if device is not None:
             self.resident = {
                 k: jax.device_put(v, device) for k, v in self.resident.items()
@@ -228,7 +264,10 @@ class HunyuanStreamer:
     """Weight-streamed HunyuanVideo forward (double-stream stack from host
     RAM; prologue/token-refiner/head resident)."""
 
-    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+    STACKS = ("double_blocks",)
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None,
+                 resident=None, sources=None):
         from sdtpu.models.hunyuan import (
             hunyuan_double_block,
             hunyuan_head,
@@ -236,8 +275,11 @@ class HunyuanStreamer:
         )
 
         self.cfg = cfg
-        self.resident, self.blocks_host = split_stacked_params(
-            params, "double_blocks")
+        if params is not None:
+            self.resident, self.blocks_host = split_stacked_params(
+                params, "double_blocks")
+        else:
+            self.resident, (self.blocks_host,) = resident, sources
         if device is not None:
             self.resident = {
                 k: jax.device_put(v, device) for k, v in self.resident.items()
@@ -277,12 +319,18 @@ class LTXVStreamer:
     from host RAM via ltxav_forward's ``run_blocks`` hook; prologue/head run
     eagerly on the resident params (tiny vs the 48-block stack)."""
 
-    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+    STACKS = ("transformer_blocks",)
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None,
+                 resident=None, sources=None):
         from sdtpu.models.ltxv import _av_block
 
         self.cfg = cfg
-        self.resident, self.blocks_host = split_stacked_params(
-            params, "transformer_blocks")
+        if params is not None:
+            self.resident, self.blocks_host = split_stacked_params(
+                params, "transformer_blocks")
+        else:
+            self.resident, (self.blocks_host,) = resident, sources
         if device is not None:
             self.resident = {
                 k: jax.device_put(v, device) for k, v in self.resident.items()
@@ -323,11 +371,17 @@ class WanStreamer:
     the resident params; the block stack streams through BlockStreamer.
     """
 
-    def __init__(self, params, cfg, prefetch: int = 2, device=None):
+    STACKS = ("blocks",)
+
+    def __init__(self, params, cfg, prefetch: int = 2, device=None,
+                 resident=None, sources=None):
         from sdtpu.models.wan import wan_block_forward, wan_head, wan_prologue
 
         self.cfg = cfg
-        self.resident, self.blocks_host = split_stacked_params(params, "blocks")
+        if params is not None:
+            self.resident, self.blocks_host = split_stacked_params(params, "blocks")
+        else:
+            self.resident, (self.blocks_host,) = resident, sources
         if device is not None:
             self.resident = {
                 k: jax.device_put(v, device) for k, v in self.resident.items()
