@@ -112,9 +112,16 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 512,
+    whole_kv: Optional[bool] = None,
 ) -> jnp.ndarray:
     """q: [B,H,Lq,D], k/v: [B,H,Lk,D], mask: additive bias broadcastable to
-    [Lq,Lk] (shared across batch/heads). Returns [B,H,Lq,D] in q.dtype."""
+    [Lq,Lk] (shared across batch/heads). Returns [B,H,Lq,D] in q.dtype.
+
+    whole_kv: hold K/V whole in VMEM (single KV grid step).  None → auto:
+    whenever K/V fit (≤6 MiB).  Measured on v5e at FLUX shapes
+    (L=4352, D=128): whole-KV 3.0 ms vs the best streamed config 3.5 ms —
+    the KV grid dimension costs more in scratch-carry traffic than it saves,
+    so streaming only pays once K/V genuinely exceed VMEM."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if scale is None:
@@ -125,10 +132,10 @@ def flash_attention(
     lq_p = _round_up(lq, block_q)
     lk_p = _round_up(lk, block_k)
     d_p = max(128, _round_up(d, 128))
-    # short sequences: hold K/V whole in VMEM (single KV grid step — no
-    # streaming overhead); long sequences stream 'block_k' tiles from HBM
     kv_bytes = 2 * lk_p * d_p * q.dtype.itemsize
-    if kv_bytes <= (6 << 20):
+    if whole_kv is None:
+        whole_kv = kv_bytes <= (6 << 20)
+    if whole_kv:
         block_k = _round_up(lk, 128)
         lk_p = block_k
 
