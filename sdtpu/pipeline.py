@@ -232,6 +232,32 @@ class DiffusionPipeline:
         self._program_cache.clear()
         self._stepwise_step_cache.clear()
 
+    _cancel_flag = None  # "all" | "new_latents" | None
+
+    def cancel_generation(self, mode: str = "all") -> None:
+        """Structured cancellation (reference sd_cancel_generation,
+        include/stable-diffusion.h:480-489; atomic flag polled in the denoise
+        loop, stable-diffusion.cpp:2532):
+
+        - ``"all"``: abort the running sampling at the next step boundary
+          (partial latents decode and return).  Mid-run interruption needs a
+          stepwise run — any progress/preview callback, cancel_check, step
+          cache, or streaming; a flag set before generate() also forces the
+          stepwise path so it can take effect.  The fused lax.scan program
+          cannot be interrupted once dispatched.
+        - ``"new_latents"``: finish the current denoise loop but skip
+          follow-on passes (the hires second pass) — the batch itself is one
+          vectorized device program here, so "skip additional batch latents"
+          maps to skipping additional passes.
+        - ``"reset"``: clear a pending request.
+
+        Thread-safe: the attribute store is atomic under the GIL (the
+        reference asserts a lock-free std::atomic, stable-diffusion.cpp:199).
+        """
+        if mode not in ("all", "new_latents", "reset"):
+            raise ValueError(f"unknown cancel mode {mode!r}")
+        self._cancel_flag = None if mode == "reset" else mode
+
     def set_loras(self, loras) -> None:
         """Set the ACTIVE LoRA set, re-deriving weights from the pristine
         base (reference LoRA application epochs: apply_loras_to_params /
@@ -1019,6 +1045,11 @@ class DiffusionPipeline:
         import dataclasses as _dc
 
         base = self.generate(gp)
+        if self._cancel_flag is not None:
+            # NEW_LATENTS semantics: return the completed base image, skip
+            # the second pass (reference SD_CANCEL_NEW_LATENTS,
+            # include/stable-diffusion.h:484)
+            return base
         tw = (hires_width or int(gp.width * hires_scale)) \
             // self.scale_factor * self.scale_factor
         th = (hires_height or int(gp.height * hires_scale)) \
@@ -1586,6 +1617,7 @@ class DiffusionPipeline:
             or preview_callback is not None
             or cancel_check is not None
             or step_cache is not None
+            or self._cancel_flag is not None
             or getattr(self, "_streamed_forward", None) is not None
         )
         if stepwise:
@@ -1595,6 +1627,8 @@ class DiffusionPipeline:
             )
 
             def _cb(i, xi):
+                if self._cancel_flag == "all":
+                    return False
                 if cancel_check is not None and cancel_check():
                     return False
                 if progress_callback is not None:

@@ -140,3 +140,47 @@ def test_circular_padding_seamless_edges():
     pipe.set_circular(False, False)
     back = pipe.generate(gp).latents
     np.testing.assert_allclose(back, base, rtol=1e-5, atol=1e-6)
+
+
+def test_cancel_generation_modes():
+    """Structured cancellation (reference sd_cancel_generation,
+    include/stable-diffusion.h:480-489): 'all' aborts at the next step
+    boundary, 'new_latents' skips the hires second pass, 'reset' clears."""
+    import pytest as _pytest
+
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    kw = dict(prompt="cat", width=64, height=64, sample_steps=8,
+              sample_method="euler", seed=3, cfg_scale=3.0)
+
+    with _pytest.raises(ValueError):
+        pipe.cancel_generation("bogus")
+
+    full = pipe.generate(GenerationParams(**kw)).latents
+
+    # 'all' set from a progress callback → abort mid-run, partial result
+    steps_seen = []
+
+    def prog(step, steps, _x):
+        steps_seen.append(step)
+        if step == 3:
+            pipe.cancel_generation("all")
+
+    try:
+        got = pipe.generate(GenerationParams(**kw),
+                            progress_callback=prog).latents
+    finally:
+        pipe.cancel_generation("reset")
+    assert max(steps_seen) == 3, steps_seen  # no steps ran after the cancel
+    assert np.abs(got - full).max() > 1e-4   # partial trajectory differs
+
+    # 'new_latents' armed before hires: base pass completes, 2nd pass skipped
+    pipe.cancel_generation("new_latents")
+    try:
+        res = pipe.txt2img_hires(GenerationParams(**kw), hires_scale=2.0)
+    finally:
+        pipe.cancel_generation("reset")
+    assert res.images[0].shape == (64, 64, 3)  # base size, not 128x128
+
+    # reset clears: a normal run completes all steps and matches
+    again = pipe.generate(GenerationParams(**kw)).latents
+    np.testing.assert_allclose(again, full, rtol=1e-5, atol=1e-5)
