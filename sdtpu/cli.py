@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--stream-cache-gib", type=float, default=0.0,
                     help="host-RAM LRU budget (GiB) for decoded blocks in "
                     "disk streaming mode (0 = re-read per use)")
+    ap.add_argument("--motion-module",
+                    help="AnimateDiff motion module for SD1.5 (reference "
+                    "--motion-module); enables vid_gen on UNet checkpoints")
     ap.add_argument("--lora-model-dir", default="", help="dir for <lora:name:mult>")
     ap.add_argument("--embd-dir", default="", help="textual-inversion embeddings dir")
     # generation
@@ -427,6 +430,15 @@ def _load_pipeline(args):
                             for k, v in bundle.text_projection.items()} or None,
     }
     params = {k: v for k, v in params.items() if v}
+    if getattr(args, "motion_module", None):
+        # AnimateDiff motion module merges into the UNet under the
+        # motion_module. prefix (reference --motion-module, common.cpp:436)
+        from sdtpu.io.model_loader import read_checkpoint_file
+
+        params["motion"] = {
+            k: jnp.asarray(v, dtype=dtype)
+            for k, v in read_checkpoint_file(args.motion_module).items()
+        }
     tok_kwargs = {}
     if args.llm_tokenizer:
         # tokenizer family follows the text tower (reference LLMEmbedder
