@@ -199,3 +199,79 @@ def test_mistral_small_normal_rope_equivalence():
     got = np.asarray(jax.jit(
         lambda p, i: llm_forward(p, i, cfg))(p, jnp.asarray(ids)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# -------------------------------------------------------------------- Qwen3
+
+def test_qwen3_matches_hf():
+    """Qwen3 (per-head q/k RMS norm, no qkv bias) vs transformers.Qwen3Model
+    (reference llm.hpp QWEN3 — the Z-Image / FLUX.2-klein / Anima tower)."""
+    from sdtpu.models.llm import QWEN3_8B_CONFIG
+
+    cfg = dataclasses.replace(
+        QWEN3_8B_CONFIG, num_layers=3, hidden_size=64, intermediate_size=128,
+        num_heads=4, num_kv_heads=2, head_dim=16, vocab_size=500,
+    )
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=500, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+        attention_dropout=0.0, tie_word_embeddings=False, sliding_window=None,
+    )
+    torch.manual_seed(4)
+    m = transformers.Qwen3Model(hf_cfg).eval()
+    ids = _ids(500, seed=4)
+    with torch.no_grad():
+        want = m(torch.from_numpy(ids).long()).last_hidden_state.numpy()
+    got = np.asarray(jax.jit(
+        lambda p, i: llm_forward(p, i, cfg))(_params(m), jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------------- Gemma3
+
+def test_gemma3_matches_hf():
+    """Gemma3 (qk-norm, dual RoPE — linear-scaled global + local sliding
+    layers, 5:1 pattern) vs transformers.Gemma3TextModel (reference
+    llm.hpp:134-147, the LTX-2 tower).
+
+    Norm convention: stock HF Gemma3 RMSNorms scale by (1 + weight), but the
+    reference runs GEMMA3_12B with plain weights (`rms_norm_add = false`,
+    llm.hpp:141) because LTX-2's shipped Gemma3 bakes the +1 into the
+    checkpoint; the test bakes it the same way before handing the HF weights
+    to llm_forward."""
+    from sdtpu.models.llm import GEMMA3_12B_CONFIG
+
+    # window 8 < L=16 so sliding layers actually mask
+    cfg = dataclasses.replace(
+        GEMMA3_12B_CONFIG, num_layers=6, hidden_size=64, intermediate_size=128,
+        num_heads=4, num_kv_heads=2, head_dim=16, vocab_size=400,
+        sliding_attention=(8, 8, 8, 8, 8, 0),
+    )
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=400, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rope_theta=1e6, rope_local_base_freq=1e4,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        sliding_window=8, sliding_window_pattern=6,
+        layer_types=["sliding_attention"] * 5 + ["full_attention"],
+        rms_norm_eps=cfg.rms_norm_eps, query_pre_attn_scalar=16,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        attn_logit_softcapping=None, final_logit_softcapping=None,
+    )
+    torch.manual_seed(5)
+    m = transformers.Gemma3TextModel(hf_cfg).eval()
+    ids = _ids(400, seed=5)
+    with torch.no_grad():
+        want = m(torch.from_numpy(ids).long()).last_hidden_state.numpy()
+    p = {}
+    for k, v in m.state_dict().items():
+        if "rotary_emb" in k:
+            continue
+        arr = v.detach().float().numpy()
+        if "norm" in k:  # bake the HF (1 + w) convention into plain weights
+            arr = arr + 1.0
+        p["model." + k] = jnp.asarray(arr)
+    got = np.asarray(jax.jit(
+        lambda p, i: llm_forward(p, i, cfg))(p, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
