@@ -78,6 +78,37 @@ class SDCondition:
     c_crossattn: Optional[jnp.ndarray] = None  # [B, L, C]
     c_vector: Optional[jnp.ndarray] = None  # [B, adm]
     c_concat: Optional[jnp.ndarray] = None  # [B, H, W, C] (inpaint)
+    # secondary cross-attn stream (HunyuanVideo byt5 glyph states; reference
+    # SDCondition.extra_c_crossattns, conditioner.hpp:2699)
+    c_extra: Optional[jnp.ndarray] = None  # [B, Lb, C2]
+
+
+def extract_quoted_texts(text: str):
+    """Quoted spans the byt5 glyph branch renders (reference collect_quoted,
+    conditioner.hpp:2663-2677): straight double quotes, then the unicode
+    single/double quote pairs."""
+    out = []
+    for open_, close in (('"', '"'), ("‘", "’"),
+                         ("“", "”")):
+        begin = 0
+        while True:
+            b = text.find(open_, begin)
+            if b < 0:
+                break
+            e = text.find(close, b + len(open_))
+            if e < 0:
+                break
+            out.append(text[b + len(open_):e])
+            begin = e + len(close)
+    return out
+
+
+def byt5_tokenize(texts) -> list:
+    """ByT5 byte tokenization of the glyph prompt (reference
+    conditioner.hpp:2681-2689): 'Text "..." . ' per quoted span, utf-8 bytes
+    shifted by +3 (byt5 special-token offset), EOS=1."""
+    byt5_text = "".join(f'Text "{t}". ' for t in texts)
+    return [b + 3 for b in byt5_text.encode("utf-8")] + [1]
 
 
 class EmbeddingMixin:
@@ -556,7 +587,7 @@ class QwenImageConditioner:
     def __init__(self, qwen_tokenizer, llm_params, llm_cfg, template: str = "qwen_image",
                  max_len: int = 1024, vision_params=None, vision_cfg=None,
                  picture_word: str = "Picture", vlm_min_pixels: int = -1,
-                 vlm_max_pixels: int = -1):
+                 vlm_max_pixels: int = -1, byt5_params=None, byt5_cfg=None):
         from sdtpu.models.llm import CHAT_TEMPLATES
 
         self.tokenizer = qwen_tokenizer
@@ -586,6 +617,27 @@ class QwenImageConditioner:
 
         self._jit_forward = jax.jit(fwd)
         self._jit_forward_embeds = jax.jit(fwd_embeds)
+
+        # byt5 glyph branch (HunyuanVideo; reference LLMEmbedder byt5,
+        # conditioner.hpp:1828-1840)
+        self.byt5_params, self.byt5_cfg = byt5_params, byt5_cfg
+        if byt5_params is not None:
+            from sdtpu.models.t5 import t5_encoder_forward
+
+            self._jit_byt5 = jax.jit(
+                lambda p, ids: t5_encoder_forward(p, ids, byt5_cfg))
+
+    def _byt5_condition(self, text: str):
+        """Quoted prompt spans → byt5-small hidden states [1, Lb, d], or
+        None when the prompt carries no quoted text (reference
+        conditioner.hpp:2662-2700)."""
+        if self.byt5_params is None:
+            return None
+        quoted = extract_quoted_texts(text)
+        if not quoted:
+            return None
+        ids = np.asarray(byt5_tokenize(quoted), dtype=np.int32)[None]
+        return self._jit_byt5(self.byt5_params, jnp.asarray(ids))
 
     def _edit_condition(self, text: str, ref_images, **kw) -> SDCondition:
         """Edit path (reference QwenImageEditPlusPipeline branch,
@@ -620,7 +672,8 @@ class QwenImageConditioner:
             jnp.asarray(np.asarray(ids, dtype=np.int32)[None]),
             jnp.asarray(np.asarray(mask, dtype=np.float32)[None]),
         )
-        return SDCondition(c_crossattn=h[:, drop:])
+        return SDCondition(c_crossattn=h[:, drop:],
+                           c_extra=self._byt5_condition(text))
 
 
 class LTXAVConditioner:

@@ -1384,11 +1384,17 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     from sdtpu.models import hunyuan as hy_mod
     from sdtpu.models import hunyuan_vae as hyvae_mod
     from sdtpu.models import llm as llm_mod
+    from sdtpu.models import t5 as t5_mod
 
     if small:
         dit_cfg = hy_mod.HunyuanVideoConfig(
             in_channels=9, out_channels=4, hidden_size=64, context_in_dim=48,
             num_heads=2, depth=2, axes_dim=(8, 12, 12), refiner_depth=1,
+            # small byt5 glyph branch when a (tiny) byt5 tower is supplied
+            use_byt5=bool(params.get("t5")),
+            use_cond_type_embedding=bool(params.get("t5")),
+            byt5_in_dim=(params["t5"]["shared.weight"].shape[1]
+                         if params.get("t5") else 1472),
         )
         llm_cfg = llm_mod.LLMConfig(
             num_layers=2, hidden_size=48, intermediate_size=96, num_heads=4,
@@ -1420,13 +1426,19 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     llm_params = params.get("llm") or llm_mod.init_llm_params(llm_cfg, seed + 3, dtype=dtype)
     vae_params = params.get("vae") or hyvae_mod.init_hunyuan_vae_params(vae_cfg, seed=seed, dtype=dtype)
 
+    # byt5-small glyph encoder for quoted prompt text (reference LLMEmbedder
+    # byt5, conditioner.hpp:1828-1840: built when the file set carries
+    # text_encoders.t5xxl.* alongside a hunyuan-video model)
+    byt5_params = params.get("t5")
+    byt5_cfg = _detect_t5_config(byt5_params, t5_mod) if byt5_params else None
     conditioner = QwenImageConditioner(
-        qwen_tokenizer, llm_params, llm_cfg, template="hunyuan_video"
+        qwen_tokenizer, llm_params, llm_cfg, template="hunyuan_video",
+        byt5_params=byt5_params, byt5_cfg=byt5_cfg,
     )
     latent_ch = vae_cfg.z_channels
     extra_in = dit_cfg.in_channels - latent_ch
 
-    def diffusion_fn(p, x, t, ctx, y, timestep_r=None):
+    def diffusion_fn(p, x, t, ctx, y, timestep_r=None, context_byt5=None):
         single = x.ndim == 4
         if single:
             x = x[:, None]  # image → 1-frame video
@@ -1436,7 +1448,8 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
             pad = jnp.zeros(x.shape[:-1] + (extra_in,), dtype=x.dtype)
             x = jnp.concatenate([x, pad], axis=-1)
         out = hy_mod.hunyuan_forward(p, x, t, ctx, cfg=dit_cfg,
-                                     timestep_r=timestep_r)
+                                     timestep_r=timestep_r,
+                                     context_byt5=context_byt5)
         return out[:, 0] if single else out
 
     def vae_decode_fn(p, z):
@@ -1486,14 +1499,16 @@ def _create_hunyuan_pipeline(params, rng_type, dtype, small, seed, flow_shift,
             streamer = HunyuanStreamer(host, dit_cfg, prefetch=2)
         pipe.diffusion_params = streamer.resident
 
-        def streamed_fn(p, x, t, ctx, y, timestep_r=None, **ex):
+        def streamed_fn(p, x, t, ctx, y, timestep_r=None, context_byt5=None,
+                        **ex):
             single = x.ndim == 4
             if single:
                 x = x[:, None]
             if extra_in > 0:
                 pad = jnp.zeros(x.shape[:-1] + (extra_in,), dtype=x.dtype)
                 x = jnp.concatenate([x, pad], axis=-1)
-            out = streamer(x, t, ctx, timestep_r=timestep_r)
+            out = streamer(x, t, ctx, timestep_r=timestep_r,
+                           context_byt5=context_byt5)
             return out[:, 0] if single else out
 
         pipe.set_streamed_diffusion(streamed_fn)

@@ -42,6 +42,13 @@ class HunyuanVideoConfig:
     # use_meanflow_sum
     use_meanflow: bool = False
     use_meanflow_sum: bool = False
+    # ByT5 glyph branch (reference hunyuan.hpp:137,317,452): quoted prompt
+    # text encoded by byt5-small is mapped to hidden via byt5_in and joins
+    # the text stream; cond_type_embedding tags refiner tokens (row 0) vs
+    # byt5 tokens (row 1)
+    use_byt5: bool = False
+    byt5_in_dim: int = 1472
+    use_cond_type_embedding: bool = False
 
 
 HUNYUAN_VIDEO_15_CONFIG = HunyuanVideoConfig()
@@ -58,6 +65,13 @@ def detect_hunyuan_config(names, shapes) -> HunyuanVideoConfig:
     kw = {"depth": depth or 54, "depth_single": depth_single}
     if any(n.startswith("time_r_in.") for n in names):
         kw["use_meanflow"] = True
+    if any(n.startswith("byt5_in.") for n in names):
+        kw["use_byt5"] = True
+        fc1 = shapes.get("byt5_in.fc1.weight")
+        if fc1:
+            kw["byt5_in_dim"] = fc1[1]
+    if "cond_type_embedding.weight" in set(names):
+        kw["use_cond_type_embedding"] = True
     proj = shapes.get("img_in.proj.weight")
     if proj:
         kw["hidden_size"] = proj[0]
@@ -144,10 +158,29 @@ def hunyuan_double_block(p, pre, img, txt, vec, rot, cfg: "HunyuanVideoConfig"):
     return img, txt
 
 
+def _byt5_mapper(p, x):
+    """ByT5Mapper (reference hunyuan.hpp:137): LayerNorm → fc1 → gelu →
+    fc2 → gelu → fc3 lifts byt5-small states (1472) to hidden."""
+    h = layer_norm(x, p["byt5_in.layernorm.weight"], p["byt5_in.layernorm.bias"])
+    h = gelu_tanh(linear(h, p["byt5_in.fc1.weight"], p["byt5_in.fc1.bias"]))
+    h = gelu_tanh(linear(h, p["byt5_in.fc2.weight"], p["byt5_in.fc2.bias"]))
+    return linear(h, p["byt5_in.fc3.weight"], p["byt5_in.fc3.bias"])
+
+
+def _add_cond_type(p, x, type_idx, cfg):
+    """Condition-type embedding row added per token stream (reference
+    add_condition_type, hunyuan.hpp:392)."""
+    if not cfg.use_cond_type_embedding:
+        return x
+    return x + p["cond_type_embedding.weight"][type_idx][None, None].astype(x.dtype)
+
+
 def hunyuan_prologue(p, x, timesteps, context, guidance, cfg,
-                     timestep_r=None):
+                     timestep_r=None, context_byt5=None):
     """Embedding stage (patchify + token refiner + time/guidance vec + RoPE)
     — the resident prefix for the weight-streamed forward.
+    context_byt5: [B, Lb, byt5_in_dim] glyph states joined to the text
+    stream (reference hunyuan.hpp:452-456).
     Returns (img, txt, vec, rot, dims)."""
     b, t, hh, ww, c = x.shape
     pt, ph, pw = cfg.patch_size
@@ -163,6 +196,15 @@ def hunyuan_prologue(p, x, timesteps, context, guidance, cfg,
     img = linear(img, w_patch, p["img_in.proj.bias"])
 
     txt, _ = _token_refiner(p, context.astype(x.dtype), timesteps, cfg)
+    if cfg.use_byt5 and context_byt5 is not None:
+        # glyph tokens join the text stream; the cond-type variant puts them
+        # FIRST (reference hunyuan.hpp:455-456)
+        txt = _add_cond_type(p, txt, 0, cfg)
+        txt_byt5 = _add_cond_type(
+            p, _byt5_mapper(p, context_byt5.astype(x.dtype)), 1, cfg)
+        txt = (jnp.concatenate([txt_byt5, txt], axis=1)
+               if cfg.use_cond_type_embedding
+               else jnp.concatenate([txt, txt_byt5], axis=1))
     l_txt = txt.shape[1]
 
     t_emb = timestep_embedding(timesteps, 256).astype(x.dtype)
@@ -209,13 +251,17 @@ def hunyuan_forward(
     guidance: Optional[jnp.ndarray] = None,
     cfg: HunyuanVideoConfig = HUNYUAN_VIDEO_15_CONFIG,
     timestep_r: Optional[jnp.ndarray] = None,
+    context_byt5: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """x: [B, T, H, W, C] video latent; timesteps: [B] (flow t, raw scale);
     context: [B, L, 3584] Qwen2.5-VL states → velocity [B, T, H, W, out].
     timestep_r: [B] next-step t for meanflow checkpoints (reference
-    hunyuan_timestep_r, stable-diffusion.cpp:2564-2566)."""
+    hunyuan_timestep_r, stable-diffusion.cpp:2564-2566).
+    context_byt5: [B, Lb, 1472] byt5-small glyph states (quoted prompt
+    text; reference conditioner.hpp:2662-2700)."""
     img, txt, vec, rot, dims = hunyuan_prologue(
-        p, x, timesteps, context, guidance, cfg, timestep_r=timestep_r
+        p, x, timesteps, context, guidance, cfg, timestep_r=timestep_r,
+        context_byt5=context_byt5,
     )
     for i in range(cfg.depth):
         img, txt = hunyuan_double_block(p, f"double_blocks.{i}", img, txt,
@@ -270,6 +316,14 @@ def init_hunyuan_params(cfg: HunyuanVideoConfig = HUNYUAN_VIDEO_15_CONFIG, seed:
     if cfg.guidance_embed:
         lin("guidance_in.in_layer", hid, 256)
         lin("guidance_in.out_layer", hid, hid)
+    if cfg.use_byt5:
+        norm("byt5_in.layernorm", cfg.byt5_in_dim)
+        lin("byt5_in.fc1", 2048, cfg.byt5_in_dim)
+        lin("byt5_in.fc2", 2048, 2048)
+        lin("byt5_in.fc3", hid, 2048)
+    if cfg.use_cond_type_embedding:
+        p["cond_type_embedding.weight"] = jnp.asarray(
+            g.standard_normal((3, hid), dtype=np.float32) * 0.02, dtype=dtype)
     for i in range(cfg.depth):
         for s in ("img", "txt"):
             pre = f"double_blocks.{i}.{s}"

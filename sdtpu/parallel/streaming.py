@@ -285,9 +285,10 @@ class HunyuanStreamer:
                 k: jax.device_put(v, device) for k, v in self.resident.items()
             }
 
-        def _prologue(p, x, t, ctx, g, tr):
+        def _prologue(p, x, t, ctx, g, tr, byt5):
             img, txt, vec, rot, _ = hunyuan_prologue(p, x, t, ctx, g, cfg,
-                                                     timestep_r=tr)
+                                                     timestep_r=tr,
+                                                     context_byt5=byt5)
             return img, txt, vec, rot
 
         def _block(bp, carry, vec, rot):
@@ -302,12 +303,14 @@ class HunyuanStreamer:
         self._streamer = BlockStreamer(_block, prefetch=prefetch, device=device)
         self.last_peak_blocks = 0
 
-    def __call__(self, x, timesteps, context, guidance=None, timestep_r=None):
+    def __call__(self, x, timesteps, context, guidance=None, timestep_r=None,
+                 context_byt5=None):
         b, t, hh, ww, _ = x.shape
         pt, ph, pw = self.cfg.patch_size
         dims = (b, t, hh, ww, -(-t // pt), -(-hh // ph), -(-ww // pw))
         img, txt, vec, rot = self._prologue(
-            self.resident, x, timesteps, context, guidance, timestep_r
+            self.resident, x, timesteps, context, guidance, timestep_r,
+            context_byt5
         )
         img, txt = self._streamer(self.blocks_host, (img, txt), vec, rot)
         self.last_peak_blocks = self._streamer.peak_resident_blocks

@@ -674,8 +674,12 @@ class DiffusionPipeline:
                             else None
                         )
                         tt = _tt(2 * b)
+                        # tuple extras carry separate (cond, uncond) halves
+                        # (byt5 glyph context); plain extras duplicate
                         ex2 = {
-                            k: jnp.concatenate([v, v], axis=0)
+                            k: (jnp.concatenate([v[0], v[1]], axis=0)
+                                if isinstance(v, tuple)
+                                else jnp.concatenate([v, v], axis=0))
                             for k, v in ex_base.items()
                         }
                         out = apply_model(x_both, xc_both, tt, ctx, y, ex2).astype(
@@ -691,7 +695,8 @@ class DiffusionPipeline:
                             tt1 = _tt(b)
                             if img_mode == "refs":
                                 ex_nr = {
-                                    k: v for k, v in ex_base.items()
+                                    k: (v[1] if isinstance(v, tuple) else v)
+                                    for k, v in ex_base.items()
                                     if not k.startswith("ref_latent_")
                                 }
                                 ctx_iu = (mi["ctx_img_uncond"]
@@ -707,7 +712,9 @@ class DiffusionPipeline:
                                     axis=-1)
                                 out_iu = apply_model(
                                     x_iu, x_core, tt1, mi["ctx_uncond"],
-                                    mi["y_uncond"], ex_base)
+                                    mi["y_uncond"],
+                                    {k: (v[1] if isinstance(v, tuple) else v)
+                                     for k, v in ex_base.items()})
                             den_img_u = c_skip * xt + c_out * out_iu.astype(
                                 jnp.float32)
                             img_scale = mi["img_cfg_scale"]
@@ -733,7 +740,8 @@ class DiffusionPipeline:
                                 out_s = diffusion_fn(
                                     mi["params"], x_in, tt1, mi["ctx_cond"],
                                     mi["y_cond"], skip_layers=slg_layers,
-                                    **ex_base,
+                                    **{k: (v[0] if isinstance(v, tuple) else v)
+                                       for k, v in ex_base.items()},
                                 ).astype(jnp.float32)
                                 den_s = c_skip * xt + c_out * out_s
                                 return slg_scale * (den_cond - den_s)
@@ -748,7 +756,9 @@ class DiffusionPipeline:
                     else:
                         tt = _tt(b)
                         out = apply_model(
-                            x_in, x_core, tt, ctx_cond_eff, y_cond_eff, ex_base
+                            x_in, x_core, tt, ctx_cond_eff, y_cond_eff,
+                            {k: (v[0] if isinstance(v, tuple) else v)
+                             for k, v in ex_base.items()}
                         ).astype(jnp.float32)
                         pred = c_skip * xt + c_out * out
                         den_uncond = pred
@@ -1250,6 +1260,14 @@ class DiffusionPipeline:
         ctx_c, ctx_u, y_c, y_u, vkw = self._module_input(
             (ctx_c, ctx_u, y_c, y_u, vkw)
         )
+        byt5 = _match_extra_context(cond, uncond, bc)
+        if byt5 is not None:
+            # branch-split extras entry: a tuple carries separate
+            # (cond, uncond) halves through the CFG batch (the reference
+            # threads extra_c_crossattns per graph, stable-diffusion.cpp:2652)
+            vkw.setdefault("extras", {})["context_byt5"] = (
+                byt5 if has_uncond else byt5[0])
+
         xt = self._place_batched(jnp.asarray(x))
         done = 0
         streamed = getattr(self, "_streamed_forward", None) is not None
@@ -1796,6 +1814,32 @@ def _match_context(cond: SDCondition, uncond: Optional[SDCondition], bc: int):
         c = _pad_tokens_by_repeat(c, target)
         u = _pad_tokens_by_repeat(u, target)
     return _tile(c, bc), _tile(u, bc)
+
+
+def _match_extra_context(cond: SDCondition, uncond, bc: int):
+    """Secondary cross-attn stream (byt5 glyph states) for cond/uncond,
+    zero-padded to one length and tiled to batch.  The reference runs the
+    branches as separate graphs so their byt5 lengths may differ
+    (conditioner.hpp:2662); the batched CFG program needs equal shapes, so a
+    branch without quoted text gets zero tokens.  Returns None, or
+    (cond_extra, uncond_extra|None)."""
+    ce = cond.c_extra
+    ue = uncond.c_extra if uncond is not None else None
+    if ce is None and ue is None:
+        return None
+    d = (ce if ce is not None else ue).shape[-1]
+    lc = 0 if ce is None else ce.shape[1]
+    lu = 0 if ue is None else ue.shape[1]
+    target = max(lc, lu)
+
+    def fit(x, l):
+        arr = np.zeros((1, target, d), dtype=np.float32)
+        if x is not None:
+            arr[:, :l] = np.asarray(x, dtype=np.float32)
+        return jnp.asarray(np.broadcast_to(arr, (bc, target, d)))
+
+    c = fit(ce, lc)
+    return (c, None) if uncond is None else (c, fit(ue, lu))
 
 
 def _pad_tokens_by_repeat(x: jnp.ndarray, target: int) -> jnp.ndarray:

@@ -40,6 +40,7 @@ SLOW_MODULES = {
     "test_guidance_state.py",
     "test_hidream_o1.py",
     "test_hunyuan.py",
+    "test_hunyuan_byt5.py",
     "test_ideogram4.py",
     "test_img2img.py",
     "test_img_cfg.py",
