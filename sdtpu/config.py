@@ -19,6 +19,9 @@ class SDVersion(enum.Enum):
     SD1_TINY_UNET = "sd1_tiny_unet"
     SD2 = "sd2"
     SD2_INPAINT = "sd2_inpaint"
+    SD2_TINY_UNET = "sd2_tiny_unet"
+    SDXS_512_DS = "sdxs_512_ds"
+    SDXS_09 = "sdxs_09"
     SDXL = "sdxl"
     SDXL_INPAINT = "sdxl_inpaint"
     SDXL_PIX2PIX = "sdxl_pix2pix"
@@ -28,6 +31,8 @@ class SDVersion(enum.Enum):
     SD3 = "sd3"
     FLUX = "flux"
     FLUX_FILL = "flux_fill"
+    FLUX_CONTROLS = "flux_controls"
+    FLEX_2 = "flex_2"
     FLUX2 = "flux2"
     FLUX2_KLEIN = "flux2_klein"
     CHROMA = "chroma"
@@ -57,8 +62,10 @@ class SDVersion(enum.Enum):
     UNKNOWN = "unknown"
 
 
-_SD1_FAMILY = {SDVersion.SD1, SDVersion.SD1_INPAINT, SDVersion.SD1_PIX2PIX, SDVersion.SD1_TINY_UNET}
-_SD2_FAMILY = {SDVersion.SD2, SDVersion.SD2_INPAINT}
+_SD1_FAMILY = {SDVersion.SD1, SDVersion.SD1_INPAINT, SDVersion.SD1_PIX2PIX,
+               SDVersion.SD1_TINY_UNET, SDVersion.SDXS_512_DS}
+_SD2_FAMILY = {SDVersion.SD2, SDVersion.SD2_INPAINT,
+               SDVersion.SD2_TINY_UNET, SDVersion.SDXS_09}
 _SDXL_FAMILY = {
     SDVersion.SDXL,
     SDVersion.SDXL_INPAINT,
@@ -71,6 +78,8 @@ _DIT_FAMILY = {
     SDVersion.SD3,
     SDVersion.FLUX,
     SDVersion.FLUX_FILL,
+    SDVersion.FLUX_CONTROLS,
+    SDVersion.FLEX_2,
     SDVersion.FLUX2,
     SDVersion.FLUX2_KLEIN,
     SDVersion.OVIS,
@@ -110,7 +119,9 @@ def sd_version_is_dit(v: SDVersion) -> bool:
 
 
 def sd_version_is_inpaint(v: SDVersion) -> bool:
-    return v in {SDVersion.SD1_INPAINT, SDVersion.SD2_INPAINT, SDVersion.SDXL_INPAINT, SDVersion.FLUX_FILL}
+    return v in {SDVersion.SD1_INPAINT, SDVersion.SD2_INPAINT,
+                 SDVersion.SDXL_INPAINT, SDVersion.FLUX_FILL,
+                 SDVersion.FLEX_2}
 
 
 def sd_version_is_unet_edit(v: SDVersion) -> bool:

@@ -101,12 +101,20 @@ def unet_config_for(version: SDVersion, small: bool = False):
             if sd_version_is_inpaint(version)
             else unet_mod.SDXL_UNET_CONFIG
         )
+    if version == SDVersion.SD2_TINY_UNET:
+        return unet_mod.SD2_TINY_UNET_CONFIG
+    if version == SDVersion.SDXS_09:
+        return unet_mod.SDXS_09_UNET_CONFIG
     if sd_version_is_sd2(version):
         return (
             unet_mod.SD2_INPAINT_UNET_CONFIG
             if sd_version_is_inpaint(version)
             else unet_mod.SD2_UNET_CONFIG
         )
+    if version == SDVersion.SD1_TINY_UNET:
+        return unet_mod.SD1_TINY_UNET_CONFIG
+    if version == SDVersion.SDXS_512_DS:
+        return unet_mod.SDXS_512_UNET_CONFIG
     if sd_version_is_unet_edit(version):
         return dataclasses.replace(unet_mod.SD1_UNET_CONFIG, in_channels=8)
     return (
@@ -161,12 +169,14 @@ def _create_pipeline(
         return _create_sd3_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer, flow_shift
         )
-    if version in (SDVersion.FLUX, SDVersion.FLUX_FILL, SDVersion.CHROMA):
+    if version in (SDVersion.FLUX, SDVersion.FLUX_FILL, SDVersion.CHROMA,
+                   SDVersion.FLUX_CONTROLS, SDVersion.FLEX_2):
         return _create_flux_pipeline(
             params, rng_type, dtype, small, seed, t5_tokenizer,
             is_chroma=version == SDVersion.CHROMA,
             model_args=kwargs.get("model_args"),
             stream_weights=kwargs.get("stream_weights", False),
+            version=version,
         )
     if version in (SDVersion.WAN2, SDVersion.WAN2_2_I2V, SDVersion.WAN2_2_TI2V):
         return _create_wan_pipeline(
@@ -389,7 +399,8 @@ def _create_pipeline(
 
 def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
                           is_chroma: bool = False, model_args=None,
-                          stream_weights: bool = False):
+                          stream_weights: bool = False,
+                          version: SDVersion = None):
     import dataclasses
 
     from sdtpu.config import parse_key_value_args
@@ -433,6 +444,20 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         vae_cfg = vae_mod.FLUX_VAE_CONFIG
         t5_seq = 256
 
+    # concat variants widen the packed input (reference flux.hpp:71-75:
+    # Fill 384 = img+masked+8²-shuffled-mask, Canny/Depth "Controls" 128 =
+    # img+control, Flex.2 196 = img+masked+mask+control; ×4 is the 2×2 pack)
+    zc = vae_cfg.z_channels
+    if version == SDVersion.FLUX_FILL:
+        dit_cfg = dataclasses.replace(
+            dit_cfg, in_channels=(2 * zc + 64) * 4, out_channels=zc * 4)
+    elif version == SDVersion.FLUX_CONTROLS:
+        dit_cfg = dataclasses.replace(
+            dit_cfg, in_channels=2 * zc * 4, out_channels=zc * 4)
+    elif version == SDVersion.FLEX_2:
+        dit_cfg = dataclasses.replace(
+            dit_cfg, in_channels=(3 * zc + 1) * 4, out_channels=zc * 4)
+
     # model_args escape hatch (reference flux.hpp:1417, conditioner.hpp:1300)
     margs = parse_key_value_args(model_args)
     if "chroma_use_dit_mask" in margs:
@@ -472,7 +497,8 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
 
     pipe = DiffusionPipeline(
-        version=SDVersion.CHROMA if is_chroma else SDVersion.FLUX,
+        version=(SDVersion.CHROMA if is_chroma
+                 else (version or SDVersion.FLUX)),
         ref_extras_fn=_make_ref_extras_fn(vae_params, vae_encode_fn),
         diffusion_params=dit_params,
         diffusion_fn=diffusion_fn,
@@ -482,7 +508,7 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
         vae_encode_fn=vae_encode_fn,
         denoiser=FluxFlowDenoiser(),
         rng_type=rng_type,
-        latent_channels=dit_cfg.in_channels // 4,
+        latent_channels=zc,  # concat channels ride c_concat, not the latent
         compute_dtype=dtype,
         uses_distilled_guidance=dit_cfg.guidance_embed,
     )

@@ -95,6 +95,19 @@ def detect_version(
         for n in names:
             if n.endswith("txt_in.weight") and shapes.get(n, (0, 0))[-1] == 3584:
                 return SDVersion.LONGCAT
+        # FLUX.1 input width distinguishes the concat variants
+        # (reference model_loader.cpp:636-645): 384 Fill, 128 Canny/Depth
+        # "Controls", 196 Flex.2, 64 base
+        for n in names:
+            if n.endswith("img_in.weight"):
+                in_w = shapes.get(n, (0, 0))[-1]
+                if in_w == 384:
+                    return SDVersion.FLUX_FILL
+                if in_w == 128:
+                    return SDVersion.FLUX_CONTROLS
+                if in_w == 196:
+                    return SDVersion.FLEX_2
+                break
         return SDVersion.FLUX
     if any(".vace_blocks." in n for n in names):
         return SDVersion.WAN2
@@ -157,15 +170,39 @@ def detect_version(
             break
     ctx_dim = shapes.get(ctx_key, (0, 768))[1] if ctx_key else None
     is_sd2 = ctx_dim == 1024 or has_prefix("cond_stage_model.model.")
+    # tiny UNets drop the whole middle block (reference
+    # model_loader.cpp:663-675: no middle_block.1 → tiny; SD1 side splits on
+    # output_blocks.7.1 presence, SD2 side on a 1024-wide attn there)
+    no_middle = not any(
+        n.startswith(("model.diffusion_model.middle_block.1.", "middle_block.1."))
+        for n in names
+    ) and any(
+        n.startswith(("model.diffusion_model.output_blocks.", "output_blocks."))
+        for n in names
+    )
+    has_ob71 = any(
+        n.startswith(("model.diffusion_model.output_blocks.7.1",
+                      "output_blocks.7.1"))
+        for n in names
+    )
     if is_sd2:
-        return SDVersion.SD2_INPAINT if in_channels == 9 else SDVersion.SD2
+        if in_channels == 9:
+            return SDVersion.SD2_INPAINT
+        if no_middle:
+            attn_k = None
+            for cand in ("model.diffusion_model.output_blocks.7.1."
+                         "transformer_blocks.0.attn1.to_k.weight",
+                         "output_blocks.7.1.transformer_blocks.0.attn1"
+                         ".to_k.weight"):
+                if cand in names:
+                    attn_k = shapes.get(cand, (0, 0))[-1]
+            return (SDVersion.SDXS_09 if attn_k == 1024
+                    else SDVersion.SD2_TINY_UNET)
+        return SDVersion.SD2
     if in_channels == 9:
         return SDVersion.SD1_INPAINT
     if in_channels == 8:
         return SDVersion.SD1_PIX2PIX
-    # tiny unet (SDXS etc.): no middle_block attention
-    if not any(n.startswith("model.diffusion_model.middle_block.1.") for n in names) and any(
-        n.startswith("model.diffusion_model.middle_block") for n in names
-    ):
-        return SDVersion.SD1_TINY_UNET
+    if no_middle:
+        return SDVersion.SD1_TINY_UNET if has_ob71 else SDVersion.SDXS_512_DS
     return SDVersion.SD1

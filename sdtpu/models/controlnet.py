@@ -58,9 +58,9 @@ def controlnet_forward(
     inputs, _ = _block_layout(cfg)
     controls: List[jnp.ndarray] = []
     hx = x
-    for i, blk in enumerate(inputs):
+    for tap, (bi, blk) in enumerate(inputs):
         for j, kind in enumerate(blk):
-            pre = f"input_blocks.{i}.{j}"
+            pre = f"input_blocks.{bi}.{j}"
             if kind == "conv":
                 hx = conv2d(hx, p[f"{pre}.weight"], p[f"{pre}.bias"])
                 hx = hx + guided_hint
@@ -71,7 +71,8 @@ def controlnet_forward(
             elif isinstance(kind, tuple) and kind[0] == "attn":
                 hx = spatial_transformer(p, pre, hx, context, cfg, kind[1])
         controls.append(
-            conv2d(hx, p[f"zero_convs.{i}.0.weight"], p[f"zero_convs.{i}.0.bias"], padding=0)
+            conv2d(hx, p[f"zero_convs.{tap}.0.weight"],
+                   p[f"zero_convs.{tap}.0.bias"], padding=0)
         )
 
     hx = resblock(p, "middle_block.0", hx, emb)

@@ -27,6 +27,9 @@ from sdtpu.ops.basic import conv2d, gelu_tanh, silu
 @dataclasses.dataclass(frozen=True)
 class FluxConfig:
     in_channels: int = 64  # packed 16ch × 2×2
+    # concat variants (Fill/Controls/Flex.2) read more channels than they
+    # predict; None → same as in_channels (reference flux.hpp out_channels)
+    out_channels: Optional[int] = None
     hidden_size: int = 3072
     mlp_ratio: float = 4.0
     num_heads: int = 24
@@ -471,10 +474,12 @@ def flux_prologue(p, x, timesteps, context, y, guidance, cfg: FluxConfig):
 
 def flux_head(p, img, vec, dims, cfg: FluxConfig):
     """Final adaLN + unpatchify of the standard FLUX path; dims is the
-    static (b, h, w, c) of the latent."""
+    static (b, h, w, c) of the MODEL INPUT — concat variants predict fewer
+    channels (cfg.out_channels) than they read."""
     b, h, w, c = dims
     ps = cfg.patch_size
     hp, wp = h // ps, w // ps
+    oc = (cfg.out_channels // (ps * ps)) if cfg.out_channels else c
     mf = linear(
         silu(vec),
         p["final_layer.adaLN_modulation.1.weight"],
@@ -483,8 +488,8 @@ def flux_head(p, img, vec, dims, cfg: FluxConfig):
     shift, scale = jnp.split(mf, 2, axis=-1)
     img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
     img = linear(img, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
-    return (img.reshape(b, hp, wp, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
-            .reshape(b, h, w, c))
+    return (img.reshape(b, hp, wp, ps, ps, oc).transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h, w, oc))
 
 
 def flux_forward(
@@ -704,8 +709,9 @@ def flux_forward(
         shift, scale = jnp.split(mf, 2, axis=-1)
     img = layer_norm(img, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
     img = linear(img, p["final_layer.linear.weight"], p.get("final_layer.linear.bias"))
-    img = (img.reshape(b, hp, wp, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
-           .reshape(b, h, w, c))
+    oc = (cfg.out_channels // (ps * ps)) if cfg.out_channels else c
+    img = (img.reshape(b, hp, wp, ps, ps, oc).transpose(0, 1, 3, 2, 4, 5)
+           .reshape(b, h, w, oc))
     return img
 
 
@@ -819,7 +825,7 @@ def _flux_param_walk(cfg: FluxConfig, lin0, scale, conv=None):
         return  # NeRF head replaces the final layer
     if not cfg.is_chroma:
         lin("final_layer.adaLN_modulation.1", 2 * hid, hid)
-    lin("final_layer.linear", cfg.in_channels, hid)
+    lin("final_layer.linear", cfg.out_channels or cfg.in_channels, hid)
 
 
 def init_flux_params(cfg: FluxConfig = FLUX_DEV_CONFIG, seed: int = 0, dtype=jnp.float32):

@@ -29,12 +29,13 @@ def attn2_paths(cfg: UNetConfig) -> List[str]:
     paths: List[str] = []
 
     def collect(blocks, base):
-        for i, blk in enumerate(blocks):
+        for entry in blocks:
+            bi, blk = entry[0], entry[1]
             for j, kind in enumerate(blk):
                 if isinstance(kind, tuple) and kind[0] == "attn":
                     for d in range(kind[1]):
                         paths.append(
-                            f"{base}.{i}.{j}.transformer_blocks.{d}.attn2"
+                            f"{base}.{bi}.{j}.transformer_blocks.{d}.attn2"
                         )
 
     collect(inputs, "input_blocks")

@@ -41,6 +41,14 @@ class UNetConfig:
     use_linear_in_transformer: bool = False
     adm_in_channels: Optional[int] = None  # SDXL conditioning vector
     svd: bool = False  # spatial-video: VideoResBlock + SpatialVideoTransformer
+    # distilled tiny UNets (SD-Turbo tiny / SDXS; reference unet.hpp:72-78):
+    # one resblock per level, 3 levels, NO middle block, and the original
+    # SD block numbering kept with holes (input_blocks 1,4,7; upsamples at
+    # shifted output indices)
+    tiny_unet: bool = False
+    # SDXS-0.9 quirk: the 320-wide attention runs as 1 head × 320 instead of
+    # 5 × 64 (reference unet.hpp:360-363)
+    sdxs09_wide_head: bool = False
 
 
 SD1_UNET_CONFIG = UNetConfig()
@@ -60,6 +68,20 @@ SDXL_UNET_CONFIG = UNetConfig(
     adm_in_channels=2816,
 )
 SDXL_INPAINT_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, in_channels=9)
+SD1_TINY_UNET_CONFIG = dataclasses.replace(
+    SD1_UNET_CONFIG, num_res_blocks=1, channel_mult=(1, 2, 4),
+    transformer_depth=(1, 1, 1), tiny_unet=True,
+)
+SDXS_512_UNET_CONFIG = dataclasses.replace(
+    SD1_TINY_UNET_CONFIG, attention_resolutions=(2, 4),
+)
+SD2_TINY_UNET_CONFIG = dataclasses.replace(
+    SD2_UNET_CONFIG, num_res_blocks=1, channel_mult=(1, 2, 4),
+    transformer_depth=(1, 1, 1), tiny_unet=True,
+)
+SDXS_09_UNET_CONFIG = dataclasses.replace(
+    SD2_TINY_UNET_CONFIG, sdxs09_wide_head=True,
+)
 # SSD-1B / Vega prune transformer depth; configs detected from weights later.
 SDXL_SSD1B_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, transformer_depth=(0, 2, 4))
 SDXL_VEGA_UNET_CONFIG = dataclasses.replace(SDXL_UNET_CONFIG, transformer_depth=(0, 1, 2))
@@ -75,7 +97,11 @@ SVD_UNET_CONFIG = UNetConfig(
 
 def _heads_for(cfg: UNetConfig, ch: int) -> int:
     if cfg.num_head_channels is not None:
-        return ch // cfg.num_head_channels
+        n = ch // cfg.num_head_channels
+        if cfg.sdxs09_wide_head and n == 5:
+            # SDXS-0.9: 5×64 runs as 1×320 (reference unet.hpp:360-363)
+            return 1
+        return n
     return cfg.num_heads or 8
 
 
@@ -278,34 +304,49 @@ def upsample(p, pre: str, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _block_layout(cfg: UNetConfig):
-    """Static layout of (input_blocks, middle, output_blocks): which sub-layers
-    each numbered block contains. Mirrors CompVis block numbering."""
-    inputs: List[List[str]] = [["conv"]]
-    ch = cfg.model_channels
-    in_chs = [ch]
+    """Static layout of (input_blocks, output_blocks) with EXPLICIT block
+    indices — CompVis numbering, which tiny UNets keep with holes (reference
+    unet.hpp:398-401,466-471: the index advances an extra step per level /
+    before upsamples, so checkpoints fingerprint like their full parents).
+
+    inputs: [(idx, [kinds])]; outputs: [(idx, [kinds], up)] where up is
+    None or (up_idx, up_sub) naming the UpSample conv position."""
+    inputs = [(0, ["conv"])]
     ds = 1
+    idx = 0
     for level, mult in enumerate(cfg.channel_mult):
         for _ in range(cfg.num_res_blocks):
+            idx += 1
             blk = ["res"]
-            ch = mult * cfg.model_channels
             if ds in cfg.attention_resolutions and cfg.transformer_depth[level] > 0:
                 blk.append(("attn", cfg.transformer_depth[level]))
-            inputs.append(blk)
-            in_chs.append(ch)
+            inputs.append((idx, blk))
+            if cfg.tiny_unet:
+                idx += 1
         if level != len(cfg.channel_mult) - 1:
-            inputs.append(["down"])
-            in_chs.append(ch)
+            idx += 1
+            inputs.append((idx, ["down"]))
             ds *= 2
-    outputs: List[List[str]] = []
+    outputs = []
+    obi = 0
     for level in reversed(range(len(cfg.channel_mult))):
         for i in range(cfg.num_res_blocks + 1):
             blk = ["res"]
+            up_sub = 1
             if ds in cfg.attention_resolutions and cfg.transformer_depth[level] > 0:
                 blk.append(("attn", cfg.transformer_depth[level]))
+                up_sub += 1
+            entry_idx = obi
+            up = None
             if level != 0 and i == cfg.num_res_blocks:
-                blk.append("up")
+                if cfg.tiny_unet:
+                    obi += 1
+                    if obi == 2:
+                        up_sub = 1
+                up = (obi, up_sub)
                 ds //= 2
-            outputs.append(blk)
+            outputs.append((entry_idx, blk, up))
+            obi += 1
     return inputs, outputs
 
 
@@ -351,10 +392,10 @@ def unet_forward(
     h = x
     level = 0
     res_j = 0
-    for i, blk in enumerate(inputs):
+    for bi, blk in inputs:
         is_res = False
         for j, kind in enumerate(blk):
-            pre = f"input_blocks.{i}.{j}"
+            pre = f"input_blocks.{bi}.{j}"
             if kind == "conv":
                 h = conv2d(h, p[f"{pre}.weight"], p[f"{pre}.bias"])
             elif kind == "res":
@@ -376,11 +417,12 @@ def unet_forward(
         return (video_resblock(p, pre, hh, emb, num_frames)
                 if cfg.svd and num_frames > 1 else resblock(p, pre, hh, emb))
 
-    h = _res("middle_block.0", h)
-    mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
-    h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth, ip_context=ip_context, ip_scale=ip_scale, num_frames=num_frames)
-    h = _res("middle_block.2", h)
-    h = motion(h, "mid_block.motion_modules.0")
+    if not cfg.tiny_unet:
+        h = _res("middle_block.0", h)
+        mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
+        h = spatial_transformer(p, "middle_block.1", h, context, cfg, mid_depth, ip_context=ip_context, ip_scale=ip_scale, num_frames=num_frames)
+        h = _res("middle_block.2", h)
+        h = motion(h, "mid_block.motion_modules.0")
 
     if controls is not None:
         block_controls, middle_control = controls
@@ -388,21 +430,17 @@ def unet_forward(
         hs = [s + c.astype(s.dtype) * control_strength for s, c in zip(hs, block_controls)]
 
     n_out_per_level = cfg.num_res_blocks + 1
-    for i, blk in enumerate(outputs):
+    for oi, (bi, blk, up) in enumerate(outputs):
         h = jnp.concatenate([h, hs.pop()], axis=-1)
-        did_up = False
         for j, kind in enumerate(blk):
-            pre = f"output_blocks.{i}.{j}"
+            pre = f"output_blocks.{bi}.{j}"
             if kind == "res":
                 h = _res(pre, h)
-            elif kind == "up":
-                did_up = True
             elif isinstance(kind, tuple) and kind[0] == "attn":
                 h = spatial_transformer(p, pre, h, context, cfg, kind[1], ip_context=ip_context, ip_scale=ip_scale, num_frames=num_frames)
-        h = motion(h, f"up_blocks.{i // n_out_per_level}.motion_modules.{i % n_out_per_level}")
-        if did_up:
-            up_j = len(blk) - 1
-            h = upsample(p, f"output_blocks.{i}.{up_j}", h)
+        h = motion(h, f"up_blocks.{oi // n_out_per_level}.motion_modules.{oi % n_out_per_level}")
+        if up is not None:
+            h = upsample(p, f"output_blocks.{up[0]}.{up[1]}", h)
 
     h = group_norm(h, p["out.0.weight"], p["out.0.bias"], eps=1e-5)
     h = silu(h)
@@ -511,8 +549,9 @@ def unet_param_shapes(cfg: UNetConfig) -> dict:
             skips.append(cur)
 
     conv("input_blocks.0.0", mc, cfg.in_channels)
-    bi = 1
-    for kind, in_c, out_c, level in in_specs:
+    layout_in, layout_out = _block_layout(cfg)
+    li = [e for e in layout_in if e[1] != ["conv"]]
+    for (kind, in_c, out_c, level), (bi, _blk) in zip(in_specs, li):
         if kind == "res":
             res(f"input_blocks.{bi}.0", in_c, out_c, emb_dim)
             if (
@@ -522,32 +561,30 @@ def unet_param_shapes(cfg: UNetConfig) -> dict:
                 spatial(f"input_blocks.{bi}.1", out_c, cfg.transformer_depth[level])
         else:
             conv(f"input_blocks.{bi}.0.op", out_c, in_c)
-        bi += 1
 
     top = cfg.channel_mult[-1] * mc
-    res("middle_block.0", top, top, emb_dim)
-    mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
-    spatial("middle_block.1", top, mid_depth)
-    res("middle_block.2", top, top, emb_dim)
+    if not cfg.tiny_unet:
+        res("middle_block.0", top, top, emb_dim)
+        mid_depth = cfg.transformer_depth[-1] if cfg.transformer_depth[-1] > 0 else 1
+        spatial("middle_block.1", top, mid_depth)
+        res("middle_block.2", top, top, emb_dim)
 
     cur = top
-    bi = 0
+    out_iter = iter(layout_out)
     for level in reversed(range(len(cfg.channel_mult))):
         out_c = cfg.channel_mult[level] * mc
         for i in range(cfg.num_res_blocks + 1):
+            bi, _blk, up = next(out_iter)
             skip = skips.pop()
             res(f"output_blocks.{bi}.0", cur + skip, out_c, emb_dim)
             cur = out_c
-            j = 1
             if (
                 _ds_at_level(cfg, level) in cfg.attention_resolutions
                 and cfg.transformer_depth[level] > 0
             ):
-                spatial(f"output_blocks.{bi}.{j}", out_c, cfg.transformer_depth[level])
-                j += 1
-            if level != 0 and i == cfg.num_res_blocks:
-                conv(f"output_blocks.{bi}.{j}.conv", out_c, out_c)
-            bi += 1
+                spatial(f"output_blocks.{bi}.1", out_c, cfg.transformer_depth[level])
+            if up is not None:
+                conv(f"output_blocks.{up[0]}.{up[1]}.conv", out_c, out_c)
 
     norm("out.0", mc)
     conv("out.2", cfg.out_channels, mc)

@@ -1500,23 +1500,62 @@ class DiffusionPipeline:
             )
             if mask_full.max() > 1.0:
                 mask_full = mask_full / 255.0
-            if init_image is not None:
+            lm = (
+                latent_mask
+                if latent_mask is not None
+                else np.ones((1, lh, lw, 1), dtype=np.float32)
+            )
+            if self.version == SDVersion.FLEX_2:
+                # Flex.2: latent-space masking + mask + control channels
+                # (reference stable-diffusion.cpp:4946-4970)
+                masked_latent = (
+                    (1.0 - lm) * np.asarray(init_latent, dtype=np.float32)
+                    if init_latent is not None
+                    else np.zeros((1, lh, lw, self.latent_channels),
+                                  dtype=np.float32))
+            elif init_image is not None:
                 # reference: masked = (1-mask)*(img01 - 0.5) + 0.5 in [0,1] space
                 im01 = (_to_pm1(init_image) + 1.0) / 2.0
                 masked_img = (1.0 - mask_full[..., None]) * (im01 - 0.5) + 0.5
                 masked_latent = self.encode_image(masked_img * 2.0 - 1.0)
             else:
                 masked_latent = np.zeros((1, lh, lw, self.latent_channels), dtype=np.float32)
-            lm = (
-                latent_mask
-                if latent_mask is not None
-                else np.ones((1, lh, lw, 1), dtype=np.float32)
-            )
-            # UNet input channels: [x, mask, masked_latent] (CompVis inpaint)
-            c_concat = np.concatenate([lm, masked_latent], axis=-1)
-            img_uncond_concat = np.concatenate(
-                [lm, np.zeros_like(masked_latent)], axis=-1)
+            if self.version == SDVersion.FLUX_FILL:
+                # FLUX Fill: [masked_latent, pixel-shuffled mask (sf² ch)]
+                # (reference stable-diffusion.cpp:4951-4959)
+                sf = self.scale_factor
+                mp = mask_full[: lh * sf, : lw * sf]
+                mask64 = mp.reshape(lh, sf, lw, sf).transpose(0, 2, 1, 3)
+                mask64 = mask64.reshape(1, lh, lw, sf * sf).astype(np.float32)
+                c_concat = np.concatenate([masked_latent, mask64], axis=-1)
+                img_uncond_concat = np.concatenate(
+                    [np.zeros_like(masked_latent), mask64], axis=-1)
+            elif self.version == SDVersion.FLEX_2:
+                ctrl = (np.asarray(self.encode_image(control_image),
+                                   dtype=np.float32)
+                        if control_image is not None
+                        else np.zeros_like(masked_latent))
+                c_concat = np.concatenate([masked_latent, lm, ctrl], axis=-1)
+                img_uncond_concat = np.concatenate(
+                    [np.zeros_like(masked_latent), lm,
+                     np.zeros_like(masked_latent)], axis=-1)
+                control_image = None  # consumed by the concat channels
+            else:
+                # UNet input channels: [x, mask, masked_latent] (CompVis)
+                c_concat = np.concatenate([lm, masked_latent], axis=-1)
+                img_uncond_concat = np.concatenate(
+                    [lm, np.zeros_like(masked_latent)], axis=-1)
             latent_mask = None  # inpaint models handle the mask via concat
+        if self.version == SDVersion.FLUX_CONTROLS:
+            # Canny/Depth dev: VAE-encoded control image as concat channels
+            # (reference stable-diffusion.cpp:4979-4986)
+            c_concat = (np.asarray(self.encode_image(control_image),
+                                   dtype=np.float32)
+                        if control_image is not None
+                        else np.zeros((1, lh, lw, self.latent_channels),
+                                      dtype=np.float32))
+            img_uncond_concat = np.zeros_like(c_concat)
+            control_image = None
         if sd_version_is_unet_edit(self.version):
             # instruct-pix2pix: edit-image latent concatenated to the UNet
             # input; image guidance runs against a zeroed concat

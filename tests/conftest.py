@@ -53,6 +53,7 @@ SLOW_MODULES = {
     "test_minit2i.py",
     "test_model_args.py",
     "test_model_oracles.py",
+    "test_model_variants.py",
     "test_parallel.py",
     "test_photomaker_pulid.py",
     "test_qwen_edit.py",

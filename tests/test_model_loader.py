@@ -167,3 +167,61 @@ def test_load_bundle_multi_file(tmp_path):
     )
     assert "input_blocks.0.0.weight" in bundle.diffusion
     assert "decoder.conv_in.weight" in bundle.vae
+
+
+def test_detect_tiny_unet_variants():
+    """Tiny distilled UNets split on middle-block absence + output-block
+    fingerprints (reference model_loader.cpp:663-675)."""
+    from sdtpu.io.detect import detect_version
+
+    def mk(tok_dim, with_ob71, attn_1024=False):
+        te_key = ("cond_stage_model.model.token_embedding.weight"
+                  if tok_dim == 1024 else
+                  "cond_stage_model.transformer.text_model.embeddings."
+                  "token_embedding.weight")
+        names = {
+            "model.diffusion_model.input_blocks.0.0.weight",
+            "model.diffusion_model.input_blocks.1.0.in_layers.0.weight",
+            "model.diffusion_model.output_blocks.0.0.in_layers.0.weight",
+            te_key,
+        }
+        shapes = {
+            te_key: (49408, tok_dim),
+            "model.diffusion_model.input_blocks.0.0.weight": (320, 4, 3, 3),
+        }
+        if with_ob71:
+            k = ("model.diffusion_model.output_blocks.7.1."
+                 "transformer_blocks.0.attn1.to_k.weight")
+            names.add(k)
+            shapes[k] = (1024 if attn_1024 else 320,
+                         1024 if attn_1024 else 320)
+        return names, shapes
+
+    names, shapes = mk(768, with_ob71=True)
+    assert detect_version(names, shapes) == SDVersion.SD1_TINY_UNET
+    names, shapes = mk(768, with_ob71=False)
+    assert detect_version(names, shapes) == SDVersion.SDXS_512_DS
+    names, shapes = mk(1024, with_ob71=True, attn_1024=True)
+    assert detect_version(names, shapes) == SDVersion.SDXS_09
+    names, shapes = mk(1024, with_ob71=True, attn_1024=False)
+    assert detect_version(names, shapes) == SDVersion.SD2_TINY_UNET
+    # full SD1 keeps its middle block → not tiny
+    names, shapes = mk(768, with_ob71=True)
+    names.add("model.diffusion_model.middle_block.1.norm.weight")
+    assert detect_version(names, shapes) == SDVersion.SD1
+
+
+def test_detect_flux_concat_variants():
+    """FLUX.1 input width → Fill / Controls / Flex.2
+    (reference model_loader.cpp:636-645)."""
+    from sdtpu.io.detect import detect_version
+
+    def mk(in_w):
+        names = {"double_blocks.0.img_attn.qkv.weight", "img_in.weight",
+                 "single_blocks.0.linear1.weight"}
+        return names, {"img_in.weight": (3072, in_w)}
+
+    assert detect_version(*mk(64)) == SDVersion.FLUX
+    assert detect_version(*mk(384)) == SDVersion.FLUX_FILL
+    assert detect_version(*mk(128)) == SDVersion.FLUX_CONTROLS
+    assert detect_version(*mk(196)) == SDVersion.FLEX_2
