@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--llm-tokenizer", help="LLM tokenizer.json path")
     ap.add_argument("--audio-vae", help="LTX audio VAE + vocoder file")
     ap.add_argument("--vae", help="vae file")
-    ap.add_argument("--taesd", help="taesd file (fast decode)")
+    ap.add_argument("--taesd", "--tae", dest="taesd", help="taesd file (fast decode)")
     ap.add_argument("--vae-tiling", action="store_true",
                     help="tile VAE encode/decode (low-memory hires)")
     ap.add_argument("--vae-tile-size", type=int, default=64, help="latent units")
@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="key=value,... tiling escape hatch (reference "
                     "extra_tiling_args): temporal_tile_frames=, "
                     "temporal_tile_overlap=")
-    ap.add_argument("--stream-weights", nargs="?", const="host", default=False,
+    ap.add_argument("--stream-weights", "--stream-layers", dest="stream_weights",
+                    nargs="?", const="host", default=False,
                     choices=["host", "disk"],
                     help="stream diffusion block weights per layer (>HBM "
                     "models; reference --stream-layers): 'host' keeps them "
@@ -70,7 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="separate image guidance scale (pix2pix / ref-image models)")
     ap.add_argument("--guidance", type=float, default=3.5)
     ap.add_argument("--sampling-method", default="euler_a")
-    ap.add_argument("--schedule", default="discrete")
+    ap.add_argument("--schedule", "--scheduler", dest="schedule", default="discrete")
     ap.add_argument("-s", "--seed", type=int, default=42)
     ap.add_argument("-b", "--batch-count", type=int, default=1)
     ap.add_argument("--qwen-image-layers", type=int, default=3,
@@ -92,10 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--canny", action="store_true",
                     help="apply canny preprocessing to the control image")
     ap.add_argument("--ip-adapter", help="ip-adapter checkpoint file")
-    ap.add_argument("--ip-image", help="ip-adapter reference image")
+    ap.add_argument("--ip-image", "--ip-adapter-image", dest="ip_image", help="ip-adapter reference image")
     ap.add_argument("-r", "--ref-image", action="append", default=[],
                     help="reference image (PiD low-quality input; repeatable)")
-    ap.add_argument("--ip-scale", type=float, default=1.0)
+    ap.add_argument("--ip-scale", "--ip-adapter-strength", dest="ip_scale",
+                    type=float, default=1.0)
     ap.add_argument("--clip-vision", help="CLIP vision encoder checkpoint (ip-adapter)")
     ap.add_argument("--photo-maker", help="PhotoMaker checkpoint (v1/v2)")
     ap.add_argument("--pm-id-images-dir", help="PhotoMaker input ID images dir")
@@ -104,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pulid-weights", help="PuLID pulid_ca weights file")
     ap.add_argument("--pulid-id-embedding", help="PuLID id embedding file")
     ap.add_argument("--pulid-id-weight", type=float, default=1.0)
-    ap.add_argument("--cache", default=None,
+    ap.add_argument("--cache", "--cache-mode", dest="cache", default=None,
                     choices=["easycache", "ucache", "taylorseer", "spectrum",
                              "dbcache", "cache_dit"],
                     help="step cache: skip diffusion forwards (reference docs/caching.md)")
@@ -124,14 +126,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ad-prompt", default=None, help="adetailer inpaint prompt")
     ap.add_argument("--ad-confidence", type=float, default=0.3)
     ap.add_argument("--ad-strength", type=float, default=0.4)
-    ap.add_argument("--ad-option", default="",
+    ap.add_argument("--ad-option", "--extra-ad-args", dest="ad_option", default="",
                     help="extra adetailer args key=value,... (reference "
                     "extra_ad_args): sort_by/mask_k_largest/dilate_erode/"
                     "merge_masks/invert_mask/mask_blur/...")
     ap.add_argument("--slg-scale", type=float, default=0.0)
     ap.add_argument("--skip-layers", default="7,8,9")
-    ap.add_argument("--slg-start", type=float, default=0.01)
-    ap.add_argument("--slg-end", type=float, default=0.2)
+    ap.add_argument("--slg-start", "--skip-layer-start", dest="slg_start",
+                    type=float, default=0.01)
+    ap.add_argument("--slg-end", "--skip-layer-end", dest="slg_end",
+                    type=float, default=0.2)
     ap.add_argument("--apg-eta", type=float, default=1.0)
     ap.add_argument("--apg-momentum", type=float, default=0.0)
     ap.add_argument("--apg-nt", type=float, default=0.0, help="APG norm threshold")
@@ -242,6 +246,42 @@ def build_parser() -> argparse.ArgumentParser:
                     "wins, e.g. 'attn=q8_0,^first_stage=f16'")
     ap.add_argument("--imatrix-out", help="collect an importance matrix during img_gen")
     ap.add_argument("--imatrix", help="importance matrix .dat for quantizing conversion")
+    ap.add_argument("--timestep-shift", type=int, default=0,
+                    help="shifted timestep for NitroFusion models (reference "
+                    "--timestep-shift; ~250 NitroSD-Realism, ~500 Vibrant)")
+    ap.add_argument("--scm-mask", default="",
+                    help="cache-dit SCM per-step compute mask, e.g. "
+                    "1,1,1,0,0,1 (reference --scm-mask)")
+    ap.add_argument("--scm-policy", default="", choices=["", "dynamic", "static"],
+                    help="cache-dit SCM policy (reference --scm-policy)")
+    ap.add_argument("--ad-negative-prompt", default=None,
+                    help="adetailer inpaint negative prompt")
+    ap.add_argument("--ad-model",
+                    help="separate checkpoint for the adetailer inpaint pass "
+                    "(reference --ad-model); defaults to the main model")
+    ap.add_argument("--uncond-diffusion-model",
+                    help="standalone unconditional diffusion model (Ideogram4 "
+                    "CFG; reference --uncond-diffusion-model)")
+    ap.add_argument("--vae-relative-tile-size", default="",
+                    help="VAE tile size as [X]x[Y] fraction of the image "
+                    "(<1) or tiles per dim (>=1); overrides --vae-tile-size")
+    ap.add_argument("--hires-upscalers-dir", default="",
+                    help="dir searched for --hires-upscaler model files")
+    ap.add_argument("--disable-image-metadata", action="store_true",
+                    help="do not embed generation parameters in output PNGs")
+    ap.add_argument("--high-noise-guidance", type=float, default=None,
+                    help="distilled guidance for the Wan2.2 high-noise phase")
+    # accepted-for-compat flags (no-ops on TPU)
+    ap.add_argument("--fa", "--diffusion-fa", dest="fa", action="store_true",
+                    help="flash attention (always on for eligible shapes on "
+                    "TPU; accepted for reference-CLI compat)")
+    ap.add_argument("--mmap", action="store_true",
+                    help="mmap checkpoints (always on; compat no-op)")
+    ap.add_argument("--threads", type=int, default=0,
+                    help="ignored (XLA manages threading; compat no-op)")
+    ap.add_argument("--offload-to-cpu", action="store_true",
+                    help="compat: keep weights in host RAM — maps to "
+                    "--stream-weights host on Wan/FLUX/Hunyuan/LTX")
     return ap
 
 
@@ -297,6 +337,17 @@ def main(argv=None) -> int:
         return _upscale(args)
 
     return _img_gen(args)
+
+
+def _cache_options(args) -> dict:
+    """--cache-option plus the --scm-mask/--scm-policy shorthands (reference
+    on_scm_mask_arg / on_scm_policy_arg, common.cpp:1582-1590)."""
+    opts = _parse_kv(getattr(args, "cache_option", ""))
+    if getattr(args, "scm_mask", ""):
+        opts["scm_mask"] = args.scm_mask
+    if getattr(args, "scm_policy", ""):
+        opts["scm_policy_dynamic"] = args.scm_policy != "static"
+    return opts
 
 
 def _load_esrgan(path):
@@ -406,6 +457,10 @@ def _load_pipeline(args):
         return out
 
     stream_mode = getattr(args, "stream_weights", False)
+    if not stream_mode and getattr(args, "offload_to_cpu", False):
+        # compat shim: the reference keeps params in host RAM and stages per
+        # use (docs/backend.md:225-244); host streaming is the TPU analog
+        stream_mode = "host"
     if stream_mode == "disk":
         # disk residency: block tensors never materialize on host or HBM —
         # drop them from the bundle now; _stream_setup reads them from the
@@ -430,6 +485,13 @@ def _load_pipeline(args):
                             for k, v in bundle.text_projection.items()} or None,
     }
     params = {k: v for k, v in params.items() if v}
+    if getattr(args, "uncond_diffusion_model", None):
+        # Ideogram4 CFG: separate unconditional model under the uncond.
+        # prefix (reference stable-diffusion.cpp:735-738)
+        from sdtpu.io.model_loader import read_checkpoint_file
+
+        for k, v in read_checkpoint_file(args.uncond_diffusion_model).items():
+            params["diffusion"][f"uncond.{k}"] = jnp.asarray(v, dtype=dtype)
     if getattr(args, "motion_module", None):
         # AnimateDiff motion module merges into the UNet under the
         # motion_module. prefix (reference --motion-module, common.cpp:436)
@@ -485,9 +547,17 @@ def _load_pipeline(args):
         pipe._stream_setup()
         print(f"disk streaming: blocks read from {path} per use"
               + (f" (LRU {args.stream_cache_gib:g} GiB)" if cache else ""))
-    if args.vae_tiling or getattr(args, "vae_temporal_tiling", False):
+    tile_size = args.vae_tile_size
+    rel = getattr(args, "vae_relative_tile_size", "")
+    if rel:
+        # [X]x[Y] fraction (<1) of the image or tiles-per-dim (>=1)
+        # (reference on_relative_tile_size_arg, common.cpp:1594)
+        rx = float(rel.lower().split("x")[0])
+        lat = min(args.width, args.height) // 8
+        tile_size = max(8, int(lat * rx) if rx < 1 else lat // int(rx))
+    if args.vae_tiling or rel or getattr(args, "vae_temporal_tiling", False):
         pipe.set_vae_tiling(
-            args.vae_tiling, args.vae_tile_size, args.vae_tile_overlap,
+            True, tile_size, args.vae_tile_overlap,
             temporal=getattr(args, "vae_temporal_tiling", False),
             extra_tiling_args=getattr(args, "extra_tiling_args", ""))
     if getattr(args, "sampler_rng", None):
@@ -646,6 +716,7 @@ def _img_gen(args) -> int:
         skip_layers=tuple(int(v) for v in args.skip_layers.split(",") if v.strip()),
         slg_start=args.slg_start,
         slg_end=args.slg_end,
+        shifted_timestep=args.timestep_shift,
         apg_eta=args.apg_eta,
         apg_momentum=args.apg_momentum,
         apg_norm_threshold=args.apg_nt,
@@ -775,8 +846,19 @@ def _img_gen(args) -> int:
         # highres fix (reference --hires, stable-diffusion.cpp:5523-5642)
         esr = None
         upscaler = "latent"
-        if args.hires_upscaler.lower() != "latent" and args.upscale_model:
-            esr, _ = _load_esrgan(args.upscale_model)
+        up_path = args.upscale_model
+        if (not up_path and getattr(args, "hires_upscalers_dir", "")
+                and not args.hires_upscaler.lower().startswith("latent")):
+            # resolve the named upscaler in --hires-upscalers-dir (reference
+            # hires_upscalers_dir scan, routes_sdapi.cpp / main.cpp)
+            for ext in ("", ".safetensors", ".pth", ".pt", ".ckpt"):
+                cand = os.path.join(args.hires_upscalers_dir,
+                                    args.hires_upscaler + ext)
+                if os.path.isfile(cand):
+                    up_path = cand
+                    break
+        if args.hires_upscaler.lower() != "latent" and up_path:
+            esr, _ = _load_esrgan(up_path)
             upscaler = "esrgan"
         res = pipe.txt2img_hires(
             gp,
@@ -803,7 +885,7 @@ def _img_gen(args) -> int:
             ip_scale=args.ip_scale,
             progress_callback=_progress_cb(args),
             step_cache=args.cache,
-            cache_options=_parse_kv(args.cache_option),
+            cache_options=_cache_options(args),
         )
     if args.imatrix_out:
         # one representative EAGER mid-sigma forward per sample (reference
@@ -839,7 +921,8 @@ def _img_gen(args) -> int:
         meta = build_parameters_text(
             GenerationParams(**{**gp.__dict__, "seed": res.seeds[i]})
         )
-        write_png(path, img, parameters=meta)
+        write_png(path, img,
+                  parameters=None if args.disable_image_metadata else meta)
         print(f"saved {path}")
     return 0
 
@@ -907,6 +990,8 @@ def _vid_gen(args) -> int:
             vkw["high_noise_cfg_scale"] = args.high_noise_cfg_scale
         if args.high_noise_eta is not None:
             vkw["high_noise_eta"] = args.high_noise_eta
+        if args.high_noise_guidance is not None:
+            vkw["high_noise_guidance"] = args.high_noise_guidance
         if args.high_noise_steps is not None:
             vkw["high_noise_steps"] = args.high_noise_steps
     t0 = time.time()
@@ -943,7 +1028,15 @@ def _adetailer(args) -> int:
 
     if not (args.init_img and args.detector):
         raise SystemExit("error: adetailer needs -i <image> and --detector <yolov8>")
-    pipe, _ = _load_pipeline(args)
+    if getattr(args, "ad_model", None):
+        # separate checkpoint for the inpaint pass (reference --ad-model)
+        import copy as _copy
+
+        ad_args = _copy.copy(args)
+        ad_args.model, ad_args.diffusion_model = args.ad_model, None
+        pipe, _ = _load_pipeline(ad_args)
+    else:
+        pipe, _ = _load_pipeline(args)
     raw = read_checkpoint_file(args.detector)
     det_cfg = detect_yolov8_config({k: tuple(v.shape) for k, v in raw.items()})
     det_params = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in raw.items()}
@@ -954,7 +1047,8 @@ def _adetailer(args) -> int:
         sample_method=args.sampling_method, schedule=args.schedule, seed=args.seed,
     )
     ad_kwargs = dict(confidence=args.ad_confidence,
-                     denoising_strength=args.ad_strength, prompt=args.ad_prompt)
+                     denoising_strength=args.ad_strength, prompt=args.ad_prompt,
+                     negative_prompt=args.ad_negative_prompt)
     # --ad-option key=value,... escape hatch (reference extra_ad_args,
     # detailer.cpp:787+): mask_k_largest / dilate_erode / merge_masks / ...
     for k, v in _parse_kv(getattr(args, "ad_option", "")).items():

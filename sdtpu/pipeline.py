@@ -1097,6 +1097,7 @@ class DiffusionPipeline:
         control_frames: Optional[list] = None,
         vace_strength: float = 1.0,
         high_noise_sample_method: Optional[str] = None,
+        high_noise_guidance: Optional[float] = None,
         high_noise_cfg_scale: Optional[float] = None,
         high_noise_eta: Optional[float] = None,
         high_noise_steps: Optional[int] = None,
@@ -1216,6 +1217,10 @@ class DiffusionPipeline:
                     hn_over["cfg"] = float(high_noise_cfg_scale)
                 if high_noise_eta is not None:
                     hn_over["eta"] = float(high_noise_eta)
+                if high_noise_guidance is not None:
+                    # distilled-guidance override for the high-noise phase
+                    # (reference --high-noise-guidance)
+                    hn_over["guidance"] = float(high_noise_guidance)
                 phases = [
                     (high_noise_params, sigmas[: switch + 1], hn_over),
                     (self.diffusion_params, sigmas[switch:], {}),
@@ -1296,6 +1301,13 @@ class DiffusionPipeline:
                 if step_noise is not None
                 else None
             )
+            ph_vkw = vkw
+            if "guidance" in over:
+                ph_vkw = dict(vkw)
+                ex = dict(ph_vkw.get("extras") or {})
+                ex["guidance"] = jnp.full((bc,), over["guidance"],
+                                          dtype=jnp.float32)
+                ph_vkw["extras"] = ex
             with self._sp_context(), self._platform_ctx("diffusion"), self._circ_ctx():
                 xt = run(
                     phase_params,
@@ -1306,7 +1318,7 @@ class DiffusionPipeline:
                     y_c,
                     y_u,
                     jnp.float32(ph_cfg),
-                    **vkw,
+                    **ph_vkw,
                 )
             done += n_phase
         latents = xt

@@ -329,3 +329,34 @@ def test_structured_lora_field(server_port, tmp_path):
     except urllib.error.HTTPError as e:
         raised = e.code in (400, 500)
     assert raised
+
+
+def test_reference_cli_compat_flags():
+    """Reference-CLI compatibility: aliases + new flags parse and map
+    (reference common.cpp option table)."""
+    from sdtpu.cli import _cache_options, build_parser
+
+    ap = build_parser()
+    a = ap.parse_args([
+        "-p", "x", "-m", "m.safetensors",
+        "--cache-mode", "easycache", "--scheduler", "karras",
+        "--tae", "t.sft", "--stream-layers", "host",
+        "--ip-adapter-image", "f.png", "--ip-adapter-strength", "0.5",
+        "--skip-layer-start", "0.1", "--skip-layer-end", "0.9",
+        "--extra-ad-args", "sort_by=area", "--diffusion-fa", "--mmap",
+        "--threads", "4", "--offload-to-cpu", "--timestep-shift", "250",
+        "--scm-mask", "1,0,1", "--scm-policy", "static",
+        "--vae-relative-tile-size", "0.5",
+        "--uncond-diffusion-model", "u.sft",
+        "--high-noise-guidance", "4.0", "--disable-image-metadata",
+    ])
+    assert a.cache == "easycache" and a.schedule == "karras"
+    assert a.taesd == "t.sft" and a.stream_weights == "host"
+    assert a.ip_image == "f.png" and a.ip_scale == 0.5
+    assert a.slg_start == 0.1 and a.slg_end == 0.9
+    assert a.ad_option == "sort_by=area" and a.fa and a.mmap
+    assert a.offload_to_cpu and a.timestep_shift == 250
+    assert a.uncond_diffusion_model == "u.sft"
+    assert a.high_noise_guidance == 4.0 and a.disable_image_metadata
+    opts = _cache_options(a)
+    assert opts["scm_mask"] == "1,0,1" and opts["scm_policy_dynamic"] is False
