@@ -262,6 +262,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--uncond-diffusion-model",
                     help="standalone unconditional diffusion model (Ideogram4 "
                     "CFG; reference --uncond-diffusion-model)")
+    ap.add_argument("--embeddings-connectors",
+                    help="LTX-AV embeddings connectors file (learned-register "
+                    "text/audio refiners; reference --embeddings-connectors)")
     ap.add_argument("--vae-relative-tile-size", default="",
                     help="VAE tile size as [X]x[Y] fraction of the image "
                     "(<1) or tiles per dim (>=1); overrides --vae-tile-size")
@@ -492,6 +495,14 @@ def _load_pipeline(args):
 
         for k, v in read_checkpoint_file(args.uncond_diffusion_model).items():
             params["diffusion"][f"uncond.{k}"] = jnp.asarray(v, dtype=dtype)
+    if getattr(args, "embeddings_connectors", None):
+        # LTX-AV connector refiners merge into the diffusion params (the
+        # LTXV model consumes connector.* keys; reference
+        # stable-diffusion.cpp:814-817 loads the file unprefixed)
+        from sdtpu.io.model_loader import read_checkpoint_file
+
+        for k, v in read_checkpoint_file(args.embeddings_connectors).items():
+            params["diffusion"][k] = jnp.asarray(v, dtype=dtype)
     if getattr(args, "motion_module", None):
         # AnimateDiff motion module merges into the UNet under the
         # motion_module. prefix (reference --motion-module, common.cpp:436)
