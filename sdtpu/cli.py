@@ -274,6 +274,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="do not embed generation parameters in output PNGs")
     ap.add_argument("--high-noise-guidance", type=float, default=None,
                     help="distilled guidance for the Wan2.2 high-noise phase")
+    ap.add_argument("--increase-ref-index", action="store_true",
+                    help="index Kontext reference images 1..N in RoPE "
+                    "instead of sharing index 1 (reference "
+                    "--increase-ref-index)")
     # accepted-for-compat flags (no-ops on TPU)
     ap.add_argument("--fa", "--diffusion-fa", dest="fa", action="store_true",
                     help="flash attention (always on for eligible shapes on "
@@ -538,8 +542,12 @@ def _load_pipeline(args):
                 args.llm_tokenizer)
     if stream_mode == "host":
         tok_kwargs["stream_weights"] = True
-    if getattr(args, "model_args", ""):
-        tok_kwargs["model_args"] = args.model_args
+    margs_str = getattr(args, "model_args", "") or ""
+    if getattr(args, "increase_ref_index", False):
+        margs_str = (margs_str + "," if margs_str else "") + \
+            "ref_index_increase=true"
+    if margs_str:
+        tok_kwargs["model_args"] = margs_str
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift,
                            **tok_kwargs)

@@ -463,6 +463,10 @@ def _create_flux_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer,
     if "chroma_use_dit_mask" in margs:
         dit_cfg = dataclasses.replace(
             dit_cfg, chroma_use_dit_mask=bool(margs["chroma_use_dit_mask"]))
+    if "ref_index_increase" in margs:
+        # Kontext multi-ref RoPE indexing (reference --increase-ref-index)
+        dit_cfg = dataclasses.replace(
+            dit_cfg, ref_index_increase=bool(margs["ref_index_increase"]))
 
     dit_params = params.get("diffusion") or flux_mod.init_flux_params(dit_cfg, seed, dtype=dtype)
     t5_params = params.get("t5") or t5_mod.init_t5_params(t5_cfg, seed + 2, dtype=dtype)
