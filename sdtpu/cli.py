@@ -274,6 +274,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="do not embed generation parameters in output PNGs")
     ap.add_argument("--high-noise-guidance", type=float, default=None,
                     help="distilled guidance for the Wan2.2 high-noise phase")
+    ap.add_argument("--hires-upscale-tile-size", type=int, default=256,
+                    help="ESRGAN tile size for the hires-fix upscale pass "
+                    "(reference --hires-upscale-tile-size)")
+    ap.add_argument("--control-net-cpu", action="store_true",
+                    help="keep the ControlNet on the host CPU (reference "
+                    "--control-net-cpu; per-module placement)")
     ap.add_argument("--increase-ref-index", action="store_true",
                     help="index Kontext reference images 1..N in RoPE "
                     "instead of sharing index 1 (reference "
@@ -634,13 +640,15 @@ def _load_pipeline(args):
             wrap_y=args.circular or args.circulary,
             wrap_x=args.circular or args.circularx,
         )
-    if getattr(args, "clip_on_cpu", False) or getattr(args, "vae_on_cpu", False):
+    if (getattr(args, "clip_on_cpu", False) or getattr(args, "vae_on_cpu", False)
+            or getattr(args, "control_net_cpu", False)):
         import jax
 
         cpu = jax.devices("cpu")[0]
         pipe.set_module_devices(
             conditioner=cpu if args.clip_on_cpu else None,
             vae=cpu if args.vae_on_cpu else None,
+            controlnet=cpu if getattr(args, "control_net_cpu", False) else None,
         )
     if args.embd_dir and os.path.isdir(args.embd_dir) and hasattr(pipe.conditioner, "load_embedding"):
         from sdtpu.io.model_loader import read_checkpoint_file
@@ -889,6 +897,7 @@ def _img_gen(args) -> int:
             hires_width=args.hires_width,
             hires_height=args.hires_height,
             hires_sigmas=args.hires_sigmas,
+            upscale_tile=args.hires_upscale_tile_size,
         )
     else:
         res = pipe.generate(

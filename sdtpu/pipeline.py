@@ -1047,6 +1047,7 @@ class DiffusionPipeline:
         hires_width: int = 0,
         hires_height: int = 0,
         hires_sigmas: str = "",
+        upscale_tile: int = 256,
     ) -> GenerationResult:
         """Hires fix (reference stable-diffusion.cpp:5523-5642): base sample →
         upscale (latent bilinear, or decode→ESRGAN→re-encode) → second
@@ -1076,7 +1077,8 @@ class DiffusionPipeline:
             from sdtpu.models.esrgan import upscale_image
             from sdtpu.utils.image import resize_image
 
-            up = upscale_image(esrgan_params, base.images[0])
+            up = upscale_image(esrgan_params, base.images[0],
+                               tile=upscale_tile)
             init_image = resize_image(up, tw, th)
             return self.generate(gp2, init_image=init_image)
         # latent-space upscale
