@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--clip_g", help="clip-g text encoder file")
     ap.add_argument("--t5xxl", help="t5xxl text encoder file")
     ap.add_argument("--t5-tokenizer", help="t5 tokenizer.json path")
-    ap.add_argument("--llm", help="decoder-LLM text encoder file (qwen/gemma)")
+    ap.add_argument("--llm", "--qwen2vl", dest="llm",
+                    help="decoder-LLM text encoder file (qwen/gemma); --qwen2vl is the reference's deprecated alias")
     ap.add_argument("--llm-tokenizer", help="LLM tokenizer.json path")
     ap.add_argument("--audio-vae", help="LTX audio VAE + vocoder file")
     ap.add_argument("--vae", help="vae file")
