@@ -296,6 +296,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--offload-to-cpu", action="store_true",
                     help="compat: keep weights in host RAM — maps to "
                     "--stream-weights host on Wan/FLUX/Hunyuan/LTX")
+    ap.add_argument("--eager-load", action="store_true",
+                    help="load all params at model-load time (already the "
+                    "default here; compat no-op)")
     return ap
 
 
