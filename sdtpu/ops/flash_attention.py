@@ -45,27 +45,39 @@ def flash_supported(q, k, v, mask) -> bool:
     return True
 
 
+LOG2_E = 1.4426950408889634
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, kv_len: int, block_k: int,
+    *, scale: float, kv_len: int, block_k: int, need_mask: bool,
 ):
     # q_ref: [1, BQ, D], k_ref/v_ref: [1, BK, D] (one streamed KV tile),
     # bias_ref: [BQ, BK] or None; acc/m/l: VMEM scratch carried across the
     # KV grid dimension (innermost, sequential on TPU).
+    #
+    # VPU economies (the kernel is VPU-bound at DiT shapes, not MXU-bound):
+    # log2(e) is folded into the q scale so the softmax uses exp2 directly
+    # (exp lowers to exp2 + a multiply pass over [BQ, BK]); the key-padding
+    # mask is traced out entirely when Lk is a block multiple; and the
+    # single-KV-step case (whole KV in VMEM) skips the online-softmax carry.
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     in_dtype = q_ref.dtype
     # bf16 inputs: MXU passes in bf16 with f32 accumulation (fast path);
     # f32 inputs: full-precision passes (parity mode).
     prec = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    single = nk == 1
 
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    if not single:
+        @pl.when(ki == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale)).astype(in_dtype)  # [BQ, D]
+    # scale·log2(e) folded in: softmax(s) == exp2-normalized((s·log2e))
+    q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale * LOG2_E)).astype(in_dtype)
     bq = q.shape[0]
     kc = k_ref[0]  # [BK, D]
     vc = v_ref[0]
@@ -75,33 +87,43 @@ def _flash_kernel(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
-    )  # [BQ, BK] f32
+    )  # [BQ, BK] f32, in log2 units
     if bias_ref is not None:
-        s = s + bias_ref[...].astype(jnp.float32)
-    # mask keys past the true kv_len
-    k_start = ki * block_k
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + k_start
-    s = jnp.where(kidx < kv_len, s, NEG_INF)
+        s = s + bias_ref[...].astype(jnp.float32) * jnp.float32(LOG2_E)
+    if need_mask:
+        # mask keys past the true kv_len (only traced when Lk is padded)
+        k_start = ki * block_k
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + k_start
+        s = jnp.where(kidx < kv_len, s, NEG_INF)
 
-    m_prev = m_ref[...]
-    l_prev = l_ref[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # [BQ, BK] f32
-    alpha = jnp.exp(m_prev - m_new)
-    l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[...] = m_new
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+    if single:
+        p = jnp.exp2(s - m_cur)
+        l_new = jnp.sum(p, axis=-1, keepdims=True)
+    else:
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)  # [BQ, BK] f32
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_ref[...] = l_new
+        m_ref[...] = m_new
+    pv = jax.lax.dot_general(
         p.astype(in_dtype),
         vc,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
     )
+    if single:
+        o_ref[0] = (pv / l_new).astype(o_ref.dtype)
+    else:
+        acc_ref[...] = acc_ref[...] * alpha + pv
 
-    @pl.when(ki == nk - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        @pl.when(ki == nk - 1)
+        def _finish():
+            o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
 def flash_attention(
@@ -160,10 +182,14 @@ def flash_attention(
             pl.BlockSpec((block_q, block_k), lambda bh, qi, ki: (qi, ki), memory_space=pltpu.VMEM)
         )
         args.append(bias)
-        kernel = functools.partial(_flash_kernel, scale=scale, kv_len=lk, block_k=block_k)
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, kv_len=lk, block_k=block_k,
+            need_mask=lk_p != lk,
+        )
     else:
         kernel = functools.partial(
-            _bias_free_kernel, scale=scale, kv_len=lk, block_k=block_k
+            _bias_free_kernel, scale=scale, kv_len=lk, block_k=block_k,
+            need_mask=lk_p != lk,
         )
 
     out = pl.pallas_call(
@@ -192,8 +218,9 @@ def flash_attention(
     return out[:, :lq, :d].reshape(b, h, lq, d)
 
 
-def _bias_free_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k):
+def _bias_free_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                      *, scale, kv_len, block_k, need_mask):
     _flash_kernel(
         q_ref, k_ref, v_ref, None, o_ref, acc_ref, m_ref, l_ref,
-        scale=scale, kv_len=kv_len, block_k=block_k,
+        scale=scale, kv_len=kv_len, block_k=block_k, need_mask=need_mask,
     )
