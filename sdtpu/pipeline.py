@@ -1323,19 +1323,25 @@ class DiffusionPipeline:
                     **ph_vkw,
                 )
             done += n_phase
-        latents = xt
-        latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
-        latents = np.asarray(latents, dtype=np.float32)
+        latents_dev = self.denoiser.inverse_noise_scaling(
+            np.float32(sigmas[-1]), xt
+        )
+        latents_dev = jnp.asarray(latents_dev, dtype=jnp.float32)
+        jax.block_until_ready(latents_dev)
         t1 = time.time()
         log_info(
             f"video sampling completed in {t1 - t0:.2f}s "
             f"({steps} steps, {tl}×{lh}×{lw} latent)"
         )
 
+        # device-resident decode handoff (see generate()): dispatch first,
+        # overlap the latents D2H with decode compute
         decode = self._decode_program()
         with self._platform_ctx("vae"), self._circ_ctx():
-            vid = np.asarray(decode(self.vae_params,
-                                    self._module_input(jnp.asarray(latents), "vae")))
+            vid_dev = decode(self.vae_params,
+                             self._module_input(latents_dev, "vae"))
+        latents = np.asarray(latents_dev, dtype=np.float32)
+        vid = np.asarray(vid_dev)
         frames_u8 = np.clip((vid + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
         log_info(f"video decode completed in {time.time() - t1:.2f}s")
         return VideoResult(frames=frames_u8, latents=latents, seeds=seeds)
@@ -1815,15 +1821,25 @@ class DiffusionPipeline:
                 **kwargs,
             )
         # reference applies inverse_noise_scaling at the final sigma (=0 → identity)
-        latents = self.denoiser.inverse_noise_scaling(np.float32(sigmas[-1]), latents)
-        latents = np.asarray(latents, dtype=np.float32)
+        latents_dev = self.denoiser.inverse_noise_scaling(
+            np.float32(sigmas[-1]), latents
+        )
+        latents_dev = jnp.asarray(latents_dev, dtype=jnp.float32)
+        jax.block_until_ready(latents_dev)
         t1 = time.time()
         log_info(f"sampling completed in {t1 - t0:.2f}s ({steps} steps, batch {bc})")
 
+        # decode stays device-resident: dispatch on the on-device latents, then
+        # overlap the latents D2H transfer with the decode compute — the host
+        # round-trip between sampling and decode costs a full dispatch+sync
+        # cycle (the reference decodes in the same ggml graph session,
+        # stable-diffusion.cpp:2930; here the tunnel RTT makes it measurable)
         decode = self._decode_program()
         with self._platform_ctx("vae"), self._circ_ctx():
-            imgs = np.asarray(decode(self.vae_params,
-                                     self._module_input(jnp.asarray(latents), "vae")))
+            imgs_dev = decode(self.vae_params,
+                              self._module_input(latents_dev, "vae"))
+        latents = np.asarray(latents_dev, dtype=np.float32)
+        imgs = np.asarray(imgs_dev)
         images = np.clip((imgs + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
         log_info(f"decode completed in {time.time() - t1:.2f}s")
         return GenerationResult(images=images, latents=latents, seeds=seeds)
