@@ -22,6 +22,14 @@ elif which == "bq128":
 
     F.attention = lambda q, k, v, mask=None, **kw: flash_attention(
         q, k, v, mask=mask, whole_kv=True, block_q=128)
+elif which == "jaxfa":
+    import sdtpu.models.flux as F
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as jax_fa,
+    )
+
+    F.attention = lambda q, k, v, mask=None, **kw: jax_fa(
+        q, k, v, sm_scale=q.shape[-1] ** -0.5)
 elif which == "dequant":
     import os
 

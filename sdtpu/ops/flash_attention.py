@@ -126,6 +126,68 @@ def _flash_kernel(
             o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
+def _flash_kernel_whole_chunked(
+    q_ref, k_ref, v_ref, bias_ref, o_ref,
+    *, scale: float, kv_len: int, chunk: int, need_mask: bool,
+):
+    # Whole-KV-in-VMEM variant with an UNROLLED chunk loop: the KV axis is
+    # processed in `chunk`-key slices so Mosaic's scheduler can overlap the
+    # next chunk's s-matmul (MXU) with the current chunk's softmax (VPU) —
+    # the monolithic single-pass body serializes one giant MXU op, one giant
+    # VPU pass, and a second giant MXU op.  Online-softmax state lives in
+    # registers (values, not scratch refs); no grid carry needed.
+    in_dtype = q_ref.dtype
+    prec = jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale * LOG2_E)).astype(in_dtype)
+    bq, d = q.shape
+    lk = k_ref.shape[1]
+    nc = lk // chunk
+    m_run = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l_run = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for j in range(nc):
+        kc = k_ref[0, j * chunk:(j + 1) * chunk, :]
+        vc = v_ref[0, j * chunk:(j + 1) * chunk, :]
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [BQ, chunk] f32, log2 units
+        if bias_ref is not None:
+            s = s + bias_ref[:, j * chunk:(j + 1) * chunk].astype(jnp.float32) \
+                * jnp.float32(LOG2_E)
+        if need_mask:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, chunk), 1) + j * chunk
+            s = jnp.where(kidx < kv_len, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_run, m_cur)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_run - m_new)
+        l_run = l_run * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(in_dtype), vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        m_run = m_new
+    o_ref[0] = (acc / l_run).astype(o_ref.dtype)
+
+
+def _whole_kv_chunk(lk_p: int) -> int:
+    """Largest 128-multiple chunk that divides the padded KV length, yields
+    ≥2 chunks, and keeps the [block_q, chunk] f32 score slab VMEM-friendly
+    (≤2304 keys ≈ 2.25 MiB at bq=256).  0 → monolithic single-pass body.
+    Measured on v5e at FLUX 1024² (L=4352): 2×2176 chunks 2.81 steps/s vs
+    2.78 monolithic / 2.78 at 17×256 — pipelining gain is modest but free."""
+    forced = os.environ.get("SDTPU_FA_CHUNK")
+    if forced is not None:
+        c = int(forced)
+        return c if c and lk_p % c == 0 and lk_p // c >= 2 else 0
+    for nc in range(2, 33):
+        c = lk_p // nc
+        if lk_p % nc == 0 and c % 128 == 0 and c <= 2304:
+            return c
+    return 0
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -177,14 +239,26 @@ def flash_attention(
         pl.BlockSpec((1, block_k, d_p), lambda bh, qi, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
     ]
     args = [qf, kf, vf]
+    chunk = _whole_kv_chunk(lk_p) if whole_kv else 0
     if bias is not None:
         in_specs.append(
             pl.BlockSpec((block_q, block_k), lambda bh, qi, ki: (qi, ki), memory_space=pltpu.VMEM)
         )
         args.append(bias)
+        if chunk:
+            kernel = functools.partial(
+                _flash_kernel_whole_chunked, scale=scale, kv_len=lk,
+                chunk=chunk, need_mask=lk_p != lk,
+            )
+        else:
+            kernel = functools.partial(
+                _flash_kernel, scale=scale, kv_len=lk, block_k=block_k,
+                need_mask=lk_p != lk,
+            )
+    elif chunk:
         kernel = functools.partial(
-            _flash_kernel, scale=scale, kv_len=lk, block_k=block_k,
-            need_mask=lk_p != lk,
+            _bias_free_whole_chunked, scale=scale, kv_len=lk,
+            chunk=chunk, need_mask=lk_p != lk,
         )
     else:
         kernel = functools.partial(
@@ -200,7 +274,7 @@ def flash_attention(
             (1, block_q, d_p), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d_p), q.dtype),
-        scratch_shapes=[
+        scratch_shapes=[] if chunk else [
             pltpu.VMEM((block_q, d_p), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -223,4 +297,12 @@ def _bias_free_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     _flash_kernel(
         q_ref, k_ref, v_ref, None, o_ref, acc_ref, m_ref, l_ref,
         scale=scale, kv_len=kv_len, block_k=block_k, need_mask=need_mask,
+    )
+
+
+def _bias_free_whole_chunked(q_ref, k_ref, v_ref, o_ref,
+                             *, scale, kv_len, chunk, need_mask):
+    _flash_kernel_whole_chunked(
+        q_ref, k_ref, v_ref, None, o_ref,
+        scale=scale, kv_len=kv_len, chunk=chunk, need_mask=need_mask,
     )
