@@ -305,6 +305,30 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+_SPMD_COMPUTE = False
+
+
+class spmd_compute:
+    """While tracing a program over a TP-sharded mesh, route quantized
+    matmuls through dot_general/XLA-dequant forms that GSPMD can partition
+    (a pallas_call is an opaque custom call — GSPMD would all-gather its
+    operands, defeating the row-split).  The W8A8 path is already pure
+    dot_general and stays on; Pallas group/q4 kernels fall back to fused
+    XLA dequant + matmul, which GSPMD shards and psums like the reference's
+    row-split reduction (docs/backend.md:99-111)."""
+
+    def __enter__(self):
+        global _SPMD_COMPUTE
+        self._prev = _SPMD_COMPUTE
+        _SPMD_COMPUTE = True
+        return self
+
+    def __exit__(self, *exc):
+        global _SPMD_COMPUTE
+        _SPMD_COMPUTE = self._prev
+        return False
+
+
 def quantize_activations(x: jnp.ndarray):
     """Dynamic per-row (per-token) symmetric int8: [..., K] →
     (int8 [..., K], f32 scale [..., 1])."""
@@ -374,7 +398,7 @@ def quant_matmul(
     m = x2.shape[0]
 
     interpret = _interpret()
-    if interpret or os.environ.get("SDTPU_DISABLE_QUANT_KERNEL"):
+    if interpret or _SPMD_COMPUTE or os.environ.get("SDTPU_DISABLE_QUANT_KERNEL"):
         w = dequantize(qt, x.dtype)
         y = jax.lax.dot_general(
             x2, w, (((1,), (1,)), ((), ())), preferred_element_type=x.dtype
@@ -514,7 +538,8 @@ def group_quant_matmul(
     if bk < kq:
         bk = _round_up(bk, 8 * group)
     unaligned = (bk < kq and (kq % bk or (bk // group) % 8)) or kq % group
-    if _interpret() or unaligned or os.environ.get("SDTPU_DISABLE_QUANT_KERNEL"):
+    if _interpret() or unaligned or _SPMD_COMPUTE \
+            or os.environ.get("SDTPU_DISABLE_QUANT_KERNEL"):
         w = dequantize_group(qt, x.dtype)
         y = jax.lax.dot_general(
             x2, w, (((1,), (1,)), ((), ())), preferred_element_type=x.dtype
@@ -621,7 +646,8 @@ def q4_matmul(
 
     # ng must be 8-sublane aligned when the grid tiles K (Mosaic block rule)
     unaligned = n_k > 1 and ng % 8
-    if _interpret() or unaligned or os.environ.get("SDTPU_DISABLE_QUANT_KERNEL"):
+    if _interpret() or unaligned or _SPMD_COMPUTE \
+            or os.environ.get("SDTPU_DISABLE_QUANT_KERNEL"):
         w = dequantize_q4(qt, x.dtype)
         y = jax.lax.dot_general(
             x2, w, (((1,), (1,)), ((), ())), preferred_element_type=x.dtype

@@ -55,19 +55,145 @@ def unet_partition_specs(params: Dict[str, object], tp_axis: str = "tp") -> Dict
     return specs
 
 
-def shard_params(params: Dict[str, object], mesh: Mesh, tp_axis: str = "tp"):
-    """Place params on the mesh with TP specs (divisibility-checked: params
-    whose sharded dim is not divisible by the axis size stay replicated)."""
+def _quant_sharding_tree(v, spec: P, mesh: Mesh, tp_axis: str):
+    """Per-leaf sharding tree for a quantized weight (QuantTensor /
+    QuantLoraTensor / GroupQuantTensor / Q4Tensor) given the *logical*
+    [out, in] PartitionSpec.  Returns None when the tensor's packing grid
+    cannot be split evenly along the requested axis (caller replicates).
+
+    This is the TPU analog of the reference's row-split of *quantized*
+    buffers (docs/backend.md:88-116, register_row_split_runner_params,
+    stable-diffusion.cpp:363): the int8/4-bit payload is sliced along the
+    spec'd dim with the group scales sharded along the same axis, and
+    GSPMD inserts the psum after row-parallel contractions.
+    """
+    tp = mesh.shape[tp_axis]
+    tname = type(v).__name__
+    is_col = len(spec) == 2 and spec[0] is not None  # shard out features
+    is_row = len(spec) == 2 and spec[1] is not None  # shard in features
+    if not (is_col or is_row):
+        return None
+    out_dim, in_dim = v.shape  # logical [N, K]
+
+    def ns(p):
+        return NamedSharding(mesh, p)
+
+    if tname in ("QuantTensor", "QuantLoraTensor"):
+        # q: int8 [out, in], scale: f32 [out]
+        if is_col:
+            if out_dim % tp:
+                return None
+            d = dict(q=ns(P(tp_axis, None)), scale=ns(P(tp_axis)))
+            if tname == "QuantLoraTensor":
+                d.update(lora_down=ns(P()), lora_up=ns(P(tp_axis, None)))
+        else:
+            if in_dim % tp:
+                return None
+            d = dict(q=ns(P(None, tp_axis)), scale=ns(P()))
+            if tname == "QuantLoraTensor":
+                d.update(lora_down=ns(P(None, tp_axis)), lora_up=ns(P()))
+        return type(v)(**d)
+
+    if tname == "GroupQuantTensor":
+        # stored transposed: q int8 [Kp, N], scale f32 [Kp//group, N]
+        kq = v.q.shape[0]
+        if is_col:
+            if out_dim % tp:
+                return None
+            qs, ss = ns(P(None, tp_axis)), ns(P(None, tp_axis))
+        else:
+            # K split must land on whole scale groups per shard
+            if kq % tp or (kq // v.group) % tp:
+                return None
+            qs, ss = ns(P(tp_axis, None)), ns(P(tp_axis, None))
+        return type(v)(q=qs, scale=ss, zero=None if v.zero is None else ss,
+                       k=v.k, group=v.group)
+
+    if tname == "Q4Tensor":
+        # packed uint8 [Kp//2, N] (nibbles tile-local per block_k), scale
+        # [Kp//group, N]
+        kp = v.packed.shape[0] * 2
+        if is_col:
+            if out_dim % tp:
+                return None
+            ps, ss = ns(P(None, tp_axis)), ns(P(None, tp_axis))
+        else:
+            # each shard must hold whole block_k nibble tiles
+            if (kp // v.block_k) % tp or (kp // v.group) % tp:
+                return None
+            ps, ss = ns(P(tp_axis, None)), ns(P(tp_axis, None))
+        return type(v)(packed=ps, scale=ss, k=v.k, block_k=v.block_k,
+                       group=v.group)
+
+    return None
+
+
+_QUANT_LEAVES = ("QuantTensor", "QuantLoraTensor", "GroupQuantTensor", "Q4Tensor")
+
+
+def shard_params(params: Dict[str, object], mesh: Mesh, tp_axis: str = "tp",
+                 report: bool = True):
+    """Place params on the mesh with TP specs.
+
+    Dense weights follow the partition rules directly; quantized leaves
+    (QuantTensor / QuantLoraTensor / GroupQuantTensor / Q4Tensor) get a
+    per-component sharding tree that slices the packed payload and its
+    scales coherently (the reference row-splits quantized buffers the same
+    way, docs/backend.md:88-116).  Params whose sharded dim is not divisible
+    by the axis size stay replicated.  A placement report is logged so
+    silent replication is visible (reference prints per-module placement,
+    stable-diffusion.cpp:~1660).
+    """
+    from sdtpu.utils.logging import log_info, log_warn
+
     tp = mesh.shape[tp_axis]
     specs = unet_partition_specs(params, tp_axis)
     out = {}
+    stats = {"col": 0, "row": 0, "bias": 0, "replicated": 0, "quant": 0}
+    fallbacks = []
     for name, v in params.items():
         spec = specs[name]
+        if type(v).__name__ in _QUANT_LEAVES:
+            tree = _quant_sharding_tree(v, spec, mesh, tp_axis)
+            if tree is not None:
+                out[name] = jax.device_put(v, tree)
+                stats["quant"] += 1
+                stats["col" if spec[0] is not None else "row"] += 1
+            else:
+                out[name] = jax.device_put(v, NamedSharding(mesh, P()))
+                stats["replicated"] += 1
+                if spec != P():
+                    fallbacks.append(name)
+            continue
         ok = True
         for dim, axis in enumerate(spec):
             if axis is not None and v.shape[dim] % tp != 0:
                 ok = False
         if not ok:
+            fallbacks.append(name)
             spec = P()
+        if spec == P():
+            stats["replicated"] += 1
+        elif len(spec) == 1:
+            stats["bias"] += 1
+        elif spec[0] is not None:
+            stats["col"] += 1
+        else:
+            stats["row"] += 1
         out[name] = jax.device_put(v, NamedSharding(mesh, spec))
+    if report:
+        log_info(
+            f"shard_params: tp={tp} over '{tp_axis}' — "
+            f"{stats['col']} col-parallel, {stats['row']} row-parallel "
+            f"({stats['quant']} quantized), {stats['bias']} sharded biases, "
+            f"{stats['replicated']} replicated"
+        )
+        if fallbacks:
+            shown = ", ".join(fallbacks[:8])
+            more = f" (+{len(fallbacks) - 8} more)" if len(fallbacks) > 8 else ""
+            log_warn(
+                f"shard_params: {len(fallbacks)} TP-eligible params replicated "
+                f"(dim not divisible by {tp} or packing grid unsplittable): "
+                f"{shown}{more}"
+            )
     return out

@@ -395,6 +395,23 @@ class DiffusionPipeline:
             return sequence_parallel(self.mesh, "sp")
         return contextlib.nullcontext()
 
+    def _tp_ctx(self):
+        """Context manager: while tracing over a TP mesh, route quantized
+        matmuls through GSPMD-partitionable forms (ops.quant.spmd_compute)
+        so row-split quantized weights reduce with a psum instead of being
+        all-gathered into an opaque Pallas call."""
+        import contextlib
+
+        if (
+            self.mesh is not None
+            and "tp" in self.mesh.axis_names
+            and self.mesh.shape["tp"] > 1
+        ):
+            from sdtpu.ops.quant import spmd_compute
+
+            return spmd_compute()
+        return contextlib.nullcontext()
+
     def set_controlnet(self, params) -> None:
         """Attach / hot-swap ControlNet weights (reference
         sd_ctx_set_control_net, stable-diffusion.cpp:3819). Pass None to
@@ -1310,7 +1327,7 @@ class DiffusionPipeline:
                 ex["guidance"] = jnp.full((bc,), over["guidance"],
                                           dtype=jnp.float32)
                 ph_vkw["extras"] = ex
-            with self._sp_context(), self._platform_ctx("diffusion"), self._circ_ctx():
+            with self._sp_context(), self._tp_ctx(), self._platform_ctx("diffusion"), self._circ_ctx():
                 xt = run(
                     phase_params,
                     xt,
@@ -1808,7 +1825,7 @@ class DiffusionPipeline:
         ctx_c, ctx_u, y_c, y_u, kwargs = self._module_input(
             (ctx_c, ctx_u, y_c, y_u, kwargs)
         )
-        with self._sp_context(), self._platform_ctx("diffusion"), self._circ_ctx():
+        with self._sp_context(), self._tp_ctx(), self._platform_ctx("diffusion"), self._circ_ctx():
             latents = run(
                 self.diffusion_params,
                 x_in,
