@@ -227,6 +227,20 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--high-noise-eta", type=float, default=None)
     ap.add_argument("--high-noise-steps", type=int, default=None,
                     help="explicit phase split step (overrides --moe-boundary)")
+    ap.add_argument("--high-noise-img-cfg-scale", type=float, default=None,
+                    help="(high noise) image guidance scale (reference "
+                    "--high-noise-img-cfg-scale, common.cpp:1133)")
+    ap.add_argument("--high-noise-slg-scale", type=float, default=None,
+                    help="(high noise) skip-layer guidance scale (reference "
+                    "--high-noise-slg-scale)")
+    ap.add_argument("--high-noise-skip-layers", default=None,
+                    help="(high noise) comma-separated layers for SLG "
+                    "(reference --high-noise-skip-layers; default: base "
+                    "--skip-layers)")
+    ap.add_argument("--high-noise-slg-start", "--high-noise-skip-layer-start",
+                    dest="high_noise_slg_start", type=float, default=None)
+    ap.add_argument("--high-noise-slg-end", "--high-noise-skip-layer-end",
+                    dest="high_noise_slg_end", type=float, default=None)
     # output
     ap.add_argument("-o", "--output", default="output.png")
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -236,6 +250,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-step latent preview mode (reference --preview)")
     ap.add_argument("--preview-interval", type=int, default=1)
     ap.add_argument("--preview-path", default="preview.png")
+    ap.add_argument("--preview-noisy", action="store_true",
+                    help="preview the noisy model inputs instead of the "
+                    "denoised estimates (reference --preview-noisy)")
+    ap.add_argument("--taesd-preview-only", action="store_true",
+                    help="use --taesd only for previews, not the final "
+                    "decode (reference --taesd-preview-only)")
     ap.add_argument("--no-progress", action="store_true",
                     help="disable the per-step progress bar (fastest path: "
                     "the whole sigma schedule runs as one on-device scan)")
@@ -589,6 +609,39 @@ def _load_pipeline(args):
             True, tile_size, args.vae_tile_overlap,
             temporal=getattr(args, "vae_temporal_tiling", False),
             extra_tiling_args=getattr(args, "extra_tiling_args", ""))
+    if getattr(args, "taesd", None):
+        # tiny autoencoder for fast decode and/or preview (reference --taesd
+        # + --taesd-preview-only, cli/main.cpp:122)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sdtpu.io.model_loader import read_checkpoint_file
+
+        raw = read_checkpoint_file(args.taesd)
+        video = pipe.temporal_scale > 1
+        if video:
+            from sdtpu.models.taehv import detect_taehv_config
+
+            tae_p = {k: jnp.asarray(np.asarray(v), dtype=pipe.compute_dtype)
+                     for k, v in raw.items()}
+            tcfg = detect_taehv_config(
+                list(tae_p), {k: v.shape for k, v in tae_p.items()},
+                version_hint=bundle.version.value)
+        else:
+            from sdtpu.models.tae import convert_taesd_name, tae_config_for
+
+            tae_p = {}
+            for k, v in raw.items():
+                nk = convert_taesd_name(k)
+                if nk is not None:
+                    tae_p[nk] = jnp.asarray(np.asarray(v),
+                                            dtype=pipe.compute_dtype)
+            tcfg = tae_config_for(bundle.version.value, pipe.latent_channels)
+        pipe.set_tae(tae_p, tcfg, video=video,
+                     preview_only=getattr(args, "taesd_preview_only", False))
+        mode = ("preview only" if getattr(args, "taesd_preview_only", False)
+                else "decode + preview")
+        print(f"TAE attached ({mode})")
     if getattr(args, "sampler_rng", None):
         pipe.sampler_rng_type = args.sampler_rng
     if getattr(args, "prediction", None):
@@ -851,7 +904,11 @@ def _img_gen(args) -> int:
                 from sdtpu.utils.latent_preview import preview_latent
 
                 img = preview_latent(latent_np[0], pipe.version.value)
-            else:  # tae / vae: decode with the pipeline's (possibly TAE) VAE
+            elif args.preview == "tae" and getattr(pipe, "_tae", None):
+                # direct TAE decode — works under --taesd-preview-only too
+                img = pipe.tae_preview_decode(latent_np[:1])[0]
+                img = np.clip((img + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+            else:  # vae (or tae with no TAE attached): pipeline decode
                 import jax.numpy as jnp
 
                 dec = pipe._decode_program()
@@ -911,6 +968,7 @@ def _img_gen(args) -> int:
             ref_images=ref_images,
             preview_callback=preview_cb,
             preview_interval=args.preview_interval,
+            preview_noisy=getattr(args, "preview_noisy", False),
             control_image=control_image,
             control_strength=args.control_strength,
             ip_image=ip_image,
@@ -1026,6 +1084,19 @@ def _vid_gen(args) -> int:
             vkw["high_noise_guidance"] = args.high_noise_guidance
         if args.high_noise_steps is not None:
             vkw["high_noise_steps"] = args.high_noise_steps
+        if args.high_noise_img_cfg_scale is not None:
+            vkw["high_noise_img_cfg_scale"] = args.high_noise_img_cfg_scale
+        if args.high_noise_slg_scale is not None:
+            vkw["high_noise_slg_scale"] = args.high_noise_slg_scale
+        if args.high_noise_skip_layers is not None:
+            vkw["high_noise_skip_layers"] = tuple(
+                int(v) for v in
+                args.high_noise_skip_layers.strip("[]").split(",") if v.strip()
+            )
+        if args.high_noise_slg_start is not None:
+            vkw["high_noise_slg_start"] = args.high_noise_slg_start
+        if args.high_noise_slg_end is not None:
+            vkw["high_noise_slg_end"] = args.high_noise_slg_end
     t0 = time.time()
     res = pipe.generate_video(gp, frames=args.video_frames,
                               init_image=init_image, **vkw)

@@ -1633,10 +1633,12 @@ def _create_wan_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
 
     conditioner = WanConditioner(t5_tokenizer, t5_params, t5_cfg, seq_len=t5_seq)
 
-    def diffusion_fn(p, x, t, ctx, y, vace_context=None, vace_strength=None):
+    def diffusion_fn(p, x, t, ctx, y, vace_context=None, vace_strength=None,
+                     skip_layers=()):
         vs = 1.0 if vace_strength is None else vace_strength[:, None, None]
         return wan_mod.wan_forward(p, x, t, ctx, clip_fea=y, cfg=dit_cfg,
-                                   vace_context=vace_context, vace_strength=vs)
+                                   vace_context=vace_context, vace_strength=vs,
+                                   skip_layers=skip_layers)
 
     use_stats = vae_cfg.z_dim == 16  # per-channel stats only for the real VAE
 

@@ -114,6 +114,18 @@ def convert_taesd_name(name: str) -> Optional[str]:
     return f"{which}.layers.{idx}.{rest}"
 
 
+def tae_config_for(version_name: str, z_channels: int) -> TAEConfig:
+    """TAE variant for a pipeline version (taesd / taesdxl / taesd3 /
+    taef1 differ only in latent scaling; reference picks by version,
+    tae.hpp:629)."""
+    v = version_name.lower()
+    if z_channels == 4:
+        return TAESD_XL_CONFIG if "sdxl" in v else TAESD_CONFIG
+    if z_channels == 16:
+        return TAESD_SD3_CONFIG if "sd3" in v else TAESD_FLUX_CONFIG
+    return TAEConfig(z_channels=z_channels)
+
+
 def init_tae_params(cfg: TAEConfig = TAESD_CONFIG, seed: int = 0, dtype=jnp.float32) -> dict:
     import numpy as np
 

@@ -256,6 +256,7 @@ def wan_forward(
     cfg: WanConfig = WAN21_T2V_1_3B_CONFIG,
     vace_context: Optional[jnp.ndarray] = None,
     vace_strength: float = 1.0,
+    skip_layers: tuple = (),
 ) -> jnp.ndarray:
     """x: [B, T, H, W, C] video latent (NTHWC); timesteps: [B] in [0,1000];
     context: [B, 512, text_dim] UMT5 states; clip_fea: [B, 257, 1280] (i2v).
@@ -293,7 +294,10 @@ def wan_forward(
     h = img
     x_orig = img
     for i in range(cfg.num_layers):
-        h = _block(f"blocks.{i}", h)
+        # Skip-Layer Guidance pass: block i is identity when skipped (the
+        # VACE control splice still applies — it is a separate stream)
+        if i not in skip_layers:
+            h = _block(f"blocks.{i}", h)
         if i in vace_map:
             n = vace_map[i]
             if n == 0:

@@ -180,7 +180,10 @@ def _whole_kv_chunk(lk_p: int) -> int:
     forced = os.environ.get("SDTPU_FA_CHUNK")
     if forced is not None:
         c = int(forced)
-        return c if c and lk_p % c == 0 and lk_p // c >= 2 else 0
+        # same gates as the auto path: lane-aligned (c % 128), divides the
+        # padded KV length, ≥2 chunks — an unaligned forced chunk would fail
+        # Mosaic lowering
+        return c if c and c % 128 == 0 and lk_p % c == 0 and lk_p // c >= 2 else 0
     for nc in range(2, 33):
         c = lk_p // nc
         if lk_p % nc == 0 and c % 128 == 0 and c <= 2304:
