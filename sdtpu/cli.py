@@ -184,6 +184,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="key=value,... reference-image routing overrides "
                     "(reference --ref-image-args): pass_to_vlm=, pass_to_dit=,"
                     " vlm_max_pixels=, vlm_min_pixels=")
+    ap.add_argument("--disable-auto-resize-ref-image", action="store_true",
+                    help="deprecated alias for --ref-image-args "
+                    "resize_before_vae=off (reference common.cpp:2484-2487)")
     ap.add_argument("--sigmas", default="",
                     help="custom comma-separated sigma schedule (reference "
                     "--sigmas); overrides --schedule/--steps")
@@ -243,6 +246,10 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="high_noise_slg_end", type=float, default=None)
     # output
     ap.add_argument("-o", "--output", default="output.png")
+    ap.add_argument("--output-begin-idx", type=int, default=None,
+                    help="starting index for output image sequences "
+                    "(reference --output-begin-idx; works with printf-style "
+                    "%%d patterns in -o)")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--dtype", default=None, choices=["f32", "f16", "bf16"],
                     help="compute dtype (default: bf16 on TPU, f32 elsewhere)")
@@ -261,6 +268,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "the whole sigma schedule runs as one on-device scan)")
     # convert mode
     ap.add_argument("--output-type", default="f16", help="convert: f32/f16/bf16/q8_0")
+    ap.add_argument("--force-sdxl-vae-conv-scale", action="store_true",
+                    help="guard the SDXL VAE against f16 overflow "
+                    "(reference --force-sdxl-vae-conv-scale; here the VAE "
+                    "is pinned to f32 instead of conv-weight rescaling)")
+    ap.add_argument("--convert-name", action="store_true",
+                    help="convert mode: canonicalize tensor names before "
+                    "export (reference --convert-name)")
     ap.add_argument("--tensor-type-rules", default="",
                     help="convert: regex=type,... per-tensor quant overrides "
                     "(reference --tensor-type-rules); first matching pattern "
@@ -293,6 +307,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="dir searched for --hires-upscaler model files")
     ap.add_argument("--disable-image-metadata", action="store_true",
                     help="do not embed generation parameters in output PNGs")
+    # metadata-mode output options (reference cli/main.cpp:77,130-140)
+    ap.add_argument("--metadata-format", default="text",
+                    choices=["text", "json"],
+                    help="metadata mode output format (reference "
+                    "--metadata-format)")
+    ap.add_argument("--metadata-brief", action="store_true",
+                    help="truncate long metadata text values")
+    ap.add_argument("--metadata-all", action="store_true",
+                    help="include structural entries (IHDR, IDAT, JPEG "
+                    "segments)")
+    ap.add_argument("--metadata-raw", action="store_true",
+                    help="include raw hex previews for unparsed payloads")
     ap.add_argument("--high-noise-guidance", type=float, default=None,
                     help="distilled guidance for the Wan2.2 high-noise phase")
     ap.add_argument("--hires-upscale-tile-size", type=int, default=256,
@@ -345,6 +371,12 @@ def main(argv=None) -> int:
         for i, d in enumerate(jax.devices()):
             print(f"[{i}] {d.platform}: {d.device_kind}")
         return 0
+    if getattr(args, "disable_auto_resize_ref_image", False):
+        # deprecated alias (reference common.cpp:2484-2487)
+        ria = getattr(args, "ref_image_args", "") or ""
+        args.ref_image_args = (ria + "," if ria else "") + "resize_before_vae=0"
+        print("Notice: --disable-auto-resize-ref-image is deprecated. "
+              'Use --ref-image-args "resize_before_vae=off" instead.')
     if getattr(args, "prompt_file", None):
         args.prompt = open(args.prompt_file).read().strip()
     if getattr(args, "negative_prompt_file", None):
@@ -355,13 +387,36 @@ def main(argv=None) -> int:
         pass
 
     if args.mode == "metadata":
-        from sdtpu.utils.image import parse_parameters_text, read_png
+        # chunk-level metadata dump (reference metadata mode,
+        # cli/main.cpp:643-656 + image_metadata.cpp print_image_metadata)
+        import json as _json
 
-        _, params = read_png(args.output if not args.model else args.model)
-        print(params or "(no parameters)")
+        from sdtpu.utils.image import parse_parameters_text, walk_image_metadata
+
+        path = args.model or args.output
+        entries = walk_image_metadata(
+            path,
+            include_structural=getattr(args, "metadata_all", False),
+            include_raw=getattr(args, "metadata_raw", False),
+            brief=getattr(args, "metadata_brief", False),
+        )
+        params = next((e.get("value") for e in entries
+                       if e.get("keyword") == "parameters"), None)
+        if getattr(args, "metadata_format", "text") == "json":
+            out = {"file": path, "entries": entries}
+            if params and not getattr(args, "metadata_brief", False):
+                out["parameters"] = parse_parameters_text(params)
+            print(_json.dumps(out, indent=2))
+            return 0
+        for e in entries:
+            head = e["chunk"] + (f"/{e['keyword']}" if "keyword" in e else "")
+            tail = e.get("value", e.get("raw", ""))
+            print(f"{head} ({e['length']} bytes): {tail}")
         if params:
             for k, v in parse_parameters_text(params).items():
                 print(f"  {k}: {v}")
+        elif not entries:
+            print("(no parameters)")
         return 0
 
     if args.mode == "convert":
@@ -609,6 +664,22 @@ def _load_pipeline(args):
             True, tile_size, args.vae_tile_overlap,
             temporal=getattr(args, "vae_temporal_tiling", False),
             extra_tiling_args=getattr(args, "extra_tiling_args", ""))
+    if getattr(args, "force_sdxl_vae_conv_scale", False):
+        # reference --force-sdxl-vae-conv-scale scales SDXL VAE convs by
+        # 1/32 to dodge f16 overflow (stable-diffusion.cpp:1405-1413); the
+        # TPU-native equivalent is running the VAE in f32 (bf16's exponent
+        # range already makes the overflow impossible in the default dtype)
+        import jax
+
+        import jax.numpy as jnp
+
+        pipe.vae_params = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32) if hasattr(v, "astype") else v,
+            pipe.vae_params)
+        _orig_dec = pipe.vae_decode_fn
+        pipe.vae_decode_fn = lambda p, z: _orig_dec(
+            p, jnp.asarray(z, jnp.float32))
+        print("VAE pinned to f32 (conv-scale overflow guard)")
     if getattr(args, "taesd", None):
         # tiny autoencoder for fast decode and/or preview (reference --taesd
         # + --taesd-preview-only, cli/main.cpp:122)
@@ -1005,9 +1076,10 @@ def _img_gen(args) -> int:
         # post-generation ESRGAN pass ×repeats (reference main.cpp:927-962)
         out_images = _esrgan_pass(args, out_images)
 
-    base, ext = os.path.splitext(args.output)
     for i, img in enumerate(out_images):
-        path = args.output if len(out_images) == 1 else f"{base}_{i}{ext}"
+        path = resolve_output_path(
+            args.output, i, len(out_images),
+            getattr(args, "output_begin_idx", None))
         meta = build_parameters_text(
             GenerationParams(**{**gp.__dict__, "seed": res.seeds[i]})
         )
@@ -1178,6 +1250,20 @@ def _adetailer(args) -> int:
     return 0
 
 
+def resolve_output_path(output: str, i: int, n: int, begin_idx=None) -> str:
+    """Output file naming: printf-style %d sequences and --output-begin-idx
+    (reference cli/main.cpp:99-101,512-518,553-556)."""
+    import re as _re
+
+    begin = 0 if begin_idx is None or begin_idx < 0 else begin_idx
+    if _re.search(r"%0?\d*d", output):
+        return output % (begin + i)
+    if n == 1:
+        return output
+    base, ext = os.path.splitext(output)
+    return f"{base}_{begin + i}{ext}"
+
+
 def _convert(args) -> int:
     """Convert/quantize a checkpoint (reference convert.cpp): output format
     from the -o extension (.gguf → quantizing GGUF writer, else safetensors)."""
@@ -1186,6 +1272,13 @@ def _convert(args) -> int:
     from sdtpu.io.model_loader import read_checkpoint_file
 
     tensors = read_checkpoint_file(args.model)
+    if getattr(args, "convert_name", False):
+        # canonicalize tensor names before export (reference --convert-name →
+        # ModelLoader::convert_tensors_name, convert.cpp:382)
+        from sdtpu.io.name_conversion import canonicalize_name
+
+        tensors = {canonicalize_name(k): v for k, v in tensors.items()}
+        print("canonicalized tensor names")
     out_type = args.output_type
     # regex=type,... per-tensor overrides, first match wins (reference
     # tensor_type_rules, model_loader.cpp:766-820)

@@ -32,11 +32,18 @@ from sdtpu.tokenizers import CLIPTokenizer
 def _make_ref_extras_fn(vae_params, vae_encode_fn, multiple: int = 16):
     """Build a ref_extras_fn: reference/Kontext edit images → VAE latents as
     ``ref_latent_i`` extras for a DiT token stream (reference ref_latents
-    plumbing, stable-diffusion.cpp:4860).  Images resize down to pixel
-    multiples of ``multiple`` so patched latent grids stay integral."""
+    plumbing, stable-diffusion.cpp:4860).
+
+    With resize_before_vae (default, reference model.hpp:24) each image is
+    auto-resized toward min(vae_input_max_pixels or 1 MP, target W·H)
+    preserving aspect (stable-diffusion.cpp:4879-4896), or straight to the
+    request size with resize_vae_to_target; with it off only the mandatory
+    round-down to pixel multiples of ``multiple`` happens so patched latent
+    grids stay integral."""
     _enc = jax.jit(lambda pp, xx: vae_encode_fn(pp, xx))
 
-    def ref_extras_fn(refs):
+    def ref_extras_fn(refs, resize_before_vae=True, vae_input_max_pixels=0,
+                      target_wh=None, resize_vae_to_target=False):
         from sdtpu.pipeline import _to_pm1
         from sdtpu.utils.image import resize_image
 
@@ -46,8 +53,21 @@ def _make_ref_extras_fn(vae_params, vae_encode_fn, multiple: int = 16):
             if arr.dtype != np.uint8:
                 arr = np.clip(arr * (255.0 if arr.max() <= 1.5 else 1.0),
                               0, 255).astype(np.uint8)
-            nh = max(multiple, (arr.shape[0] // multiple) * multiple)
-            nw = max(multiple, (arr.shape[1] // multiple) * multiple)
+            h0, w0 = arr.shape[:2]
+            if resize_before_vae:
+                if resize_vae_to_target and target_wh is not None:
+                    vw, vh = float(target_wh[0]), float(target_wh[1])
+                else:
+                    tp = vae_input_max_pixels or (1024 * 1024)
+                    if target_wh is not None:
+                        tp = min(tp, target_wh[0] * target_wh[1])
+                    vw = (tp * w0 / h0) ** 0.5
+                    vh = vw * h0 / w0
+                nw = max(multiple, int(round(vw / multiple)) * multiple)
+                nh = max(multiple, int(round(vh / multiple)) * multiple)
+            else:
+                nh = max(multiple, (h0 // multiple) * multiple)
+                nw = max(multiple, (w0 // multiple) * multiple)
             arr = resize_image(arr, nw, nh)
             out[f"ref_latent_{i}"] = np.asarray(
                 _enc(vae_params, jnp.asarray(_to_pm1(arr))[None]),

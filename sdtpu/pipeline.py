@@ -1983,7 +1983,23 @@ class DiffusionPipeline:
                 log_info(f"PhotoMaker: ID condition from step {start_merge}")
         if dit_refs is not None and self.ref_extras_fn is not None:
             ex = kwargs.setdefault("extras", {})
-            for k2, v2 in self.ref_extras_fn(dit_refs).items():
+            import inspect
+
+            ref_kw = {}
+            if "resize_before_vae" in inspect.signature(
+                    self.ref_extras_fn).parameters:
+                # ref-image VAE routing (reference ref_image_params,
+                # model.hpp:24 + stable-diffusion.cpp:4879)
+                ref_kw = dict(
+                    resize_before_vae=ria.get("resize_before_vae", True)
+                    not in (False, 0, "off", "no"),
+                    vae_input_max_pixels=int(
+                        ria.get("vae_input_max_pixels", 0) or 0),
+                    target_wh=(w, h),
+                    resize_vae_to_target=bool(
+                        ria.get("resize_vae_to_target", False)),
+                )
+            for k2, v2 in self.ref_extras_fn(dit_refs, **ref_kw).items():
                 v2 = np.asarray(v2)
                 ex[k2] = jnp.asarray(np.broadcast_to(v2, (bc,) + v2.shape[1:]))
         if c_concat is not None:

@@ -108,6 +108,110 @@ def _write_png_fallback(path: str, image: np.ndarray, parameters: Optional[str])
         f.write(out.getvalue())
 
 
+def walk_image_metadata(path: str, include_structural: bool = False,
+                        include_raw: bool = False, brief: bool = False):
+    """Chunk/segment-level metadata walk of a PNG or JPEG file — the
+    reference metadata mode's reader (examples/cli/image_metadata.cpp:
+    print_image_metadata with MetadataReadOptions {include_structural,
+    include_raw, brief}).
+
+    → list of dicts {"chunk", "length", ["keyword"], ["value"], ["raw"]}.
+    PNG tEXt/iTXt/zTXt parse to keyword/value; JPEG COM parses to text;
+    other chunks/segments (eXIf, APPn) get a raw hex preview when
+    include_raw; structural entries (IHDR/IDAT/IEND, SOF/SOS) appear only
+    with include_structural; brief truncates long text values.
+    """
+    def _val(text: str) -> str:
+        if brief and len(text) > 96:
+            return text[:96] + f"…({len(text)} chars)"
+        return text
+
+    def _entry(name: str, length: int, keyword=None, value=None, data=None):
+        e = {"chunk": name, "length": length}
+        if keyword is not None:
+            e["keyword"] = keyword
+        if value is not None:
+            e["value"] = _val(value)
+        if data is not None and include_raw:
+            e["raw"] = data[:32].hex()
+        return e
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    entries = []
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        structural = {b"IHDR", b"IDAT", b"IEND", b"PLTE", b"pHYs", b"sRGB",
+                      b"gAMA", b"cHRM", b"bKGD", b"sBIT", b"tIME"}
+        pos = 8
+        while pos + 8 <= len(blob):
+            (n,) = struct.unpack(">I", blob[pos:pos + 4])
+            tag = blob[pos + 4:pos + 8]
+            data = blob[pos + 8:pos + 8 + n]
+            name = tag.decode("latin-1")
+            if tag == b"tEXt" and b"\x00" in data:
+                k, v = data.split(b"\x00", 1)
+                entries.append(_entry(name, n, k.decode("latin-1"),
+                                      v.decode("latin-1", "replace")))
+            elif tag == b"zTXt" and b"\x00" in data:
+                k, rest = data.split(b"\x00", 1)
+                try:
+                    v = zlib.decompress(rest[1:]).decode("latin-1", "replace")
+                except Exception:
+                    v = "(bad zTXt payload)"
+                entries.append(_entry(name, n, k.decode("latin-1"), v))
+            elif tag == b"iTXt" and data.count(b"\x00") >= 4:
+                k, rest = data.split(b"\x00", 1)
+                comp = rest[0]
+                # rest[2:] = lang\0translated_kw\0text
+                parts = rest[2:].split(b"\x00", 2)
+                text = parts[2] if len(parts) == 3 else b""
+                if comp:
+                    try:
+                        text = zlib.decompress(text)
+                    except Exception:
+                        text = b"(bad iTXt payload)"
+                entries.append(_entry(name, n, k.decode("latin-1"),
+                                      text.decode("utf-8", "replace")))
+            elif tag in structural:
+                if include_structural:
+                    e = _entry(name, n, data=data)
+                    if tag == b"IHDR" and n >= 8:
+                        w, h = struct.unpack(">II", data[:8])
+                        e["value"] = f"{w}x{h}"
+                    entries.append(e)
+            else:  # eXIf and friends: unparsed payload
+                entries.append(_entry(name, n, data=data))
+            pos += 12 + n
+            if tag == b"IEND":
+                break
+        return entries
+    if blob[:2] == b"\xff\xd8":  # JPEG
+        pos = 2
+        if include_structural:
+            entries.append({"chunk": "SOI", "length": 0})
+        while pos + 4 <= len(blob) and blob[pos] == 0xFF:
+            marker = blob[pos + 1]
+            if marker in (0xD8, 0xD9):
+                pos += 2
+                continue
+            (n,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+            data = blob[pos + 4:pos + 2 + n]
+            if marker == 0xFE:  # COM
+                entries.append(_entry("COM", n - 2, "comment",
+                                      data.decode("latin-1", "replace")))
+            elif 0xE0 <= marker <= 0xEF:
+                ident = data.split(b"\x00", 1)[0].decode("latin-1", "replace")
+                entries.append(_entry(f"APP{marker - 0xE0}", n - 2, ident or None,
+                                      data=data))
+            elif include_structural:
+                entries.append(_entry(f"0xFF{marker:02X}", n - 2, data=data))
+            if marker == 0xDA:  # SOS: entropy-coded data follows
+                break
+            pos += 2 + n
+        return entries
+    raise ValueError(f"{path}: not a PNG or JPEG file")
+
+
 def image_to_base64_png(image: np.ndarray, parameters: Optional[str] = None) -> str:
     import base64
 
