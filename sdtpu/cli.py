@@ -494,6 +494,26 @@ def _upscale(args) -> int:
     return 0
 
 
+def discover_gguf_tokenizer(*paths):
+    """Embedded GGUF vocab (llama.cpp tokenizer.ggml.* metadata): a single
+    TE GGUF tokenizes with no sidecar tokenizer.json, matching the
+    reference's embedded-vocab UX (src/tokenizers/vocab/vocab.cpp).
+    Returns the first tokenizer found among the given .gguf paths."""
+    from sdtpu.tokenizers.gguf_vocab import tokenizer_from_gguf_file
+
+    for p in paths:
+        if p and p.lower().endswith(".gguf"):
+            try:
+                tok = tokenizer_from_gguf_file(p)
+            except Exception:
+                tok = None
+            if tok is not None:
+                print(f"tokenizer from embedded GGUF vocab: {p} "
+                      f"({type(tok).__name__})")
+                return tok
+    return None
+
+
 def _load_pipeline(args):
     import jax.numpy as jnp
 
@@ -504,9 +524,15 @@ def _load_pipeline(args):
 
     t5_tok = None
     if args.t5_tokenizer:
-        from sdtpu.tokenizers.t5 import T5UnigramTokenizer
+        if args.t5_tokenizer.endswith(".model"):
+            # sentencepiece protobuf sidecar (spiece.model)
+            from sdtpu.tokenizers.gguf_vocab import load_spiece_model
 
-        t5_tok = T5UnigramTokenizer.from_tokenizer_json(args.t5_tokenizer)
+            t5_tok = load_spiece_model(args.t5_tokenizer)
+        else:
+            from sdtpu.tokenizers.t5 import T5UnigramTokenizer
+
+            t5_tok = T5UnigramTokenizer.from_tokenizer_json(args.t5_tokenizer)
 
     if not (args.model or args.diffusion_model):
         raise SystemExit("error: provide --model or --diffusion-model")
@@ -601,7 +627,14 @@ def _load_pipeline(args):
             k: jnp.asarray(v, dtype=dtype)
             for k, v in read_checkpoint_file(args.motion_module).items()
         }
+    gguf_tok = None
+    if t5_tok is None or not args.llm_tokenizer:
+        gguf_tok = discover_gguf_tokenizer(args.t5xxl, args.llm, args.model)
+    if t5_tok is None and type(gguf_tok).__name__ == "T5UnigramTokenizer":
+        t5_tok = gguf_tok
     tok_kwargs = {}
+    if not args.llm_tokenizer and type(gguf_tok).__name__ == "Qwen2Tokenizer":
+        tok_kwargs["qwen_tokenizer"] = gguf_tok
     if args.llm_tokenizer:
         # tokenizer family follows the text tower (reference LLMEmbedder
         # ctor, conditioner.hpp:1795-1821)

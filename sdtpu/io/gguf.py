@@ -875,10 +875,39 @@ def save_gguf(path: str, tensors: Dict[str, np.ndarray], out_type: str = "f16",
         buf.extend(struct.pack("<Q", len(b)))
         buf.extend(b)
 
+    def w_value(v):
+        # typed KV values incl. arrays — needed to round-trip
+        # tokenizer.ggml.* vocab metadata (llama.cpp-compatible)
+        if isinstance(v, bool):
+            buf.extend(struct.pack("<I", 7))
+            buf.extend(struct.pack("<?", v))
+        elif isinstance(v, int):
+            buf.extend(struct.pack("<I", 5))  # int32
+            buf.extend(struct.pack("<i", v))
+        elif isinstance(v, float):
+            buf.extend(struct.pack("<I", 6))  # float32
+            buf.extend(struct.pack("<f", v))
+        elif isinstance(v, (list, tuple)):
+            buf.extend(struct.pack("<I", 9))  # array
+            elem = v[0] if v else ""
+            et = 8 if isinstance(elem, str) else (
+                5 if isinstance(elem, int) and not isinstance(elem, bool)
+                else 6)
+            buf.extend(struct.pack("<IQ", et, len(v)))
+            for e in v:
+                if et == 8:
+                    w_str(str(e))
+                elif et == 5:
+                    buf.extend(struct.pack("<i", int(e)))
+                else:
+                    buf.extend(struct.pack("<f", float(e)))
+        else:
+            buf.extend(struct.pack("<I", 8))  # string
+            w_str(str(v))
+
     for k, v in kv.items():
         w_str(k)
-        buf.extend(struct.pack("<I", 8))  # string type
-        w_str(str(v))
+        w_value(v)
 
     offset = 0
     for name, t, shape, payload in entries:
