@@ -1827,10 +1827,21 @@ def _create_sd3_pipeline(params, rng_type, dtype, small, seed, t5_tokenizer, flo
             scale_factor=1.5305, shift_factor=0.0609,
         )
     else:
-        dit_cfg = mmdit_mod.SD3_MEDIUM_CONFIG
+        if params.get("diffusion"):
+            # fingerprint SD3-medium / SD3.5-medium (MMDiT-X) / SD3.5-large
+            # from the provided weights (reference model-type detection)
+            d = params["diffusion"]
+            dit_cfg = mmdit_mod.detect_mmdit_config(
+                d.keys(), {k: tuple(v.shape) for k, v in d.items()})
+        else:
+            dit_cfg = mmdit_mod.SD3_MEDIUM_CONFIG
         clip_l_cfg = dataclasses.replace(clip_mod.CLIP_L_CONFIG, projection_dim=768)
         clip_g_cfg = clip_mod.CLIP_G_CONFIG
-        t5_cfg = t5_mod.T5_XXL_CONFIG
+        t5_cfg = (
+            _detect_t5_config(params["t5"], t5_mod)
+            if params.get("t5")
+            else t5_mod.T5_XXL_CONFIG
+        )
         vae_cfg = vae_mod.SD3_VAE_CONFIG
 
     dit_params = params.get("diffusion") or mmdit_mod.init_mmdit_params(dit_cfg, seed, dtype=dtype)

@@ -52,6 +52,38 @@ SD35_MEDIUM_CONFIG = MMDiTConfig(depth=24, qk_norm="rms", num_x_self_attn_layers
 SD35_LARGE_CONFIG = MMDiTConfig(depth=38, qk_norm="rms")
 
 
+def detect_mmdit_config(names, shapes) -> MMDiTConfig:
+    """Config from checkpoint fingerprints (reference mmdit.hpp model-type
+    detection: depth from the joint_blocks count, SD3.5 from the attn qk RMS
+    norms, MMDiT-X/SD3.5-medium from the x_block.attn2 dual-attention keys,
+    pos-embed grid from the pos_embed table)."""
+    depth = 0
+    num_x = 0
+    qk = None
+    for n in names:
+        if n.startswith("joint_blocks."):
+            i = int(n.split(".")[1])
+            depth = max(depth, i + 1)
+            if ".x_block.attn2." in n:
+                num_x = max(num_x, i + 1)
+            if ".attn.ln_q" in n:
+                qk = "rms"
+    pos = shapes.get("pos_embed")
+    pos_max = int(round(pos[1] ** 0.5)) if pos is not None else 192
+    in_ch = shapes.get("x_embedder.proj.weight", (0, 16))[1]
+    ctx = shapes.get("context_embedder.weight", (0, 4096))[1]
+    base = (
+        SD35_LARGE_CONFIG if depth >= 38
+        else SD35_MEDIUM_CONFIG if (depth == 24 and qk == "rms")
+        else SD3_MEDIUM_CONFIG
+    )
+    return dataclasses.replace(
+        base, depth=depth or base.depth, qk_norm=qk,
+        num_x_self_attn_layers=num_x, pos_embed_max_size=pos_max,
+        in_channels=in_ch, context_size=ctx,
+    )
+
+
 def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 

@@ -157,13 +157,41 @@ class BlockStreamer:
     context, RoPE tables, modulation vectors...).
     """
 
-    def __init__(self, block_fn: Callable, prefetch: int = 2, device=None):
+    def __init__(self, block_fn: Callable, prefetch: int = 2, device=None,
+                 mesh=None, tp_axis: str = "tp"):
+        """mesh: optional jax.sharding.Mesh — streamed blocks upload directly
+        into their TP shardings (streaming × tensor parallelism: each chip
+        holds only its slice of the in-flight window, so the streamed-model
+        ceiling scales with the mesh; the reference cannot combine row-split
+        with --stream-layers)."""
         self.block_fn = jax.jit(block_fn)
         self.prefetch = max(1, int(prefetch))
         self.device = device
+        self.mesh = mesh
+        self.tp_axis = tp_axis
+        self._spec_cache: Dict[str, object] = {}
         self.peak_resident_blocks = 0  # observability for tests/telemetry
 
+    def _sharding_for(self, name: str, arr) -> object:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .sharding import unet_partition_specs
+
+        s = self._spec_cache.get(name)
+        if s is None:
+            spec = unet_partition_specs({name: arr}, self.tp_axis)[name]
+            tp = self.mesh.shape[self.tp_axis]
+            for dim, axis in enumerate(spec):
+                if axis is not None and arr.shape[dim] % tp:
+                    spec = P()  # indivisible → replicate this leaf
+            s = NamedSharding(self.mesh, spec)
+            self._spec_cache[name] = s
+        return s
+
     def _upload(self, block: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            return {k: jax.device_put(v, self._sharding_for(k, v))
+                    for k, v in block.items()}
         if self.device is not None:
             return {k: jax.device_put(v, self.device) for k, v in block.items()}
         return {k: jax.device_put(v) for k, v in block.items()}
@@ -198,10 +226,14 @@ class FluxStreamer:
     STACKS = ("double_blocks", "single_blocks")
 
     def __init__(self, params, cfg, prefetch: int = 2, device=None,
-                 resident=None, sources=None):
+                 resident=None, sources=None, mesh=None, tp_axis: str = "tp"):
         """params=None + resident/sources: pre-split stacks (e.g. from
         disk_sources) — blocks come from any len+getitem provider instead of
-        host lists (true disk residency, no full-model host materialize)."""
+        host lists (true disk residency, no full-model host materialize).
+
+        mesh: stream into TP shardings — blocks upload pre-sliced per chip
+        and the resident prologue/head params shard with the standard
+        partition rules (streaming × mesh, SURVEY §5 / VERDICT r3 item 5)."""
         from sdtpu.models.flux import (
             flux_double_block,
             flux_head,
@@ -217,7 +249,12 @@ class FluxStreamer:
         else:
             self.resident = resident
             self.double_host, self.single_host = sources
-        if device is not None:
+        if mesh is not None:
+            from .sharding import shard_params
+
+            self.resident = shard_params(self.resident, mesh, tp_axis,
+                                         report=False)
+        elif device is not None:
             self.resident = {
                 k: jax.device_put(v, device) for k, v in self.resident.items()
             }
@@ -239,8 +276,10 @@ class FluxStreamer:
 
         self._prologue = jax.jit(_prologue)
         self._head_jit = jax.jit(_head, static_argnames=("dims",))
-        self._double = BlockStreamer(_dblock, prefetch=prefetch, device=device)
-        self._single = BlockStreamer(_sblock, prefetch=prefetch, device=device)
+        self._double = BlockStreamer(_dblock, prefetch=prefetch, device=device,
+                                     mesh=mesh, tp_axis=tp_axis)
+        self._single = BlockStreamer(_sblock, prefetch=prefetch, device=device,
+                                     mesh=mesh, tp_axis=tp_axis)
         self.last_peak_blocks = 0
 
     def __call__(self, x, timesteps, context, y, guidance=None):

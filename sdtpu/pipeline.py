@@ -170,6 +170,43 @@ class DiffusionPipeline:
         # separate sampler-noise RNG type (reference sampler_rng_type,
         # stable-diffusion.cpp:701-704); None → share the latent RNG stream
         self.sampler_rng_type = None
+        # reference sd_ctx_params_t.free_params_immediately: drop text-encoder
+        # device buffers right after conditioning to lower the peak footprint
+        # during diffusion + decode; repeat prompts ride the cond cache
+        self.free_params_immediately = False
+        self._conditioner_freed = False
+        # per-phase wall-clock of the last generate() call (cond/sample/decode)
+        self.last_timings: Dict[str, float] = {}
+
+    def free_conditioner_params(self) -> int:
+        """Release the text encoders' device buffers (reference
+        sd_ctx_params_t.free_params_immediately): after conditioning, the
+        encoder weights only cost HBM that diffusion + decode could use.
+        Returns the number of bytes freed.  Prompts already in the cond cache
+        keep working; a cache-miss encode afterwards raises with a clear
+        message (the reference reloads from file — here the caller owns
+        reloading and can rebuild the pipeline)."""
+        cond = self.conditioner
+        if cond is None or self._conditioner_freed:
+            return 0
+        freed = 0
+        for attr, val in list(vars(cond).items()):
+            leaves = jax.tree_util.tree_leaves(val)
+            arrs = [a for a in leaves if isinstance(a, jax.Array)]
+            if not arrs:
+                continue
+            for a in arrs:
+                freed += int(a.nbytes)
+                try:
+                    a.delete()
+                except Exception:
+                    pass
+            setattr(cond, attr, None)
+        self._conditioner_freed = True
+        if freed:
+            log_info(f"freed text-encoder params: {freed / 1e9:.2f} GB "
+                     f"(free_params_immediately)")
+        return freed
 
     def register_extension(self, ext: "GenerationExtension") -> None:
         """Attach a GenerationExtension plugin (reference extension
@@ -1272,6 +1309,7 @@ class DiffusionPipeline:
         # decode compile overlaps the (much longer) sampler compile
         self._warm_decode_async((bc, tl, lh, lw, self.latent_channels))
 
+        tc0 = time.time()
         with self._platform_ctx("conditioner"):
             cond = self.conditioner.get_learned_condition(
                 gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
@@ -1286,6 +1324,7 @@ class DiffusionPipeline:
             )
         for ext in self._extensions:
             cond, uncond = ext.prepare_condition(self, gp, cond, uncond)
+        t_cond = time.time() - tc0
         ctx_c, ctx_u = _match_context(cond, uncond, bc)
         y_c = _tile(cond.c_vector, bc) if cond.c_vector is not None else None
         y_u = (
@@ -1455,6 +1494,9 @@ class DiffusionPipeline:
             vkw.setdefault("extras", {})["context_byt5"] = (
                 byt5 if has_uncond else byt5[0])
 
+        if self.free_params_immediately:
+            self.free_conditioner_params()
+        ts0 = time.time()
         xt = self._place_batched(jnp.asarray(x))
         done = 0
         streamed = getattr(self, "_streamed_forward", None) is not None
@@ -1529,7 +1571,12 @@ class DiffusionPipeline:
         latents = np.asarray(latents_dev, dtype=np.float32)
         vid = np.asarray(vid_dev)
         frames_u8 = np.clip((vid + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
-        log_info(f"video decode completed in {time.time() - t1:.2f}s")
+        t2 = time.time()
+        log_info(f"video decode completed in {t2 - t1:.2f}s")
+        self.last_timings = {
+            "cond": t_cond, "sample": t1 - ts0, "decode": t2 - t1,
+            "total": t2 - t0, "steps": steps, "frames": frames,
+        }
         return VideoResult(frames=frames_u8, latents=latents, seeds=seeds)
 
     def img2img(
@@ -1644,9 +1691,16 @@ class DiffusionPipeline:
         if self.cond_cache_size and ref_images is None:
             ckey = (gp.prompt, gp.negative_prompt, gp.clip_skip, w, h, has_uncond)
         cached_cond = self._cond_cache.get(ckey) if ckey is not None else None
+        tc0 = time.time()
         if cached_cond is not None:
             cond, uncond = cached_cond
         else:
+            if self._conditioner_freed:
+                raise RuntimeError(
+                    "text-encoder params were freed (free_params_immediately) "
+                    "and this prompt is not in the cond cache; rebuild the "
+                    "pipeline to encode new prompts"
+                )
             with self._platform_ctx("conditioner"):
                 cond = self.conditioner.get_learned_condition(
                     gp.prompt, clip_skip=gp.clip_skip, width=w, height=h,
@@ -1666,6 +1720,7 @@ class DiffusionPipeline:
                 self._cond_cache[ckey] = (cond, uncond)
         for ext in self._extensions:
             cond, uncond = ext.prepare_condition(self, gp, cond, uncond)
+        t_cond = time.time() - tc0
         ctx_c, ctx_u = _match_context(cond, uncond, bc)
         y_c = _tile(cond.c_vector, bc) if cond.c_vector is not None else None
         y_u = (
@@ -2020,6 +2075,11 @@ class DiffusionPipeline:
             kwargs["masked_target"] = jnp.asarray(x0)
         for ext in self._extensions:
             ext.prepare_generation(self, gp, kwargs)
+        if self.free_params_immediately:
+            # all conditioner consumers (cond/uncond, photomaker, img-uncond
+            # refs) have run by this point; reclaim TE memory for the scan
+            self.free_conditioner_params()
+        ts0 = time.time()
         x_in = self._place_batched(jnp.asarray(x))
         noises_in = (
             self._place_batched(jnp.asarray(step_noise), batch_axis=1)
@@ -2065,7 +2125,12 @@ class DiffusionPipeline:
         latents = np.asarray(latents_dev, dtype=np.float32)
         imgs = np.asarray(imgs_dev)
         images = np.clip((imgs + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
-        log_info(f"decode completed in {time.time() - t1:.2f}s")
+        t2 = time.time()
+        log_info(f"decode completed in {t2 - t1:.2f}s")
+        self.last_timings = {
+            "cond": t_cond, "sample": t1 - ts0, "decode": t2 - t1,
+            "total": t2 - t0, "steps": steps,
+        }
         return GenerationResult(images=images, latents=latents, seeds=seeds)
 
 

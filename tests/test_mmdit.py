@@ -91,3 +91,21 @@ def test_mmdit_skip_layers_changes_output():
     full = mmdit_forward(p, x, t, ctx, y, cfg=cfg)
     skipped = mmdit_forward(p, x, t, ctx, y, cfg=cfg, skip_layers=(1,))
     assert not np.allclose(np.asarray(full), np.asarray(skipped))
+
+
+def test_detect_mmdit_config():
+    """SD3-medium / SD3.5-medium (MMDiT-X) / SD3.5-large fingerprinting from
+    checkpoint names+shapes (factory uses it when weights are supplied)."""
+    import jax.numpy as jnp
+
+    from sdtpu.models.mmdit import (
+        SD3_MEDIUM_CONFIG, SD35_LARGE_CONFIG, SD35_MEDIUM_CONFIG,
+        detect_mmdit_config, init_mmdit_params,
+    )
+    from sdtpu.utils.device_init import param_specs
+
+    for cfg in (SD3_MEDIUM_CONFIG, SD35_MEDIUM_CONFIG, SD35_LARGE_CONFIG):
+        specs = param_specs(init_mmdit_params, cfg, dtype=jnp.bfloat16)
+        det = detect_mmdit_config(
+            specs.keys(), {k: tuple(v.shape) for k, v in specs.items()})
+        assert det == cfg, (det, cfg)

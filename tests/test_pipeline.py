@@ -184,3 +184,27 @@ def test_cancel_generation_modes():
     # reset clears: a normal run completes all steps and matches
     again = pipe.generate(GenerationParams(**kw)).latents
     np.testing.assert_allclose(again, full, rtol=1e-5, atol=1e-5)
+
+
+def test_free_params_immediately():
+    """reference sd_ctx_params_t.free_params_immediately: TE buffers drop
+    after conditioning, repeat prompts ride the cond cache, new prompts
+    raise clearly, and per-phase timings are recorded."""
+    p = create_pipeline(SDVersion.FLUX, small=True, seed=0)
+    p.free_params_immediately = True
+    gp = GenerationParams(
+        prompt="a cat", width=64, height=64, sample_steps=2,
+        cfg_scale=1.0, guidance=3.5, seed=1, sample_method="euler",
+    )
+    r1 = p.generate(gp)
+    assert p._conditioner_freed
+    assert p.conditioner.pt is None and p.conditioner.pl is None
+    assert set(p.last_timings) >= {"cond", "sample", "decode", "total"}
+    # same prompt: served from the cond cache
+    r2 = p.generate(gp)
+    np.testing.assert_array_equal(r1.latents, r2.latents)
+    # new prompt: clear error, not a deleted-buffer crash
+    with pytest.raises(RuntimeError, match="free_params_immediately"):
+        p.generate(GenerationParams(
+            prompt="a dog", width=64, height=64, sample_steps=2,
+            cfg_scale=1.0, seed=1, sample_method="euler"))

@@ -263,3 +263,43 @@ def test_disk_streamed_flux_pipeline_matches_jitted(tmp_path):
     n_double, n_single = len(fs.double_host), len(fs.single_host)
     assert fs.double_host.block_reads == n_double, fs.double_host.block_reads
     assert fs.single_host.block_reads == n_single, fs.single_host.block_reads
+
+
+def test_flux_streamer_mesh_tp_matches_dense():
+    """Streaming × mesh (VERDICT r3 item 5): blocks upload directly into
+    their TP shardings — each chip holds only its slice of the streaming
+    window — and the result matches the single-device dense forward.  The
+    reference cannot combine row-split with --stream-layers."""
+    import os
+
+    os.environ["SDTPU_DISABLE_FLASH"] = "1"
+    import jax
+
+    from sdtpu.models.flux import FluxConfig, flux_forward, init_flux_params
+    from sdtpu.parallel import create_mesh
+    from sdtpu.parallel.streaming import FluxStreamer
+
+    cfg = FluxConfig(
+        in_channels=16, hidden_size=64, num_heads=2, depth=2, depth_single=2,
+        axes_dim=(8, 12, 12), context_in_dim=96, vec_in_dim=48,
+        guidance_embed=True,
+    )
+    params = init_flux_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), dtype=jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 16, 96)), dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 48)), dtype=jnp.float32)
+    t = jnp.asarray([0.5], dtype=jnp.float32)
+    g = jnp.asarray([3.5], dtype=jnp.float32)
+    want = np.asarray(flux_forward(params, x, t, ctx, y, guidance=g, cfg=cfg))
+
+    mesh = create_mesh((2,), ("tp",))
+    host = {k: np.asarray(v) for k, v in params.items()}
+    streamer = FluxStreamer(host, cfg, prefetch=2, mesh=mesh)
+    # streamed blocks really are sharded over tp, not replicated
+    up = streamer._double._upload(streamer.double_host[0])
+    qkv = up["img_attn.qkv.weight"]
+    assert len(qkv.sharding.device_set) == 2
+    assert not qkv.sharding.is_fully_replicated
+    got = np.asarray(streamer(x, t, ctx, y, guidance=g))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
