@@ -1021,6 +1021,30 @@ def _img_gen(args) -> int:
             write_png(args.preview_path, img, None)
 
     t0 = time.time()
+    imatrix_col = None
+    _im_stack = None
+    if args.imatrix_out:
+        # collect across the COMPILED generation — io_callback taps fire on
+        # every matmul of every denoise step (reference hooks the backend
+        # eval callback across generation, src/runtime/imatrix.cpp)
+        import contextlib as _ctx
+
+        from sdtpu.io.imatrix import IMatrixCollector
+
+        imatrix_col = IMatrixCollector()
+        _im_stack = _ctx.ExitStack()
+        _im_stack.enter_context(imatrix_col.capture_pipeline(pipe))
+
+    def _finish_imatrix():
+        if _im_stack is None:
+            return
+        import jax
+
+        jax.effects_barrier()  # drain pending io_callback taps
+        _im_stack.close()
+        imatrix_col.save(args.imatrix_out)
+        print(f"imatrix: {len(imatrix_col.values)} entries -> {args.imatrix_out}")
+
     from sdtpu.config import SDVersion as _SDV
 
     if pipe.version == _SDV.QWEN_IMAGE_LAYERED:
@@ -1032,6 +1056,7 @@ def _img_gen(args) -> int:
             path = f"{base_}_layer{li}{ext_}"
             write_png(path, layer)
             print(f"saved {path}")
+        _finish_imatrix()
         print(f"generated {len(vres.frames[0])} layer(s) in {time.time() - t0:.2f}s")
         return 0
     if args.hires:
@@ -1081,27 +1106,7 @@ def _img_gen(args) -> int:
             step_cache=args.cache,
             cache_options=_cache_options(args),
         )
-    if args.imatrix_out:
-        # one representative EAGER mid-sigma forward per sample (reference
-        # collects across generation via the backend eval callback)
-        import jax.numpy as jnp
-        import numpy as np
-
-        from sdtpu.io.imatrix import IMatrixCollector
-
-        cond = pipe.conditioner.get_learned_condition(gp.prompt)
-        sig = pipe.denoiser.sigma_to_t_jnp(jnp.float32(0.5))
-        col = IMatrixCollector()
-        with col.capture(pipe.diffusion_params):
-            pipe.diffusion_fn(
-                pipe.diffusion_params,
-                jnp.asarray(res.latents),
-                jnp.full((res.latents.shape[0],), sig, dtype=jnp.float32),
-                jnp.tile(cond.c_crossattn, (res.latents.shape[0], 1, 1)),
-                None,
-            )
-        col.save(args.imatrix_out)
-        print(f"imatrix: {len(col.values)} entries -> {args.imatrix_out}")
+    _finish_imatrix()
     print(f"generated {len(res.images)} image(s) in {time.time() - t0:.2f}s")
 
     out_images = list(res.images)

@@ -31,39 +31,74 @@ class IMatrixCollector:
         """Intercept linear() calls whose weight belongs to `params`; run the
         model EAGERLY inside this context (jit would trace, not execute)."""
         import sdtpu.ops.basic as basic
+        from sdtpu.utils.debug import patch_linear, resolve_name, _name_map
 
-        id_to_name = {}
-        for name, w in params.items():
-            q = getattr(w, "q", None)
-            id_to_name[id(q if q is not None else w)] = name
-
+        id_to_name = _name_map(params)
         orig = basic.linear
         collector = self
 
         def hooked(x, weight, bias=None):
-            q = getattr(weight, "q", None)
-            name = id_to_name.get(id(q if q is not None else weight))
+            name = resolve_name(weight, id_to_name)
             if name is not None:
                 collector._accumulate(name, np.asarray(x, dtype=np.float32))
             return orig(x, weight, bias)
 
-        basic.linear = hooked
-        # modules that imported the symbol directly also need patching
-        patched = []
-        import sys
-
-        for mod in list(sys.modules.values()):
-            if mod is None or not getattr(mod, "__name__", "").startswith("sdtpu"):
-                continue
-            if getattr(mod, "linear", None) is orig:
-                mod.linear = hooked
-                patched.append(mod)
-        try:
+        with patch_linear(hooked):
             yield self
+
+    @contextlib.contextmanager
+    def capture_jit(self, params: Optional[Dict[str, object]] = None):
+        """Collect from inside COMPILED forwards: io_callback taps baked at
+        trace time stream each matmul's input to the host accumulator (the
+        in-jit analog of the reference's MUL_MAT eval-callback hook — works
+        under the fused sampler scan).  Trace the program inside this
+        context; names resolve from `params` when closed over, or from the
+        ``trace_names`` per-trace map when params are traced jit arguments."""
+        import functools
+
+        from jax.experimental import io_callback
+
+        import sdtpu.ops.basic as basic
+        from sdtpu.utils.debug import patch_linear, resolve_name, _name_map
+
+        id_to_name = _name_map(params) if params else {}
+        orig = basic.linear
+        collector = self
+
+        def _acc(name, x):
+            collector._accumulate(name, np.asarray(x, dtype=np.float32))
+
+        def hooked(x, weight, bias=None):
+            name = resolve_name(weight, id_to_name)
+            if name is not None:
+                io_callback(functools.partial(_acc, name), None, x,
+                            ordered=False)
+            return orig(x, weight, bias)
+
+        with patch_linear(hooked):
+            yield self
+
+    @contextlib.contextmanager
+    def capture_pipeline(self, pipe):
+        """Accumulate across a Pipeline's COMPILED generation — every matmul
+        of every denoise step feeds the importance sums, like the reference's
+        backend eval callback firing on each MUL_MAT across the whole run
+        (src/runtime/imatrix.cpp).  Re-traces the sampling programs with taps
+        and restores the pipeline on exit; call ``jax.effects_barrier()``
+        before saving if the run just finished."""
+        from sdtpu.utils.debug import wrap_forward_with_names
+
+        orig_fn = pipe.diffusion_fn
+        pipe.diffusion_fn = wrap_forward_with_names(orig_fn)
+        pipe._program_cache.clear()
+        pipe._stepwise_step_cache.clear()
+        try:
+            with self.capture_jit():
+                yield self
         finally:
-            basic.linear = orig
-            for mod in patched:
-                mod.linear = orig
+            pipe.diffusion_fn = orig_fn
+            pipe._program_cache.clear()
+            pipe._stepwise_step_cache.clear()
 
     def _accumulate(self, name: str, x: np.ndarray):
         x2 = (x.reshape(-1, x.shape[-1]) ** 2).sum(axis=0)

@@ -62,3 +62,35 @@ def test_weighted_quantization_beats_plain_on_weighted_error():
     assert werr(weighted) <= werr(plain) * 1.0001
     # and strictly better in aggregate on this distribution
     assert werr(weighted) < werr(plain)
+
+
+def test_imatrix_collects_inside_jit():
+    """In-jit imatrix collection (VERDICT r3 item 9): io_callback taps
+    accumulate Σx² from a compiled forward, matching the eager collector."""
+    import jax
+    import jax.numpy as jnp
+
+    import sdtpu.ops.basic as basic
+    from sdtpu.io.imatrix import IMatrixCollector
+
+    rng = np.random.default_rng(0)
+    params = {"blk.w.weight": jnp.asarray(
+        rng.standard_normal((8, 16)), dtype=jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((4, 16)), dtype=jnp.float32)
+
+    eager = IMatrixCollector()
+    with eager.capture(params):
+        basic.linear(x, params["blk.w.weight"])
+
+    jit_col = IMatrixCollector()
+    with jit_col.capture_jit(params):
+        f = jax.jit(lambda x: basic.linear(x, params["blk.w.weight"]))
+        f(x).block_until_ready()
+        jax.effects_barrier()
+    assert jit_col.ncall.get("blk.w.weight") == 1
+    np.testing.assert_allclose(jit_col.get("blk.w.weight"),
+                               eager.get("blk.w.weight"), rtol=1e-5)
+    # cached re-execution keeps accumulating
+    f(x).block_until_ready()
+    jax.effects_barrier()
+    assert jit_col.ncall["blk.w.weight"] == 2
