@@ -215,6 +215,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="derive a memory plan for the given HBM budget and "
                     "apply it (quantize / VAE-tile / stream weights; "
                     "reference --auto-fit, backend_fit.h:12)")
+    ap.add_argument("--max-vram", default=None, metavar="SPEC",
+                    help="HBM budget for compute segmentation (reference "
+                    "--max-vram graph-cut, common.cpp:504): GiB float, "
+                    "'dev=GiB,...' spec, 0 disables, negative = auto-detect "
+                    "free HBM minus |value| GiB headroom; bounds activations "
+                    "by running cond/uncond forwards sequentially and "
+                    "shrinking VAE decode tiles to fit")
     ap.add_argument("--no-keep-quant", action="store_true",
                     help="dequantize quantized GGUF weights to the compute "
                     "dtype instead of computing on the checkpoint's own "
@@ -795,6 +802,16 @@ def _load_pipeline(args):
               f"vae_tiling={plan.vae_tiling} "
               f"est={plan.est_bytes / 2**30:.2f} GiB "
               f"budget={plan.budget_bytes / 2**30:.2f} GiB")
+    if getattr(args, "max_vram", None) is not None:
+        # compute-budget segmentation (reference --max-vram graph-cut,
+        # include/stable-diffusion.h:224)
+        from sdtpu.parallel.autofit import parse_max_vram
+
+        budget = parse_max_vram(args.max_vram)
+        pipe.set_compute_budget(budget)
+        if budget:
+            print(f"max-vram: compute budget {budget / 2**30:.2f} GiB "
+                  "(plan resolved per generation)")
     if getattr(args, "circular", False) or getattr(args, "circularx", False) \
             or getattr(args, "circulary", False):
         pipe.set_circular(

@@ -134,6 +134,132 @@ def _decoder_bytes(vae_params, height: int, width: int) -> int:
     return height * width * ch * 4 * 3
 
 
+@dataclasses.dataclass
+class ComputePlan:
+    """Activation-bounding plan for one generation (reference --max-vram
+    graph-cut segmentation, include/stable-diffusion.h:224 +
+    docs/performance.md:60).  The TPU levers: sequential cond/uncond
+    forwards (segment the guidance batch) and budget-derived VAE tile size
+    (segment the decode spatially)."""
+
+    seq_guidance: bool
+    vae_tile: Optional[int]  # latent units; None = full-frame decode fits
+    resident_bytes: int
+    forward_bytes: int  # one cond forward's activation envelope
+    decode_bytes: int  # full-frame decode envelope
+    budget_bytes: int
+
+    def describe(self) -> str:
+        g = 1 << 30
+        acts = []
+        if self.seq_guidance:
+            acts.append("cfg segmented (sequential cond/uncond)")
+        if self.vae_tile:
+            acts.append(f"vae tiled @{self.vae_tile}")
+        return (
+            f"max-vram {self.budget_bytes / g:.1f} GiB: weights "
+            f"{self.resident_bytes / g:.2f} GiB, forward est "
+            f"{self.forward_bytes / g:.2f} GiB, decode est "
+            f"{self.decode_bytes / g:.2f} GiB → "
+            + ("; ".join(acts) if acts else "no segmentation needed")
+        )
+
+
+def device_hbm_bytes(headroom_bytes: int = 1 << 30,
+                     fallback: int = 16 << 30) -> int:
+    """Free-memory autodetect for --max-vram -1 (reference spares the given
+    GiB of free VRAM, common.cpp:504-507): TPU HBM limit minus headroom via
+    memory_stats; hosts without stats fall back to 16 GiB (v5e-class)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+    except Exception:
+        limit = 0
+    return max((limit or fallback) - headroom_bytes, 1 << 28)
+
+
+def _conditioner_bytes(pipe) -> int:
+    """Resident bytes across the conditioner's param-dict attributes (text
+    encoders keep their weights in dict-valued attrs; zero once
+    free_conditioner_params ran)."""
+    cond = getattr(pipe, "conditioner", None)
+    if cond is None or getattr(pipe, "_conditioner_freed", False):
+        return 0
+    import jax
+
+    total = 0
+    for val in vars(cond).values():
+        for leaf in jax.tree_util.tree_leaves(val):
+            total += int(getattr(leaf, "nbytes", 0))
+    return total
+
+
+_VAE_TILE_LADDER = (128, 96, 64, 48, 32)
+
+
+def derive_compute_plan(pipe, budget_bytes: int, batch: int, lh: int,
+                        lw: int, cfg_batched: bool = True,
+                        latent_frames: int = 1) -> ComputePlan:
+    """Pick the activation-bounding levers for a generation at this latent
+    size.  Mirrors the reference's segment-to-fit decision: if the batched
+    guidance forward exceeds the budget left after weights, split it; if the
+    full-frame decode exceeds it, tile to the largest ladder size that fits."""
+    resident = (_params_bytes(pipe.diffusion_params)
+                + _params_bytes(getattr(pipe, "vae_params", None))
+                + _conditioner_bytes(pipe))
+    if getattr(pipe, "_streamed_forward", None) is not None:
+        # streamed weights don't count against residency beyond the window
+        resident = (_block_bytes(pipe.diffusion_params) * 2
+                    + _params_bytes(getattr(pipe, "vae_params", None)))
+    avail = max(budget_bytes - resident, 0)
+    hidden = _estimate_hidden(pipe.diffusion_params)
+    ps = 2 if any(k in pipe.diffusion_params
+                  for k in ("img_in.weight", "pos_embed.proj.weight")) else 1
+    tokens = max(batch * latent_frames * (lh // ps) * (lw // ps), 1)
+    fwd = tokens * hidden * 2 * 24  # bf16 × qkv/mlp/residual envelope
+    seq = bool(cfg_batched and 2 * fwd > avail and fwd <= avail)
+    sf = pipe.scale_factor
+    dec_full = _decoder_bytes(getattr(pipe, "vae_params", None),
+                              lh * sf, lw * sf) * max(latent_frames, 1)
+    tile = None
+    if dec_full > avail and min(lh, lw) > _VAE_TILE_LADDER[-1]:
+        for t in _VAE_TILE_LADDER:
+            if t >= min(lh, lw):
+                continue
+            dec_t = _decoder_bytes(getattr(pipe, "vae_params", None),
+                                   t * sf, t * sf)
+            if dec_t <= avail:
+                tile = t
+                break
+        else:
+            tile = _VAE_TILE_LADDER[-1]
+    return ComputePlan(seq, tile, resident, fwd, dec_full, budget_bytes)
+
+
+def parse_max_vram(spec: str) -> int:
+    """Parse the reference's --max-vram value (common.cpp:504): a GiB float
+    (0 = disabled, negative = auto minus |value| GiB headroom) or a
+    per-device assignment list 'dev0=6,dev1=2' (single-controller TPU: the
+    tightest per-device budget governs).  Returns bytes (0 = disabled)."""
+    spec = (spec or "").strip()
+    if not spec:
+        return 0
+    vals = []
+    for part in spec.split(","):
+        part = part.strip()
+        if "=" in part:
+            part = part.split("=", 1)[1]
+        vals.append(float(part))
+    v = min(vals)
+    if v == 0:
+        return 0
+    if v < 0:
+        return device_hbm_bytes(headroom_bytes=int(-v * (1 << 30)))
+    return int(v * (1 << 30))
+
+
 def autofit_pipeline(pipe, budget_bytes: int, width: int = 1024,
                      height: int = 1024, allow_quantize: bool = True,
                      min_size: int = 1 << 16) -> FitPlan:

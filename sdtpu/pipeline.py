@@ -152,6 +152,8 @@ class DiffusionPipeline:
         self.vace_prepare_fn = None
         self._vae_tiling = False
         self._vae_tile = 64
+        self._compute_budget = 0  # bytes; 0 = unbounded (--max-vram analog)
+        self._cfg_segment = False  # sequential cond/uncond forwards
         self._vae_overlap = 8
         self._vae_temporal = False
         self._vae_temporal_frames = 16
@@ -537,6 +539,41 @@ class DiffusionPipeline:
         self._vae_temporal_overlap = max(0, int(eta.get("temporal_tile_overlap", 4)))
         self._decode_cache.clear()
 
+    def set_compute_budget(self, budget_bytes: int) -> None:
+        """Bound peak HBM for generation (reference --max-vram graph-cut
+        segmentation, include/stable-diffusion.h:224 + ggml_graph_cut.h:107):
+        at each generate, an activation plan derived from the actual latent
+        size decides whether to run cond/uncond forwards sequentially and
+        how small the VAE decode tiles must be.  0 removes the bound."""
+        self._compute_budget = int(budget_bytes)
+        if not budget_bytes:
+            if self._cfg_segment:
+                self._cfg_segment = False
+                self._program_cache.clear()
+                self._stepwise_step_cache.clear()
+
+    def _apply_compute_budget(self, batch: int, lh: int, lw: int,
+                              latent_frames: int = 1) -> None:
+        """Resolve the --max-vram plan for this generation's shapes and apply
+        its levers before any program is traced."""
+        if not self._compute_budget:
+            return
+        from sdtpu.parallel.autofit import derive_compute_plan
+
+        plan = derive_compute_plan(self, self._compute_budget, batch, lh, lw,
+                                   latent_frames=latent_frames)
+        log_info(plan.describe())
+        if plan.seq_guidance != self._cfg_segment:
+            self._cfg_segment = plan.seq_guidance
+            self._program_cache.clear()
+            self._stepwise_step_cache.clear()
+        if plan.vae_tile and not self._vae_tiling:
+            self.set_vae_tiling(True, tile_size=plan.vae_tile,
+                                temporal=latent_frames > 1)
+        elif plan.vae_tile and self._vae_tiling and plan.vae_tile < self._vae_tile:
+            self.set_vae_tiling(True, tile_size=plan.vae_tile,
+                                temporal=self._vae_temporal or latent_frames > 1)
+
     def set_photomaker(self, pmid_params, id_images, style_strength: float = 20.0,
                        trigger_word: str = "img", id_embeds=None,
                        vision_cfg=None) -> None:
@@ -638,7 +675,8 @@ class DiffusionPipeline:
         "concat" swaps in img_uncond_concat channels (pix2pix/inpaint)."""
         key = (method, steps, has_uncond, eta, use_control, slg, apg, img_mode,
                tuple(sampler_extra),
-               self._preview_tap[0] is not None, self._preview_noisy)
+               self._preview_tap[0] is not None, self._preview_noisy,
+               self._cfg_segment)
         prog = self._program_cache.get(key)
         if prog is not None:
             return prog
@@ -752,15 +790,20 @@ class DiffusionPipeline:
                             [x_in, mi["c_concat"].astype(x_in.dtype)], axis=-1
                         )
 
-                    def apply_model(x_full, x_core_full, tt, ctx, y, ex):
+                    def apply_model(x_full, x_core_full, tt, ctx, y, ex,
+                                    ip_branch=None):
                         ckw = {}
                         if mi["ip_cond"] is not None:
                             n_rep = x_full.shape[0] // mi["ip_cond"].shape[0]
-                            ipc = (
-                                jnp.concatenate([mi["ip_cond"], mi["ip_uncond"]], axis=0)
-                                if n_rep == 2
-                                else mi["ip_cond"]
-                            )
+                            if ip_branch == "uncond":
+                                ipc = mi["ip_uncond"]
+                            else:
+                                ipc = (
+                                    jnp.concatenate(
+                                        [mi["ip_cond"], mi["ip_uncond"]], axis=0)
+                                    if n_rep == 2
+                                    else mi["ip_cond"]
+                                )
                             ckw["ip_context"] = ipc
                             ckw["ip_scale"] = mi["ip_scale"]
                         if use_control:
@@ -779,26 +822,48 @@ class DiffusionPipeline:
                         return diffusion_fn(mi["params"], x_full, tt, ctx, y, **ex, **ckw)
 
                     if has_uncond:
-                        x_both = jnp.concatenate([x_in, x_in], axis=0)
-                        xc_both = jnp.concatenate([x_core, x_core], axis=0)
-                        ctx = jnp.concatenate([ctx_cond_eff, mi["ctx_uncond"]], axis=0)
-                        y = (
-                            jnp.concatenate([y_cond_eff, mi["y_uncond"]], axis=0)
-                            if mi["y_cond"] is not None
-                            else None
-                        )
-                        tt = _tt(2 * b)
-                        # tuple extras carry separate (cond, uncond) halves
-                        # (byt5 glyph context); plain extras duplicate
-                        ex2 = {
-                            k: (jnp.concatenate([v[0], v[1]], axis=0)
-                                if isinstance(v, tuple)
-                                else jnp.concatenate([v, v], axis=0))
-                            for k, v in ex_base.items()
-                        }
-                        out = apply_model(x_both, xc_both, tt, ctx, y, ex2).astype(
-                            jnp.float32
-                        )
+                        if self._cfg_segment:
+                            # graph-cut segmentation analog (--max-vram,
+                            # reference ggml_graph_cut.h:107 / docs/
+                            # performance.md:60): run the cond and uncond
+                            # forwards SEQUENTIALLY at batch b instead of one
+                            # batched 2b forward, so XLA's liveness reuses one
+                            # activation envelope instead of doubling it
+                            tt1 = _tt(b)
+                            ex_c = {k: (v[0] if isinstance(v, tuple) else v)
+                                    for k, v in ex_base.items()}
+                            ex_u = {k: (v[1] if isinstance(v, tuple) else v)
+                                    for k, v in ex_base.items()}
+                            out_c = apply_model(x_in, x_core, tt1,
+                                                ctx_cond_eff, y_cond_eff, ex_c)
+                            out_u = apply_model(x_in, x_core, tt1,
+                                                mi["ctx_uncond"],
+                                                mi["y_uncond"], ex_u,
+                                                ip_branch="uncond")
+                            out = jnp.concatenate([out_c, out_u], axis=0)
+                        else:
+                            x_both = jnp.concatenate([x_in, x_in], axis=0)
+                            xc_both = jnp.concatenate([x_core, x_core], axis=0)
+                            ctx = jnp.concatenate(
+                                [ctx_cond_eff, mi["ctx_uncond"]], axis=0)
+                            y = (
+                                jnp.concatenate([y_cond_eff, mi["y_uncond"]],
+                                                axis=0)
+                                if mi["y_cond"] is not None
+                                else None
+                            )
+                            tt = _tt(2 * b)
+                            # tuple extras carry separate (cond, uncond)
+                            # halves (byt5 glyph context); plain extras
+                            # duplicate
+                            ex2 = {
+                                k: (jnp.concatenate([v[0], v[1]], axis=0)
+                                    if isinstance(v, tuple)
+                                    else jnp.concatenate([v, v], axis=0))
+                                for k, v in ex_base.items()
+                            }
+                            out = apply_model(x_both, xc_both, tt, ctx, y, ex2)
+                        out = out.astype(jnp.float32)
                         den_both = c_skip * jnp.concatenate([xt, xt], 0) + c_out * out
                         den_cond, den_uncond = den_both[:b], den_both[b:]
                         den_img_u = None
@@ -1306,6 +1371,7 @@ class DiffusionPipeline:
         frames = max(1, ((frames - 1) // ts) * ts + 1)
         tl = (frames - 1) // ts + 1
         bc = gp.batch_count
+        self._apply_compute_budget(bc, lh, lw, latent_frames=tl)
         # decode compile overlaps the (much longer) sampler compile
         self._warm_decode_async((bc, tl, lh, lw, self.latent_channels))
 
@@ -1658,6 +1724,7 @@ class DiffusionPipeline:
         lh, lw = h // self.scale_factor, w // self.scale_factor
         bc = gp.batch_count
         is_inpaint_model = sd_version_is_inpaint(self.version)
+        self._apply_compute_budget(bc, lh, lw)
         # decode compile overlaps the (much longer) sampler compile
         self._warm_decode_async((bc, lh, lw, self.latent_channels))
 
