@@ -18,6 +18,10 @@ from typing import Optional
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="sdtpu", description="TPU-native stable diffusion")
+    from sdtpu import __version__
+
+    ap.add_argument("--version", action="version",
+                    version=f"sdtpu {__version__}")
     ap.add_argument("mode", nargs="?", default="img_gen",
                     choices=["img_gen", "vid_gen", "adetailer", "convert",
                              "upscale", "metadata"])
@@ -286,8 +290,47 @@ def build_parser() -> argparse.ArgumentParser:
                     help="convert: regex=type,... per-tensor quant overrides "
                     "(reference --tensor-type-rules); first matching pattern "
                     "wins, e.g. 'attn=q8_0,^first_stage=f16'")
-    ap.add_argument("--imatrix-out", help="collect an importance matrix during img_gen")
-    ap.add_argument("--imatrix", help="importance matrix .dat for quantizing conversion")
+    ap.add_argument("--imatrix-out", "--imat-out", dest="imatrix_out",
+                    help="collect an importance matrix during img_gen and "
+                    "save it (reference --imat-out)")
+    ap.add_argument("--imatrix", "--imat-in", dest="imatrix",
+                    action="append", default=None,
+                    help="importance matrix .dat — quantizing conversion "
+                    "weights, or continued collection with --imatrix-out; "
+                    "repeatable, entries merge additively (reference "
+                    "--imat-in)")
+    ap.add_argument("--lora-apply-mode", default="auto",
+                    choices=["auto", "immediately", "at_runtime"],
+                    help="how LoRAs bind to weights (reference "
+                    "--lora-apply-mode): auto = merge into dense bases / "
+                    "runtime factors on quantized; immediately = always "
+                    "fold (requantize on the weight's own grid); at_runtime "
+                    "= always attach detachable low-rank factors")
+    ap.add_argument("--vae-format", default="auto",
+                    choices=["auto", "flux", "sd3", "flux2", "wan"],
+                    help="latent-format override for PiD's LQ reference "
+                    "encoder (reference --vae-format)")
+    ap.add_argument("--backend", default="",
+                    help="per-module device assignment, e.g. 'cpu' or "
+                    "'clip=cpu,vae=tpu0,diffusion=tpu0' (reference "
+                    "--backend; TPU devices are tpu0..tpuN, host is cpu)")
+    ap.add_argument("--params-backend", default="",
+                    help="per-module parameter residency, e.g. 'disk', "
+                    "'cpu', or 'diffusion=disk,clip=cpu' (reference "
+                    "--params-backend): diffusion=cpu/disk maps to "
+                    "--stream-weights host/disk; other modules move to the "
+                    "host device")
+    ap.add_argument("--split-mode", default="row",
+                    choices=["row", "layer"],
+                    help="multi-device weight distribution (reference "
+                    "--split-mode): on a TPU mesh both modes resolve to "
+                    "GSPMD tensor-parallel NamedShardings (row); 'layer' is "
+                    "accepted for compat (docs/performance.md#multi-chip)")
+    ap.add_argument("--rpc-servers", default="",
+                    help="reference --rpc-servers has no TPU analog — "
+                    "multi-host runs use jax.distributed (see "
+                    "docs/performance.md#multi-chip); passing this errors "
+                    "with that pointer")
     ap.add_argument("--timestep-shift", type=int, default=0,
                     help="shifted timestep for NitroFusion models (reference "
                     "--timestep-shift; ~250 NitroSD-Realism, ~500 Vibrant)")
@@ -315,6 +358,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--disable-image-metadata", action="store_true",
                     help="do not embed generation parameters in output PNGs")
     # metadata-mode output options (reference cli/main.cpp:77,130-140)
+    ap.add_argument("--image", default=None,
+                    help="image to inspect in metadata mode (reference "
+                    "--image, cli/main.cpp:72)")
     ap.add_argument("--metadata-format", default="text",
                     choices=["text", "json"],
                     help="metadata mode output format (reference "
@@ -352,6 +398,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--eager-load", action="store_true",
                     help="load all params at model-load time (already the "
                     "default here; compat no-op)")
+    ap.add_argument("--diffusion-conv-direct", action="store_true",
+                    help="ggml conv2d-direct toggle; XLA picks conv "
+                    "algorithms itself (compat no-op)")
+    ap.add_argument("--vae-conv-direct", action="store_true",
+                    help="ggml conv2d-direct toggle for the VAE (compat "
+                    "no-op)")
+    ap.add_argument("--color", action="store_true",
+                    help="colorize log level tags (reference --color)")
+    ap.add_argument("--temporal-tiling", dest="vae_temporal_tiling",
+                    action="store_true",
+                    help="alias of --vae-temporal-tiling (reference "
+                    "--temporal-tiling)")
     return ap
 
 
@@ -372,6 +430,20 @@ def main(argv=None) -> int:
     from sdtpu.utils import enable_compilation_cache, set_log_level
 
     set_log_level("debug" if args.verbose else "info")
+    if getattr(args, "color", False):
+        from sdtpu.utils.logging import set_log_color
+
+        set_log_color(True)
+    if getattr(args, "rpc_servers", ""):
+        print("error: --rpc-servers has no TPU analog. Multi-host runs use "
+              "jax.distributed over ICI/DCN — launch one process per host "
+              "with sdtpu.parallel.distributed (docs/performance.md"
+              "#multi-chip).")
+        return 2
+    if getattr(args, "split_mode", "row") == "layer":
+        print("Notice: --split-mode layer resolves to GSPMD tensor-parallel "
+              "sharding on a TPU mesh (the row analog); whole-block "
+              "placement has no XLA benefit (docs/performance.md).")
     if getattr(args, "list_devices", False):
         import jax
 
@@ -400,7 +472,7 @@ def main(argv=None) -> int:
 
         from sdtpu.utils.image import parse_parameters_text, walk_image_metadata
 
-        path = args.model or args.output
+        path = getattr(args, "image", None) or args.model or args.output
         entries = walk_image_metadata(
             path,
             include_structural=getattr(args, "metadata_all", False),
@@ -586,6 +658,15 @@ def _load_pipeline(args):
         # compat shim: the reference keeps params in host RAM and stages per
         # use (docs/backend.md:225-244); host streaming is the TPU analog
         stream_mode = "host"
+    pb_spec = _parse_assignment_spec(getattr(args, "params_backend", ""))
+    if not stream_mode and pb_spec:
+        # --params-backend (reference common.cpp:487): diffusion=cpu/disk
+        # maps onto the streaming residency ladder
+        dv = pb_spec.get("diffusion", pb_spec.get("*", ""))
+        if dv in ("cpu", "disk"):
+            stream_mode = "host" if dv == "cpu" else "disk"
+            print(f"params-backend: diffusion={dv} → --stream-weights "
+                  f"{stream_mode}")
     if stream_mode == "disk":
         # disk residency: block tensors never materialize on host or HBM —
         # drop them from the bundle now; _stream_setup reads them from the
@@ -673,6 +754,8 @@ def _load_pipeline(args):
             "ref_index_increase=true"
     if margs_str:
         tok_kwargs["model_args"] = margs_str
+    if getattr(args, "vae_format", "auto") != "auto":
+        tok_kwargs["vae_format"] = args.vae_format
     pipe = create_pipeline(bundle.version, params=params, rng_type=args.rng, dtype=dtype,
                            t5_tokenizer=t5_tok, flow_shift=args.flow_shift,
                            **tok_kwargs)
@@ -818,16 +901,50 @@ def _load_pipeline(args):
             wrap_y=args.circular or args.circulary,
             wrap_x=args.circular or args.circularx,
         )
+    be_spec = _parse_assignment_spec(getattr(args, "backend", ""))
+    # non-diffusion --params-backend entries mean "keep that module's params
+    # on the host" — same placement mechanism as --backend module=cpu
+    for m, dv in pb_spec.items():
+        if m not in ("diffusion", "*") and dv == "cpu":
+            be_spec.setdefault(m, "cpu")
     if (getattr(args, "clip_on_cpu", False) or getattr(args, "vae_on_cpu", False)
-            or getattr(args, "control_net_cpu", False)):
+            or getattr(args, "control_net_cpu", False) or be_spec):
         import jax
 
         cpu = jax.devices("cpu")[0]
-        pipe.set_module_devices(
-            conditioner=cpu if args.clip_on_cpu else None,
-            vae=cpu if args.vae_on_cpu else None,
-            controlnet=cpu if getattr(args, "control_net_cpu", False) else None,
-        )
+
+        def _dev(name):
+            # 'cpu' → host; 'tpu0'/'cuda0'-style → accelerator by index
+            # (reference resolves backend names the same way, backend.md:38)
+            if name is None:
+                return None
+            if name.startswith("cpu"):
+                return cpu
+            idx = int("".join(c for c in name if c.isdigit()) or 0)
+            accel = [d for d in jax.devices() if d.platform != "cpu"]
+            if not accel:
+                return None  # CPU-only host: placement is moot
+            return accel[min(idx, len(accel) - 1)]
+
+        alias = {"clip": "conditioner", "text_encoders": "conditioner",
+                 "controlnet": "controlnet", "control_net": "controlnet"}
+        kw = {}
+        for m, dv in be_spec.items():
+            key = alias.get(m, m)
+            if key in ("conditioner", "vae", "diffusion", "controlnet"):
+                kw[key] = _dev(dv)
+            elif m == "*":
+                for k2 in ("conditioner", "vae", "diffusion", "controlnet"):
+                    kw.setdefault(k2, _dev(dv))
+        if args.clip_on_cpu:
+            kw["conditioner"] = cpu
+        if args.vae_on_cpu:
+            kw["vae"] = cpu
+        if getattr(args, "control_net_cpu", False):
+            kw["controlnet"] = cpu
+        if any(v is not None for v in kw.values()):
+            pipe.set_module_devices(**{k: v for k, v in kw.items()
+                                       if v is not None})
     if args.embd_dir and os.path.isdir(args.embd_dir) and hasattr(pipe.conditioner, "load_embedding"):
         from sdtpu.io.model_loader import read_checkpoint_file
 
@@ -843,6 +960,22 @@ def _load_pipeline(args):
             except Exception as e:  # noqa: BLE001 — per-file error surface
                 print(f"warning: embedding {fn}: {e}")
     return pipe, params
+
+
+def _parse_assignment_spec(spec: str) -> dict:
+    """--backend / --params-backend specs (reference common.cpp:482-489):
+    'module=target,...' pairs; a bare value applies to all modules ('*')."""
+    out = {}
+    for part in (spec or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            m, dv = part.split("=", 1)
+            out[m.strip()] = dv.strip()
+        else:
+            out["*"] = part
+    return out
 
 
 def _parse_kv(spec: str) -> dict:
@@ -895,7 +1028,9 @@ def _img_gen(args) -> int:
             for ext in (".safetensors", ".ckpt", ".pt"):
                 path = os.path.join(args.lora_model_dir, name + ext)
                 if os.path.exists(path):
-                    applied, total = apply_lora(params, read_checkpoint_file(path), mult)
+                    applied, total = apply_lora(
+                        params, read_checkpoint_file(path), mult,
+                        mode=getattr(args, "lora_apply_mode", "auto"))
                     print(f"lora {name}: applied {applied}/{total} tensors x{mult}")
                     break
             else:
@@ -1049,6 +1184,11 @@ def _img_gen(args) -> int:
         from sdtpu.io.imatrix import IMatrixCollector
 
         imatrix_col = IMatrixCollector()
+        for _p in (args.imatrix or []):
+            # continued collection on top of prior runs (reference
+            # --imat-in + --imat-out, cli/main.cpp:213-215)
+            imatrix_col.load(_p)
+            print(f"imatrix: continuing from {_p}")
         _im_stack = _ctx.ExitStack()
         _im_stack.enter_context(imatrix_col.capture_pipeline(pipe))
 
@@ -1350,9 +1490,12 @@ def _convert(args) -> int:
         if args.imatrix:
             from sdtpu.io.imatrix import IMatrixCollector
 
-            col = IMatrixCollector().load(args.imatrix)
+            col = IMatrixCollector()
+            for path in args.imatrix:  # repeatable, merges additively
+                col.load(path)
             imatrix = {n: col.get(n) for n in col.values}
-            print(f"using imatrix with {len(imatrix)} entries")
+            print(f"using imatrix with {len(imatrix)} entries "
+                  f"from {len(args.imatrix)} file(s)")
         save_gguf(args.output, tensors, out_type=out_type,
                   metadata={"converter": "sdtpu"}, imatrix=imatrix,
                   type_rules=type_rules)

@@ -239,6 +239,7 @@ def _create_pipeline(
         return _create_pid_pipeline(
             params, rng_type, dtype, small, seed, flow_shift,
             gemma_tokenizer=kwargs.get("gemma_tokenizer"),
+            vae_format=kwargs.get("vae_format", "auto"),
         )
     if version == SDVersion.CHROMA_RADIANCE:
         return _create_chroma_radiance_pipeline(
@@ -1042,12 +1043,16 @@ def _create_hidream_pipeline(params, rng_type, dtype, small, seed, flow_shift,
 
 
 def _create_pid_pipeline(params, rng_type, dtype, small, seed, flow_shift,
-                         gemma_tokenizer=None):
+                         gemma_tokenizer=None, vae_format="auto"):
     """PiD pixel-space super-resolution (reference stable-diffusion.cpp:995
     + pid.hpp PiDRunner): Gemma2-2B conditioner, sampling in pixel space
     (scale factor 1, identity decode), with the low-quality reference image
     VAE-encoded into per-block sigma-gated features.  Flow shift 1.5
-    (stable-diffusion.cpp:1719)."""
+    (stable-diffusion.cpp:1719).
+
+    vae_format: which latent family the LQ reference encoder uses —
+    auto/flux/sd3/flux2 (reference --vae-format + sd_vae_format_to_version,
+    stable-diffusion.cpp:1366; only PiD honors the override)."""
     import dataclasses
 
     from sdtpu.conditioning.conditioner import PidConditioner
@@ -1081,10 +1086,21 @@ def _create_pid_pipeline(params, rng_type, dtype, small, seed, flow_shift,
             llm.keys(), {k: tuple(v.shape) for k, v in llm.items()},
             arch="gemma2_2b") if llm else llm_mod.GEMMA2_2B_CONFIG)
         # the LQ reference encoder is a 16ch (PiD) or 32ch-packed (PiD 1.5)
-        # KL VAE selected by --vae (reference vae_format override, :1366)
-        vae_cfg = (vae_mod.FLUX2_VAE_CONFIG
-                   if dit_cfg.lq_latent_channels > 16 else
-                   vae_mod.FLUX_VAE_CONFIG)
+        # KL VAE; --vae-format overrides the family (reference
+        # sd_vae_format_to_version, stable-diffusion.cpp:1366)
+        fmt_map = {"flux": vae_mod.FLUX_VAE_CONFIG,
+                   "sd3": vae_mod.SD3_VAE_CONFIG,
+                   "flux2": vae_mod.FLUX2_VAE_CONFIG}
+        if vae_format in fmt_map:
+            vae_cfg = fmt_map[vae_format]
+        elif vae_format not in ("auto", "", None):
+            raise ValueError(
+                f"--vae-format {vae_format!r} not supported for PiD on this "
+                "build (auto/flux/sd3/flux2)")
+        else:
+            vae_cfg = (vae_mod.FLUX2_VAE_CONFIG
+                       if dit_cfg.lq_latent_channels > 16 else
+                       vae_mod.FLUX_VAE_CONFIG)
         max_len = PidConditioner.MAX_LEN
 
     dit_params = params.get("diffusion") or pid_mod.init_pid_params(
@@ -1107,7 +1123,7 @@ def _create_pid_pipeline(params, rng_type, dtype, small, seed, flow_shift,
     def vae_decode_fn(p, z):
         return jnp.clip(z, -1.0, 1.0)
 
-    if small or dit_cfg.lq_latent_channels <= 16:
+    if small or vae_cfg is not vae_mod.FLUX2_VAE_CONFIG:
         def ref_encode_fn(p, x, noise=None):
             return vae_mod.vae_encode(p, x, noise=noise, cfg=vae_cfg)
     else:

@@ -192,12 +192,41 @@ def lora_delta(g: dict, mult: float) -> Optional[np.ndarray]:
     return delta
 
 
+def _lowrank_factors(g: dict, multiplier: float, w_shape):
+    """(down [r,in], up·scale [out,r]) for runtime attachment, or None when
+    the group isn't plain-LoRA-shaped (LoHa/LoKr/conv always merge)."""
+    if "down" not in g or "up" not in g:
+        return None
+    if g["down"].ndim != 2 and g["down"].shape[2:] != (1, 1):
+        return None
+    down = np.asarray(g["down"], dtype=np.float32).reshape(
+        g["down"].shape[0], -1)
+    up = np.asarray(g["up"], dtype=np.float32).reshape(g["up"].shape[0], -1)
+    rank = down.shape[0]
+    up = up * (multiplier * (g.get("alpha", rank) / rank))
+    if down.shape[1] != w_shape[1] or up.shape[0] != w_shape[0]:
+        return None
+    return down, up
+
+
 def apply_lora(
     params_by_module: Dict[str, Dict[str, "np.ndarray"]],
     lora_tensors: Dict[str, np.ndarray],
     multiplier: float = 1.0,
+    mode: str = "auto",
 ) -> Tuple[int, int]:
-    """Merge a LoRA into module param dicts in place. Returns (applied, total)."""
+    """Merge a LoRA into module param dicts in place. Returns (applied, total).
+
+    mode (reference --lora-apply-mode, common.cpp:664):
+    - "auto": quantized bases attach runtime low-rank factors, dense bases
+      merge immediately (the reference's auto resolution).
+    - "immediately": always fold into the base — quantized weights dequant →
+      merge → requantize on their own grid (QuantTensor per-row int8,
+      Q4Tensor 4-bit blocks, GroupQuantTensor ggml group grid).
+    - "at_runtime": always attach factors — dense bases become LoraTensor
+      (base untouched; detachable/stackable).  Grids with no runtime path
+      (Q4/Group conv, LoHa/LoKr) fall back to their merge form.
+    """
     import jax.numpy as jnp
 
     groups = group_lora_tensors(lora_tensors)
@@ -209,9 +238,10 @@ def apply_lora(
             continue
         module, pname = target
         w = params_by_module[module][pname]
-        if type(w).__name__ == "Q4Tensor":
+        tname = type(w).__name__
+        if tname == "Q4Tensor":
             # packed 4-bit base: dequant → merge → requant on the same grid
-            # (the reference's at_runtime mode analog for sub-8-bit bases)
+            # (sub-8-bit has no runtime path; both explicit modes merge)
             from sdtpu.ops.quant import dequantize_q4, quantize_q4
 
             delta = lora_delta(g, multiplier)
@@ -221,34 +251,83 @@ def apply_lora(
             params_by_module[module][pname] = quantize_q4(dense)
             applied += 1
             continue
-        if type(w).__name__ in ("QuantTensor", "QuantLoraTensor"):
-            # quantized base: attach runtime low-rank factors instead of
-            # merging (reference at_runtime mode for quantized weights,
-            # stable-diffusion.cpp:928-957)
+        if tname == "GroupQuantTensor":
+            # ggml-grid base (keep-quant GGUF): dequant → merge → requant on
+            # the checkpoint's own group size
+            from sdtpu.ops.quant import dequantize_group, quantize_group
+
+            delta = lora_delta(g, multiplier)
+            if delta is None or tuple(delta.shape) != tuple(w.shape):
+                continue
+            dense = (np.asarray(dequantize_group(w, jnp.float32))
+                     + np.asarray(delta))
+            params_by_module[module][pname] = quantize_group(dense,
+                                                             group=w.group)
+            applied += 1
+            continue
+        if tname in ("QuantTensor", "QuantLoraTensor"):
+            if mode == "immediately":
+                # fold everything (incl. previously attached runtime ranks)
+                # into a fresh per-row int8 base (reference immediately mode
+                # requantizes, stable-diffusion.cpp:928-957)
+                from sdtpu.ops.quant import (QuantTensor, dequantize,
+                                             quantize_per_channel)
+
+                delta = lora_delta(g, multiplier)
+                if delta is None or tuple(delta.shape) != tuple(w.shape):
+                    continue
+                dense = np.asarray(
+                    dequantize(QuantTensor(w.q, w.scale), jnp.float32),
+                    dtype=np.float32)
+                if tname == "QuantLoraTensor":
+                    dense = dense + (np.asarray(w.lora_up, np.float32)
+                                     @ np.asarray(w.lora_down, np.float32))
+                params_by_module[module][pname] = quantize_per_channel(
+                    dense + np.asarray(delta))
+                applied += 1
+                continue
+            # default: attach runtime low-rank factors instead of merging
+            # (reference at_runtime mode for quantized weights)
             from sdtpu.ops.quant import QuantLoraTensor
 
-            if "down" not in g or "up" not in g:
+            fac = _lowrank_factors(g, multiplier, w.shape)
+            if fac is None:
                 continue
-            down = np.asarray(g["down"], dtype=np.float32).reshape(
-                g["down"].shape[0], -1
-            )
-            up = np.asarray(g["up"], dtype=np.float32).reshape(g["up"].shape[0], -1)
-            rank = down.shape[0]
-            scale = multiplier * (g.get("alpha", rank) / rank)
-            up = up * scale
-            if down.shape[1] != w.shape[1] or up.shape[0] != w.shape[0]:
-                continue
-            if type(w).__name__ == "QuantLoraTensor":  # stack ranks
+            down, up = fac
+            if tname == "QuantLoraTensor":  # stack ranks
                 down = np.concatenate([np.asarray(w.lora_down), down], axis=0)
                 up = np.concatenate([np.asarray(w.lora_up), up], axis=1)
-                base_q, base_s = w.q, w.scale
-            else:
-                up = up.copy()
-                base_q, base_s = w.q, w.scale
             params_by_module[module][pname] = QuantLoraTensor(
-                q=base_q, scale=base_s,
+                q=w.q, scale=w.scale,
                 lora_down=jnp.asarray(down), lora_up=jnp.asarray(up),
             )
+            applied += 1
+            continue
+        if mode == "at_runtime" and getattr(w, "ndim", 0) == 2 or \
+                tname == "LoraTensor":
+            # dense base, runtime attachment requested (or already attached)
+            from sdtpu.ops.quant import LoraTensor
+
+            base = w.w if tname == "LoraTensor" else w
+            fac = _lowrank_factors(g, multiplier, base.shape)
+            if fac is None:
+                # non-plain composition — fall through to merge on the base
+                delta = lora_delta(g, multiplier)
+                if delta is None or tuple(delta.shape) != tuple(base.shape):
+                    continue
+                merged = (jnp.asarray(base, dtype=jnp.float32)
+                          + jnp.asarray(delta)).astype(base.dtype)
+                params_by_module[module][pname] = (
+                    LoraTensor(merged, w.lora_down, w.lora_up)
+                    if tname == "LoraTensor" else merged)
+                applied += 1
+                continue
+            down, up = fac
+            if tname == "LoraTensor":  # stack ranks
+                down = np.concatenate([np.asarray(w.lora_down), down], axis=0)
+                up = np.concatenate([np.asarray(w.lora_up), up], axis=1)
+            params_by_module[module][pname] = LoraTensor(
+                w=base, lora_down=jnp.asarray(down), lora_up=jnp.asarray(up))
             applied += 1
             continue
         delta = lora_delta(g, multiplier)

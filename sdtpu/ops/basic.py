@@ -28,6 +28,20 @@ def matmul_precision(dtype) -> jax.lax.Precision:
 def linear(x: jnp.ndarray, weight, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x: [..., in], weight: [out, in] (dense, int8 QuantTensor, or packed
     4-bit Q4Tensor) → [..., out]."""
+    if type(weight).__name__ == "LoraTensor":
+        # runtime LoRA on a dense base (--lora-apply-mode at_runtime)
+        y = linear(x, weight.w)
+        h = jax.lax.dot_general(
+            x, weight.lora_down.astype(x.dtype),
+            (((x.ndim - 1,), (1,)), ((), ())),
+        )
+        y = y + jax.lax.dot_general(
+            h, weight.lora_up.astype(x.dtype),
+            (((h.ndim - 1,), (1,)), ((), ())),
+        ).astype(y.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     if type(weight).__name__ == "Q4Tensor":
         from .quant import q4_matmul
 

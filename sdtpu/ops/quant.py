@@ -57,6 +57,31 @@ class QuantLoraTensor(NamedTuple):
         return jnp.int8
 
 
+class LoraTensor(NamedTuple):
+    """Dense weight with runtime LoRA factors (the reference's at_runtime
+    apply mode forced on an UNquantized base, --lora-apply-mode at_runtime,
+    common.cpp:664): base stays untouched; y += (x · downᵀ) · upᵀ rides
+    alongside, so LoRAs detach/stack without mutating checkpoint weights.
+    down: [r, in], up: [out, r] (ranks concatenated across stacked LoRAs,
+    multiplier pre-folded into up)."""
+
+    w: jnp.ndarray
+    lora_down: jnp.ndarray
+    lora_up: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.w.shape
+
+    @property
+    def dtype(self):
+        return self.w.dtype
+
+    @property
+    def ndim(self):
+        return self.w.ndim
+
+
 class GroupQuantTensor:
     """int8 weight with ggml-grid group scales: the direct in-HBM mapping of
     a quantized GGUF's own blocks (VERDICT r2 missing #1 — no f32 round-trip,

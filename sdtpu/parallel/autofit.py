@@ -51,6 +51,9 @@ def _params_bytes(params: Optional[dict]) -> int:
             total += int(v.q.nbytes) + int(v.scale.nbytes)
         elif hasattr(v, "packed"):  # Q4Tensor
             total += int(v.packed.nbytes) + int(v.scale.nbytes)
+        elif hasattr(v, "lora_down"):  # LoraTensor (dense + runtime factors)
+            total += (int(v.w.nbytes) + int(v.lora_down.nbytes)
+                      + int(v.lora_up.nbytes))
     return total
 
 

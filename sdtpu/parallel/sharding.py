@@ -109,6 +109,20 @@ def _quant_sharding_tree(v, spec: P, mesh: Mesh, tp_axis: str):
         return type(v)(q=qs, scale=ss, zero=None if v.zero is None else ss,
                        k=v.k, group=v.group)
 
+    if tname == "LoraTensor":
+        # dense base with runtime LoRA factors: base follows the logical
+        # spec; the factor on the sharded side splits with it, the other
+        # factor replicates (rank dim is tiny)
+        if is_col:
+            if out_dim % tp:
+                return None
+            return type(v)(w=ns(P(tp_axis, None)), lora_down=ns(P()),
+                           lora_up=ns(P(tp_axis, None)))
+        if in_dim % tp:
+            return None
+        return type(v)(w=ns(P(None, tp_axis)),
+                       lora_down=ns(P(None, tp_axis)), lora_up=ns(P()))
+
     if tname == "Q4Tensor":
         # packed uint8 [Kp//2, N] (nibbles tile-local per block_k), scale
         # [Kp//group, N]
@@ -128,7 +142,8 @@ def _quant_sharding_tree(v, spec: P, mesh: Mesh, tp_axis: str):
     return None
 
 
-_QUANT_LEAVES = ("QuantTensor", "QuantLoraTensor", "GroupQuantTensor", "Q4Tensor")
+_QUANT_LEAVES = ("QuantTensor", "QuantLoraTensor", "GroupQuantTensor",
+                 "Q4Tensor", "LoraTensor")
 
 
 def shard_params(params: Dict[str, object], mesh: Mesh, tp_axis: str = "tp",

@@ -301,7 +301,7 @@ class DiffusionPipeline:
             raise ValueError(f"unknown cancel mode {mode!r}")
         self._cancel_flag = None if mode == "reset" else mode
 
-    def set_loras(self, loras) -> None:
+    def set_loras(self, loras, mode: str = "auto") -> None:
         """Set the ACTIVE LoRA set, re-deriving weights from the pristine
         base (reference LoRA application epochs: apply_loras_to_params /
         current_lora_epoch_, model_manager.h:73-88 — changing the set does
@@ -309,7 +309,8 @@ class DiffusionPipeline:
 
         loras: list of (lora_tensor_dict, multiplier).  The first call
         snapshots the base diffusion weights to host RAM; every call merges
-        the given set into a fresh copy.  Pass [] to restore the base."""
+        the given set into a fresh copy.  Pass [] to restore the base.
+        mode: --lora-apply-mode (auto / immediately / at_runtime)."""
         from sdtpu.models.lora import apply_lora
 
         if not hasattr(self, "_lora_base"):
@@ -320,11 +321,19 @@ class DiffusionPipeline:
         fresh = {k: v.copy() for k, v in self._lora_base.items()}
         total_applied = 0
         for tensors, mult in loras:
-            applied, _ = apply_lora({"diffusion": fresh}, tensors, mult)
+            applied, _ = apply_lora({"diffusion": fresh}, tensors, mult,
+                                    mode=mode)
             total_applied += applied
-        self.diffusion_params = {
-            k: jnp.asarray(v, dtype=self.compute_dtype) for k, v in fresh.items()
-        }
+        def _upload(v):
+            # at_runtime attachments come back as LoraTensor leaves — keep
+            # the base dtype, upload factors alongside
+            if type(v).__name__ == "LoraTensor":
+                return type(v)(
+                    jnp.asarray(v.w, dtype=self.compute_dtype),
+                    jnp.asarray(v.lora_down), jnp.asarray(v.lora_up))
+            return jnp.asarray(v, dtype=self.compute_dtype)
+
+        self.diffusion_params = {k: _upload(v) for k, v in fresh.items()}
         if self.mesh is not None and "tp" in self.mesh.axis_names \
                 and self.mesh.shape["tp"] > 1:
             from sdtpu.parallel import shard_params

@@ -45,6 +45,8 @@ def tap_leaf(w):
     q = getattr(w, "q", None)
     if q is None:
         q = getattr(w, "packed", None)
+    if q is None and type(w).__name__ == "LoraTensor":
+        q = w.w
     return w if q is None else q
 
 

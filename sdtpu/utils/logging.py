@@ -10,11 +10,22 @@ LEVELS = {"debug": 10, "info": 20, "warn": 30, "error": 40}
 _level = LEVELS["info"]
 _callback: Optional[Callable[[str, str], None]] = None
 _t0 = time.time()
+_color = False
+# ANSI per level (reference --color tag coloring, cli/main.cpp:118)
+_COLORS = {"debug": "\x1b[90m", "info": "\x1b[32m", "warn": "\x1b[33m",
+           "error": "\x1b[31m"}
+_RESET = "\x1b[0m"
 
 
 def set_log_level(level: str) -> None:
     global _level
     _level = LEVELS[level]
+
+
+def set_log_color(enabled: bool) -> None:
+    """Colorize level tags with ANSI codes (reference --color)."""
+    global _color
+    _color = enabled
 
 
 def set_log_callback(cb: Optional[Callable[[str, str], None]]) -> None:
@@ -29,7 +40,10 @@ def _log(level: str, msg: str) -> None:
     if _callback is not None:
         _callback(level, msg)
     else:
-        print(f"[{level.upper():5s}] {time.time() - _t0:8.2f}s | {msg}", file=sys.stderr)
+        tag = f"{level.upper():5s}"
+        if _color:
+            tag = f"{_COLORS[level]}{tag}{_RESET}"
+        print(f"[{tag}] {time.time() - _t0:8.2f}s | {msg}", file=sys.stderr)
 
 
 def log_debug(msg: str) -> None:
