@@ -349,6 +349,14 @@ def bench_wan21_t2v():
     pipe = create_pipeline(SDVersion.WAN2, params=params, dtype=dtype)
     del params
     pipe.free_params_immediately = True
+    # full-frame 480p×33f causal decode needs ~19 GB of temps — tile
+    # spatially + temporally like any real 16 GB run (reference wan docs
+    # recommend --vae-tiling; decode s/frame is reported WITH tiling).
+    # Measured on v5e: 60×32-latent tile decodes the whole 9-frame clip in
+    # 0.71 s warm; 64 fits alone but not beside the resident 2.7 GB DiT.
+    pipe.set_vae_tiling(True, tile_size=32, temporal=True,
+                        extra_tiling_args="temporal_tile_frames=5,"
+                                          "temporal_tile_overlap=1")
 
     steps, frames = 8, 33
     gp = GenerationParams(

@@ -62,7 +62,10 @@ def vae_to_diffusion_latents(z: jnp.ndarray) -> jnp.ndarray:
 
 
 def diffusion_to_vae_latents(z: jnp.ndarray) -> jnp.ndarray:
-    return z * WAN21_LATENTS_STD + WAN21_LATENTS_MEAN
+    # dtype-preserving: f32 stats constants must not promote a bf16 decode
+    # back to f32 (the un-scaled latent feeds the whole decoder stack)
+    return (z * WAN21_LATENTS_STD.astype(z.dtype)
+            + WAN21_LATENTS_MEAN.astype(z.dtype))
 
 
 # ------------------------------------------------------------------ primitives

@@ -1224,9 +1224,23 @@ class DiffusionPipeline:
 
         threading.Thread(target=_go, daemon=True, name="sdtpu-warm-decode").start()
 
+    def _vae_dtype(self):
+        """The VAE's own compute dtype (first floating param leaf): decode
+        runs there instead of the latents' f32 — on TPU bf16 halves the
+        decoder's HBM temps and VPU/MXU time (an f32 latent against bf16
+        weights would otherwise promote the whole decoder to f32).  The SDXL
+        f32-VAE pin (--force-sdxl-vae-conv-scale) keeps working because the
+        pinned params ARE f32."""
+        for v in (self.vae_params or {}).values():
+            dt = getattr(v, "dtype", None)
+            if dt is not None and jnp.issubdtype(dt, jnp.floating):
+                return dt
+        return self.compute_dtype
+
     def _decode_program(self):
         if "decode" not in self._decode_cache:
-            jit_decode = jax.jit(lambda p, z: self.vae_decode_fn(p, z))
+            jit_decode = jax.jit(
+                lambda p, z: self.vae_decode_fn(p, z.astype(self._vae_dtype())))
             if self._vae_tiling or self._vae_temporal:
                 from sdtpu.models.tiling import (
                     tiled_decode, tiled_decode_temporal,
@@ -1266,11 +1280,17 @@ class DiffusionPipeline:
                         return out
                     except Exception as e:  # XlaRuntimeError has no stable type
                         msg = str(e)
-                        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+                        # run-time OOM (RESOURCE_EXHAUSTED) or compile-time
+                        # OOM (the AOT compiler reports 'Ran out of memory in
+                        # memory space hbm' inside an INTERNAL error)
+                        if not any(s in msg for s in (
+                                "RESOURCE_EXHAUSTED", "Out of memory",
+                                "Ran out of memory", "Exceeded hbm capacity")):
                             raise
                         log_info("VAE decode ran out of memory; retrying "
                                  "with tiling enabled")
-                        self.set_vae_tiling(True)
+                        self.set_vae_tiling(True,
+                                            temporal=getattr(z, "ndim", 4) == 5)
                         return self._decode_program()(params, z)
 
                 self._decode_cache["decode"] = decode
@@ -1385,18 +1405,39 @@ class DiffusionPipeline:
         self._warm_decode_async((bc, tl, lh, lw, self.latent_channels))
 
         tc0 = time.time()
-        with self._platform_ctx("conditioner"):
-            cond = self.conditioner.get_learned_condition(
-                gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
-            )
-            has_uncond = gp.cfg_scale != 1.0
-            uncond = (
-                self.conditioner.get_learned_condition(
-                    gp.negative_prompt, clip_skip=gp.clip_skip, width=w, height=h
+        has_uncond = gp.cfg_scale != 1.0
+        # cond cache — same contract as generate(): repeats work after
+        # free_params_immediately drops the text encoders
+        ckey = None
+        if self.cond_cache_size:
+            ckey = (gp.prompt, gp.negative_prompt, gp.clip_skip, w, h,
+                    has_uncond)
+        cached_cond = self._cond_cache.get(ckey) if ckey is not None else None
+        if cached_cond is not None:
+            cond, uncond = cached_cond
+        else:
+            if self._conditioner_freed:
+                raise RuntimeError(
+                    "text-encoder params were freed (free_params_immediately) "
+                    "and this prompt is not in the cond cache; rebuild the "
+                    "pipeline to encode new prompts"
                 )
-                if has_uncond
-                else None
-            )
+            with self._platform_ctx("conditioner"):
+                cond = self.conditioner.get_learned_condition(
+                    gp.prompt, clip_skip=gp.clip_skip, width=w, height=h
+                )
+                uncond = (
+                    self.conditioner.get_learned_condition(
+                        gp.negative_prompt, clip_skip=gp.clip_skip, width=w,
+                        height=h
+                    )
+                    if has_uncond
+                    else None
+                )
+            if ckey is not None:
+                if len(self._cond_cache) >= self.cond_cache_size:
+                    self._cond_cache.pop(next(iter(self._cond_cache)))
+                self._cond_cache[ckey] = (cond, uncond)
         for ext in self._extensions:
             cond, uncond = ext.prepare_condition(self, gp, cond, uncond)
         t_cond = time.time() - tc0

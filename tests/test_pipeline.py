@@ -208,3 +208,23 @@ def test_free_params_immediately():
         p.generate(GenerationParams(
             prompt="a dog", width=64, height=64, sample_steps=2,
             cfg_scale=1.0, seed=1, sample_method="euler"))
+
+
+def test_video_free_params_cond_cache():
+    """generate_video honors the cond cache like generate(): repeats after
+    free_params_immediately reuse cached conditions instead of crashing on
+    freed T5 buffers (regression: the Wan bench's timed repeats)."""
+    p = create_pipeline(SDVersion.WAN2, small=True, seed=0)
+    p.free_params_immediately = True
+    gp = GenerationParams(prompt="a cat", negative_prompt="static",
+                          width=32, height=32, sample_steps=1,
+                          cfg_scale=6.0, seed=1, sample_method="euler")
+    r1 = p.generate_video(gp, frames=5)
+    assert p._conditioner_freed
+    r2 = p.generate_video(gp, frames=5)
+    np.testing.assert_array_equal(np.asarray(r1.latents),
+                                  np.asarray(r2.latents))
+    with pytest.raises(RuntimeError, match="free_params_immediately"):
+        p.generate_video(GenerationParams(
+            prompt="a dog", width=32, height=32, sample_steps=1,
+            cfg_scale=6.0, seed=1, sample_method="euler"), frames=5)
