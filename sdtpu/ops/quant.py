@@ -541,7 +541,7 @@ def _gq_zero_matmul_kernel(
 def group_quant_matmul(
     x: jnp.ndarray,
     qt: "GroupQuantTensor",
-    block_m: int = 256,
+    block_m: int = 1024,
     block_n: int = 512,
     block_k: int = 512,
 ) -> jnp.ndarray:
@@ -549,7 +549,10 @@ def group_quant_matmul(
 
     HBM weight traffic is int8 + f32/group scales; dequant runs tile-wise in
     VMEM on the GGUF checkpoint's own block grid (group=32 for q*_0/q*_1 and
-    q4_k/q5_k sub-blocks, 16 for q2/q3/q6_k)."""
+    q4_k/q5_k sub-blocks, 16 for q2/q3/q6_k).  block_m=1024 amortizes the
+    per-weight-tile VPU dequant across more MXU output rows: measured on
+    v5e at the FLUX 1024² shape (4608×3072×3072), 1.89 ms vs 2.14 ms at
+    block_m=256 (46 vs 41 TFLOP/s; bf16 dot on the same shape: 66)."""
     orig_shape = x.shape
     k = orig_shape[-1]
     kq, n = qt.q.shape  # stored transposed [Kp, N]
