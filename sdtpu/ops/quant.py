@@ -541,7 +541,7 @@ def _gq_zero_matmul_kernel(
 def group_quant_matmul(
     x: jnp.ndarray,
     qt: "GroupQuantTensor",
-    block_m: int = 1024,
+    block_m: int = 1152,
     block_n: int = 512,
     block_k: int = 512,
 ) -> jnp.ndarray:
@@ -549,10 +549,11 @@ def group_quant_matmul(
 
     HBM weight traffic is int8 + f32/group scales; dequant runs tile-wise in
     VMEM on the GGUF checkpoint's own block grid (group=32 for q*_0/q*_1 and
-    q4_k/q5_k sub-blocks, 16 for q2/q3/q6_k).  block_m=1024 amortizes the
-    per-weight-tile VPU dequant across more MXU output rows: measured on
-    v5e at the FLUX 1024² shape (4608×3072×3072), 1.89 ms vs 2.14 ms at
-    block_m=256 (46 vs 41 TFLOP/s; bf16 dot on the same shape: 66)."""
+    q4_k/q5_k sub-blocks, 16 for q2/q3/q6_k).  block_m=1152 amortizes the
+    per-weight-tile VPU dequant across more MXU output rows (and divides the
+    FLUX-1024² row count 4608 exactly): measured on v5e at 4608×3072×3072,
+    ~1.8 ms vs 2.14 ms at the old block_m=256 default (bf16 dot on the same
+    shape: 1.32 ms)."""
     orig_shape = x.shape
     k = orig_shape[-1]
     kq, n = qt.q.shape  # stored transposed [Kp, N]
@@ -653,14 +654,16 @@ def _q4_matmul_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k: int, group: i
 def q4_matmul(
     x: jnp.ndarray,
     qt: "Q4Tensor",
-    block_m: int = 256,
+    block_m: int = 1152,
     block_n: int = 512,
 ) -> jnp.ndarray:
     """x: [..., K] × packed-4-bit weight (logical [N, K]) → [..., N].
 
     HBM traffic for the weight is 4 bits/element (+ scales); dequant runs in
     VMEM per tile — the kernel the reference's q4_0 CUDA path corresponds to
-    (ggml dequantize_mul_mat), expressed TPU-first."""
+    (ggml dequantize_mul_mat), expressed TPU-first.  block_m=1152 amortizes
+    the per-weight-tile nibble unpack across more MXU output rows: ~1.8 ms
+    vs 2.22 ms at block_m=256 on v5e at 4608×3072×3072."""
     orig_shape = x.shape
     k = orig_shape[-1]
     n = qt.packed.shape[1]
