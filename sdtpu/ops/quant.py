@@ -284,12 +284,22 @@ def from_host_quant(h, block_k: int = 512):
 
 
 def host_params_to_device(params: dict, min_size: int = 1 << 16,
-                          skip_patterns: tuple = ("embed", "norm")) -> dict:
+                          skip_patterns: tuple = ("embed", "norm"),
+                          rowwise: bool = False) -> dict:
     """Convert a param dict holding io.gguf.HostQuant entries to device
     tensors: large 2-D linear weights keep their checkpoint blocks
     (GroupQuantTensor / Q4Tensor); embeddings, norms, and small tensors
     dequantize to dense (they are consumed by lookups / elementwise ops,
-    not the dequant-matmul kernels)."""
+    not the dequant-matmul kernels).
+
+    rowwise=True re-quantizes eligible int8-class blocks to per-row
+    QuantTensors (one tensor at a time on the host, no whole-model f32
+    materialization) so they ride the W8A8 int8-MXU matmul path — ~1.7×
+    faster than computing on group-32 blocks on v5e, at the cost of
+    collapsing each row's group scales into one (the reference's analog is
+    re-quantizing at load via --type, model_loader wtype overrides).
+    4-bit-class blocks keep their exact checkpoint form either way: they
+    would pay a precision cliff re-quantized to int8 rows."""
     out = {}
     for name, v in params.items():
         if type(v).__name__ != "HostQuant":
@@ -297,7 +307,10 @@ def host_params_to_device(params: dict, min_size: int = 1 << 16,
             continue
         if (v.ndim == 2 and v.size >= min_size and name.endswith(".weight")
                 and not any(s in name for s in skip_patterns)):
-            out[name] = from_host_quant(v)
+            if rowwise and v.qbits == 8:
+                out[name] = quantize_per_channel(np.asarray(v))
+            else:
+                out[name] = from_host_quant(v)
         else:
             out[name] = np.asarray(v)
     return out

@@ -104,6 +104,28 @@ def test_q4_0_stays_packed_on_host():
     assert isinstance(dev, Q4Tensor)  # stays 4-bit in HBM too
 
 
+def test_rowwise_promote_w8a8_path():
+    """host_params_to_device(rowwise=True): int8-class blocks re-quantize to
+    per-row QuantTensors (the W8A8 MXU path the CLI's --type q8_0 selects on
+    quantized GGUFs); 4-bit blocks keep their exact checkpoint form."""
+    from sdtpu.ops.quant import QuantTensor, dequantize
+
+    n, k = 8, 512  # k >= block_k so the q4_0 tensor packs to Q4Tensor
+    raw8 = _random_blocks(GGML_Q8_0, (n * k) // 32, seed=11)
+    hq8 = extract_blocks(raw8, GGML_Q8_0, n * k, (n, k))
+    raw4 = _random_blocks(GGML_Q4_0, (n * k) // 32, seed=12)
+    hq4 = extract_blocks(raw4, GGML_Q4_0, n * k, (n, k))
+    dev = host_params_to_device(
+        {"a.weight": hq8, "b.weight": hq4}, min_size=1, rowwise=True)
+    assert isinstance(dev["a.weight"], QuantTensor)
+    assert isinstance(dev["b.weight"], Q4Tensor)
+    want = hq8.dequantize().reshape(n, k)
+    got = np.asarray(dequantize(dev["a.weight"], jnp.float32))
+    # per-row step is at most the row amax/127; allow one step of error
+    step = np.abs(want).max(axis=1, keepdims=True) / 127.0
+    assert np.all(np.abs(got - want) <= step + 1e-7)
+
+
 def test_group_quant_matmul_matches_dense():
     rng = np.random.default_rng(3)
     n, k = 96, 256
