@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("mode", nargs="?", default="img_gen",
                     choices=["img_gen", "vid_gen", "adetailer", "convert",
                              "upscale", "metadata"])
+    ap.add_argument("-M", "--mode", dest="mode_flag", default=None,
+                    choices=["img_gen", "vid_gen", "adetailer", "convert",
+                             "upscale", "metadata"],
+                    help="run mode (reference -M/--mode; same as the "
+                    "positional)")
     # model files (reference sd_ctx_params)
     ap.add_argument("-m", "--model", help="full checkpoint (safetensors/gguf/ckpt)")
     ap.add_argument("--diffusion-model", help="standalone diffusion model file")
@@ -429,6 +434,8 @@ def extract_loras(prompt: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "mode_flag", None):
+        args.mode = args.mode_flag  # reference -M/--mode spelling
     from sdtpu.utils import enable_compilation_cache, set_log_level
 
     set_log_level("debug" if args.verbose else "info")

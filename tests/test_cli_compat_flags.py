@@ -40,6 +40,14 @@ def test_new_flags_parse():
     assert a.disable_auto_resize_ref_image
 
 
+def test_mode_flag_alias():
+    # reference -M/--mode (cli/main.cpp:201) — same as the positional
+    a = build_parser().parse_args(["-M", "vid_gen", "-p", "x", "-m", "m.gguf"])
+    assert a.mode_flag == "vid_gen"
+    a = build_parser().parse_args(["--mode", "metadata", "-m", "out.png"])
+    assert a.mode_flag == "metadata"
+
+
 def test_resolve_output_path():
     assert resolve_output_path("out.png", 0, 1) == "out.png"
     assert resolve_output_path("out.png", 0, 3) == "out_0.png"
