@@ -213,6 +213,12 @@ def flash_attention(
     lk = k.shape[2]
     if scale is None:
         scale = d**-0.5
+    # mixed input dtypes (e.g. an f32-promoted q against bf16 k/v) would hit
+    # Mosaic's same-type matmul requirement — unify on q's dtype up front
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
 
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))

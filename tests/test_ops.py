@@ -147,6 +147,21 @@ def test_flash_attention_interpret_matches_xla(lq, lk, d):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_flash_attention_mixed_dtypes():
+    """f32 q against bf16 k/v (e.g. an f32-promoted query) must not hit
+    Mosaic's same-type matmul requirement — inputs unify on q.dtype."""
+    from sdtpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 32), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 64, 32), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 64, 32), dtype=np.float32))
+    want = _np(attention(q, k, v, flash=False))
+    got = _np(flash_attention(q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_flash_attention_with_mask():
     from sdtpu.ops.flash_attention import flash_attention
 
