@@ -1330,6 +1330,22 @@ def _vid_gen(args) -> int:
     if args.init_img:
         init_image, _ = read_png(args.init_img)
     vkw = {}
+    if args.preview != "none":
+        from sdtpu.utils.image import write_png
+        from sdtpu.utils.latent_preview import preview_latent
+
+        def _vid_preview(step, latent_np):
+            # video latents are [B, T, H, W, C]: project the middle frame
+            # (proj is the only preview cheap enough per video step;
+            # reference previews video latents the same way, PREVIEW_PROJ
+            # tables include the video families, latent-preview.h:7)
+            lat = latent_np[0]
+            frame = lat[lat.shape[0] // 2] if lat.ndim == 4 else lat
+            write_png(args.preview_path,
+                      preview_latent(frame, pipe.version.value), None)
+
+        vkw["preview_callback"] = _vid_preview
+        vkw["preview_interval"] = args.preview_interval
     from sdtpu.pipeline import LTXAVPipeline
 
     if isinstance(pipe, LTXAVPipeline):
@@ -1505,6 +1521,23 @@ def _convert(args) -> int:
     if args.output.lower().endswith(".gguf"):
         from sdtpu.io.gguf import save_gguf
 
+        # carry the source GGUF's KV metadata through conversion — above all
+        # tokenizer.ggml.* embedded vocabs, so a converted TE still works
+        # with no sidecar tokenizer.json (reference convert keeps the model
+        # file self-contained; src/tokenizers/vocab/vocab.cpp)
+        meta = {"converter": "sdtpu"}
+        if args.model.lower().endswith(".gguf"):
+            from sdtpu.io.gguf import GGUFFile
+
+            src_meta = GGUFFile(args.model).metadata
+            carried = {k: v for k, v in src_meta.items()
+                       if k != "general.alignment"}
+            if carried:
+                meta = {**carried, **meta}
+                n_tok = sum(1 for k in carried if k.startswith("tokenizer."))
+                print(f"carrying {len(carried)} metadata KVs from source "
+                      f"({n_tok} tokenizer.*)")
+
         imatrix = None
         if args.imatrix:
             from sdtpu.io.imatrix import IMatrixCollector
@@ -1516,7 +1549,7 @@ def _convert(args) -> int:
             print(f"using imatrix with {len(imatrix)} entries "
                   f"from {len(args.imatrix)} file(s)")
         save_gguf(args.output, tensors, out_type=out_type,
-                  metadata={"converter": "sdtpu"}, imatrix=imatrix,
+                  metadata=meta, imatrix=imatrix,
                   type_rules=type_rules)
         return 0
     import re

@@ -19,8 +19,13 @@ import numpy as np
 
 class IMatrixCollector:
     def __init__(self):
-        self.values: Dict[str, np.ndarray] = {}  # name → Σ x² per in-channel
-        self.counts: Dict[str, int] = {}  # name → rows accumulated
+        # values accumulates the PER-CALL channel mean of x² (so an entry is
+        # mean·ncall — the exact unit the llama.cpp .dat stores), counts ==
+        # ncall == number of calls.  Keeping collection and load() in the
+        # same unit makes continued collection (--imat-in + fresh taps) a
+        # correctly ncall-weighted merge instead of mixing rows with calls.
+        self.values: Dict[str, np.ndarray] = {}  # name → Σ_call mean(x²)
+        self.counts: Dict[str, int] = {}  # name → calls (== ncall)
         self.ncall: Dict[str, int] = {}
         self.last_call = 0
 
@@ -101,19 +106,20 @@ class IMatrixCollector:
             pipe._stepwise_step_cache.clear()
 
     def _accumulate(self, name: str, x: np.ndarray):
-        x2 = (x.reshape(-1, x.shape[-1]) ** 2).sum(axis=0)
+        x2 = (x.reshape(-1, x.shape[-1]) ** 2).mean(axis=0)
         if name in self.values:
             self.values[name] += x2
-            self.counts[name] += x.reshape(-1, x.shape[-1]).shape[0]
+            self.counts[name] += 1
             self.ncall[name] += 1
         else:
             self.values[name] = x2
-            self.counts[name] = x.reshape(-1, x.shape[-1]).shape[0]
+            self.counts[name] = 1
             self.ncall[name] = 1
         self.last_call += 1
 
     def get(self, name: str) -> Optional[np.ndarray]:
-        """Mean squared activation per input channel."""
+        """Mean squared activation per input channel (mean of per-call
+        channel means — calls weight equally, like llama.cpp's merge)."""
         if name not in self.values:
             return None
         return self.values[name] / max(self.counts[name], 1)
@@ -148,7 +154,10 @@ class IMatrixCollector:
                 (ncall,) = struct.unpack("<i", f.read(4))
                 (nval,) = struct.unpack("<i", f.read(4))
                 vals = np.frombuffer(f.read(4 * nval), dtype=np.float32).copy()
-                # stored as mean·ncall; merge additively like the reference
+                # stored as mean·ncall — the same unit values uses
+                # internally, so loading merges additively with both prior
+                # files and fresh collection (reference --imat-in merge,
+                # src/runtime/imatrix.cpp)
                 if name in self.values:
                     self.values[name] += vals
                     self.ncall[name] += ncall

@@ -307,7 +307,12 @@ def host_params_to_device(params: dict, min_size: int = 1 << 16,
             continue
         if (v.ndim == 2 and v.size >= min_size and name.endswith(".weight")
                 and not any(s in name for s in skip_patterns)):
-            if rowwise and v.qbits == 8:
+            # gate on the checkpoint block TYPE, not storage width: every
+            # k-quant extractor stores int8 arrays (qbits=8), but collapsing
+            # e.g. q4_K's per-32 scales+mins into one symmetric row scale
+            # would be the precision cliff documented above — only true
+            # q8_0 blocks lose nothing but group granularity
+            if rowwise and v.type_name == "q8_0":
                 out[name] = quantize_per_channel(np.asarray(v))
             else:
                 out[name] = from_host_quant(v)

@@ -41,7 +41,7 @@ from sdtpu.diffusion.guidance import cfg_combine
 from sdtpu.diffusion.samplers import NOISY_METHODS, sample
 from sdtpu.diffusion.schedule import get_sigmas
 from sdtpu.rng import create_rng
-from sdtpu.utils import log_debug, log_info
+from sdtpu.utils import log_debug, log_info, log_warn
 
 
 class GenerationExtension:
@@ -505,7 +505,11 @@ class DiffusionPipeline:
         def tae_decode_fn(p, z, _cfg=tae_cfg):
             return _dec(p, z, _cfg)
 
-        orig = (self.vae_decode_fn, self.vae_params)
+        # when re-attaching over an existing TAE, keep the ORIGINAL full-VAE
+        # pair: capturing the current fns would record the previous TAE and
+        # set_tae(None) would "restore" a tiny decoder instead of the VAE
+        prev = getattr(self, "_tae", None)
+        orig = prev["orig"] if prev else (self.vae_decode_fn, self.vae_params)
         self._tae = {
             "params": tae_params, "cfg": tae_cfg, "decode": tae_decode_fn,
             "orig": orig, "preview_only": preview_only, "video": video,
@@ -673,6 +677,21 @@ class DiffusionPipeline:
         sd_get_default_scheduler, stable-diffusion.cpp:3855-3870)."""
         return self.default_schedule if schedule == "discrete" else schedule
 
+    def _slg_supported(self) -> bool:
+        """Skip-Layer Guidance needs a diffusion_fn with an explicit
+        skip_layers parameter (MMDiT / Flux-family / Wan builds).  Other
+        models must not crash on --slg-scale: the reference threads
+        skip_layers through DiffusionParams and backbones without SLG
+        wiring simply ignore it (src/model/diffusion/model.hpp:101-134) —
+        we warn and drop SLG instead of a trace-time TypeError."""
+        import inspect
+
+        try:
+            return "skip_layers" in inspect.signature(
+                self.diffusion_fn).parameters
+        except (TypeError, ValueError):
+            return True
+
     def _sample_program(self, method: str, steps: int, has_uncond: bool, eta: float,
                         use_control: bool = False, slg=None, apg=None,
                         img_mode=None, sampler_extra=()):
@@ -822,12 +841,16 @@ class DiffusionPipeline:
                             h_full = jnp.concatenate(
                                 [hint_] * (x_full.shape[0] // hint_.shape[0]), axis=0
                             )
-                            ckw = {
-                                "controls": controlnet_fn(
+                            # update, don't rebind: IP-Adapter context set
+                            # above must survive when ControlNet is also
+                            # active (both feed the same UNet forward,
+                            # reference unet.hpp:779-857)
+                            ckw.update(
+                                controls=controlnet_fn(
                                     mi["cn_params"], x_core_full, h_full, tt, ctx, y
                                 ),
-                                "control_strength": mi["control_strength"],
-                            }
+                                control_strength=mi["control_strength"],
+                            )
                         return diffusion_fn(mi["params"], x_full, tt, ctx, y, **ex, **ckw)
 
                     if has_uncond:
@@ -1373,6 +1396,8 @@ class DiffusionPipeline:
         high_noise_skip_layers: Optional[tuple] = None,
         high_noise_slg_start: Optional[float] = None,
         high_noise_slg_end: Optional[float] = None,
+        preview_callback=None,
+        preview_interval: int = 1,
     ) -> VideoResult:
         """txt2vid / img2vid (reference generate_video,
         stable-diffusion.cpp:6374).  frames must satisfy 1+4k for the causal
@@ -1392,8 +1417,25 @@ class DiffusionPipeline:
         reference CLI parity but no video model supports a separate
         image-CFG pass (reference sd_version_supports_img_cfg,
         stable-diffusion.cpp:158-161 — resolve_guidance resets it to 1 with
-        a warning); we log the same warning."""
+        a warning); we log the same warning.
+
+        preview_callback(step, latents): fires from inside the compiled
+        denoise program via the io_callback tap — latents are the full
+        [B, T, H, W, C] video latent (reference previews video latents
+        through the same callback, stable-diffusion.cpp:2788)."""
         t0 = time.time()
+        # reset the in-jit preview tap: a callback installed by a prior
+        # generate() must not leak into the video programs (it would bake a
+        # per-step D2H tap expecting image-shaped latents into the trace)
+        self._preview_tap[0] = None
+        if preview_callback is not None:
+            _piv = max(1, int(preview_interval))
+
+            def _vtap(step, lat, _cb=preview_callback, _iv=_piv):
+                if step % _iv == 0:
+                    _cb(step, lat)
+
+            self._preview_tap[0] = _vtap
         w, h = gp.width, gp.height
         lh, lw = h // self.scale_factor, w // self.scale_factor
         ts = self.temporal_scale
@@ -1624,6 +1666,10 @@ class DiffusionPipeline:
             ph_slg = over.get("slg", _phase_slg(
                 n_phase, gp.slg_scale, gp.skip_layers, gp.slg_start, gp.slg_end
             ))
+            if ph_slg is not None and not self._slg_supported():
+                log_warn("SLG: this model has no skip_layers support; "
+                         "ignoring --slg-scale for this phase")
+                ph_slg = None
             if streamed:
                 program = self._sample_program(
                     ph_method, n_phase, has_uncond, ph_eta, slg=ph_slg
@@ -2004,10 +2050,14 @@ class DiffusionPipeline:
         # guidance extensions (reference guidance.h): SLG step window + APG
         slg = None
         if gp.slg_scale != 0.0 and has_uncond:
-            from sdtpu.diffusion.guidance import slg_active_steps
+            if not self._slg_supported():
+                log_warn("SLG: this model has no skip_layers support; "
+                         "ignoring --slg-scale")
+            else:
+                from sdtpu.diffusion.guidance import slg_active_steps
 
-            i0, i1 = slg_active_steps(steps, gp.slg_start, gp.slg_end)
-            slg = (float(gp.slg_scale), tuple(gp.skip_layers), i0, i1)
+                i0, i1 = slg_active_steps(steps, gp.slg_start, gp.slg_end)
+                slg = (float(gp.slg_scale), tuple(gp.skip_layers), i0, i1)
         apg = None
         from sdtpu.diffusion.guidance import APGParams
 
@@ -2427,6 +2477,9 @@ class LTXAVPipeline(DiffusionPipeline):
         **_,
     ) -> VideoResult:
         t0 = time.time()
+        # same tap hygiene as the base generate_video: don't bake a stale
+        # image-preview callback into the AV sampling program
+        self._preview_tap[0] = None
         w, h = gp.width, gp.height
         sf, ts = self.scale_factor, self.temporal_scale
         lh, lw = h // sf, w // sf

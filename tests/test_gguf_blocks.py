@@ -126,6 +126,25 @@ def test_rowwise_promote_w8a8_path():
     assert np.all(np.abs(got - want) <= step + 1e-7)
 
 
+def test_rowwise_promote_skips_kquants():
+    """k-quants store int8 arrays on the host (qbits=8) but are NOT
+    int8-class checkpoint types: collapsing q4_K's per-group scales+mins
+    into one symmetric row scale would be a silent precision cliff, so
+    rowwise promotion must gate on type_name, not storage width."""
+    from sdtpu.io.gguf import GGML_Q4_K, GGML_Q6_K
+    from sdtpu.ops.quant import GroupQuantTensor, QuantTensor
+
+    n, k = 8, 512
+    params = {}
+    for name, t in (("kq4.weight", GGML_Q4_K), ("kq6.weight", GGML_Q6_K)):
+        raw = _random_blocks(t, (n * k) // 256, seed=13)
+        params[name] = extract_blocks(raw, t, n * k, (n, k))
+    dev = host_params_to_device(params, min_size=1, rowwise=True)
+    for name in params:
+        assert isinstance(dev[name], GroupQuantTensor), name
+        assert not isinstance(dev[name], QuantTensor), name
+
+
 def test_group_quant_matmul_matches_dense():
     rng = np.random.default_rng(3)
     n, k = 96, 256

@@ -91,6 +91,28 @@ def test_cli_discovers_embedded_vocab(tmp_path, capsys):
     assert discover_gguf_tokenizer(None, None, "x.safetensors") is None
 
 
+def test_convert_carries_tokenizer_metadata(tmp_path, capsys):
+    """`sdtpu convert` on a GGUF with embedded vocab KVs must carry them to
+    the output so a converted TE still tokenizes with no sidecar files
+    (round-4 review finding: the converter wrote only {'converter': ...})."""
+    from sdtpu.cli import discover_gguf_tokenizer, main
+
+    src = str(tmp_path / "t5-src.gguf")
+    save_gguf(src, {"blk.w.weight": np.random.default_rng(0)
+                    .standard_normal((64, 64)).astype(np.float32)},
+              out_type="f32", metadata=_t5_md())
+    dst = str(tmp_path / "t5-q8.gguf")
+    rc = main(["convert", "-m", src, "-o", dst, "--output-type", "q8_0"])
+    assert rc == 0
+    capsys.readouterr()
+    tok = discover_gguf_tokenizer(dst, None, None)
+    assert type(tok).__name__ == "T5UnigramTokenizer"
+    assert tok.encode("a cat", add_eos=True) == [3, 4, 1]
+    md = GGUFFile(dst).metadata
+    assert md["converter"] == "sdtpu"
+    assert md["tokenizer.ggml.model"] == "t5"
+
+
 def _spiece_bytes(pieces):
     """Build a minimal sentencepiece ModelProto (field 1 repeated
     SentencePiece{1: piece, 2: score, 3: type})."""

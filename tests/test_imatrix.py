@@ -64,6 +64,40 @@ def test_weighted_quantization_beats_plain_on_weighted_error():
     assert werr(weighted) < werr(plain)
 
 
+def test_continued_collection_weighted_by_ncall(tmp_path):
+    """--imat-in + fresh collection: the loaded prior and new taps must
+    merge in the same unit (per-call channel means), so a prior with N
+    calls keeps weight N/(N+M) against M fresh calls — not be annihilated
+    by a rows-vs-calls unit mix (round-4 review finding)."""
+    import sdtpu.ops.basic as basic
+
+    rng = np.random.default_rng(1)
+    params = {"t.weight": jnp.asarray(
+        rng.standard_normal((8, 16)), dtype=jnp.float32)}
+
+    # prior: 3 calls with a known constant activation → mean x² = 4.0
+    prior = IMatrixCollector()
+    with prior.capture(params):
+        for _ in range(3):
+            basic.linear(jnp.full((5, 16), 2.0), params["t.weight"])
+    path = str(tmp_path / "prior.dat")
+    prior.save(path)
+
+    cont = IMatrixCollector().load(path)
+    # one fresh call with mean x² = 9.0
+    with cont.capture(params):
+        basic.linear(jnp.full((100, 16), 3.0), params["t.weight"])
+    got = cont.get("t.weight")
+    want = (3 * 4.0 + 1 * 9.0) / 4.0  # ncall-weighted, rows don't matter
+    np.testing.assert_allclose(got, np.full(16, want), rtol=1e-5)
+    # and the re-saved file round-trips the merged statistics
+    path2 = str(tmp_path / "merged.dat")
+    cont.save(path2)
+    re = IMatrixCollector().load(path2)
+    assert re.ncall["t.weight"] == 4
+    np.testing.assert_allclose(re.get("t.weight"), got, rtol=1e-5)
+
+
 def test_imatrix_collects_inside_jit():
     """In-jit imatrix collection (VERDICT r3 item 9): io_callback taps
     accumulate Σx² from a compiled forward, matching the eager collector."""

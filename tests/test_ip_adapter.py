@@ -106,3 +106,22 @@ def test_ip_pipeline_end_to_end():
     with_ip = pipe.generate(gp, ip_image=ref_img, ip_scale=0.8)
     assert with_ip.images.shape == base.images.shape
     assert not np.allclose(base.latents, with_ip.latents, atol=1e-4)
+
+    # IP-Adapter must survive an active ControlNet (round-4 review finding:
+    # the control branch rebound the kwargs dict, silently dropping
+    # ip_context — both feed the same UNet forward, reference
+    # unet.hpp:779-857 + stable-diffusion.cpp:2605)
+    import jax.numpy as jnp
+
+    from sdtpu.models.controlnet import init_controlnet_params
+
+    cp = init_controlnet_params(ucfg, seed=6)
+    for k in list(cp):
+        if k.startswith(("zero_convs.", "middle_block_out.")) and k.endswith("weight"):
+            cp[k] = jnp.ones_like(cp[k]) * 0.05
+    pipe.set_controlnet(cp)
+    hint = (np.random.default_rng(7).uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    ctrl_only = pipe.generate(gp, control_image=hint)
+    ctrl_ip = pipe.generate(gp, control_image=hint, ip_image=ref_img,
+                            ip_scale=0.8)
+    assert not np.allclose(ctrl_only.latents, ctrl_ip.latents, atol=1e-4)

@@ -59,6 +59,26 @@ def test_preview_interval_and_reset(sd1_pipe):
     assert seen == []
 
 
+def test_video_preview_tap_and_no_leak():
+    """generate_video supports the in-jit preview tap with 5-D video
+    latents, and a tap installed by a prior generate() does NOT leak into
+    generate_video (regression: the stale image callback would be baked
+    into the video program and fire with [B,T,H,W,C] latents)."""
+    p = create_pipeline(SDVersion.WAN2, small=True, seed=0)
+    gp = GenerationParams(prompt="a cat", width=32, height=32,
+                          sample_steps=2, cfg_scale=1.0, seed=1,
+                          sample_method="euler")
+    seen = []
+    p.generate_video(gp, frames=5,
+                     preview_callback=lambda s, l: seen.append(l.shape))
+    assert len(seen) == 2 and len(seen[0]) == 5  # [B,T,H,W,C] per step
+    # leak check: stale tap from an earlier call must not fire
+    stale = []
+    p.generate_video(gp, frames=5)  # no callback → tap must be cleared
+    assert p._preview_tap[0] is None
+    assert stale == []
+
+
 def test_preview_noisy_differs_from_denoised(sd1_pipe):
     den, noisy = [], []
     sd1_pipe.generate(_gp(steps=2),
@@ -119,6 +139,43 @@ def test_set_tae_decode_and_preview_only():
     img = pipe.tae_preview_decode(base.latents[:1])
     assert img.shape == (1, 64, 64, 3)
     assert np.isfinite(img).all()
+
+    # re-attach over an existing TAE, then detach: must restore the FULL
+    # VAE, not the previous TAE (round-4 review finding)
+    tae_p2 = init_tae_params(cfg, seed=2)
+    pipe.set_tae(tae_p, cfg)
+    pipe.set_tae(tae_p2, cfg)
+    pipe.set_tae(None)
+    back2 = pipe.generate(_gp(steps=2))
+    np.testing.assert_array_equal(back2.images, base.images)
+
+
+def test_slg_unsupported_model_warns_not_crashes(sd1_pipe):
+    """--slg-scale on a model whose diffusion_fn has no skip_layers
+    parameter (SD1 UNet, HunyuanVideo, ...) must be ignored with a
+    warning — not raise TypeError at trace (round-4 review finding; the
+    reference's backbones without SLG wiring ignore skip_layers)."""
+    from sdtpu.utils.logging import set_log_callback
+
+    base = sd1_pipe.generate(_gp(steps=2)).images
+    logs = []
+    set_log_callback(lambda lvl, msg: logs.append((lvl, msg)))
+    try:
+        got = sd1_pipe.generate(
+            _gp(steps=2, slg_scale=2.5, skip_layers=(1,))).images
+    finally:
+        set_log_callback(None)
+    assert any(lvl == "warn" and "skip_layers" in m for lvl, m in logs)
+    np.testing.assert_array_equal(got, base)
+
+    # video path: HunyuanVideo's diffusion_fn has no skip_layers either
+    p = create_pipeline(SDVersion.HUNYUAN_VIDEO, small=True, seed=0)
+    gp = GenerationParams(prompt="a cat", width=32, height=32,
+                          sample_steps=1, cfg_scale=3.0, seed=1,
+                          sample_method="euler", slg_scale=2.5,
+                          skip_layers=(1,))
+    res = p.generate_video(gp, frames=5)  # must not TypeError
+    assert np.isfinite(np.asarray(res.latents)).all()
 
 
 def test_wan_skip_layers_changes_output():
