@@ -564,7 +564,7 @@ def _esrgan_pass(args, images):
 def _upscale(args) -> int:
     """Standalone ESRGAN upscale mode (reference sd-cli upscale mode,
     common.h:21): -i input image → --upscale-model ESRGAN → -o output."""
-    from sdtpu.utils.image import read_png, write_png
+    from sdtpu.utils.image import read_image, write_image
 
     if not args.upscale_model:
         print("error: upscale mode needs an upscaler model (--upscale-model)")
@@ -572,12 +572,12 @@ def _upscale(args) -> int:
     if not args.init_img:
         print("error: upscale mode needs an input image (-i/--init-img)")
         return 1
-    img, meta = read_png(args.init_img)
+    img, meta = read_image(args.init_img)
     t0 = time.time()
     (up,) = _esrgan_pass(args, [img])
     print(f"upscaled {img.shape[1]}x{img.shape[0]} -> "
           f"{up.shape[1]}x{up.shape[0]} in {time.time() - t0:.2f}s")
-    write_png(args.output, up, parameters=meta)
+    write_image(args.output, up, parameters=meta)
     print(f"saved {args.output}")
     return 0
 
@@ -1034,7 +1034,8 @@ def _img_gen(args) -> int:
     import numpy as np
 
     from sdtpu.config import GenerationParams
-    from sdtpu.utils.image import build_parameters_text, read_png, write_png
+    from sdtpu.utils.image import (build_parameters_text, read_image,
+                                   read_png, write_image, write_png)
 
     prompt, loras = extract_loras(args.prompt)
     pipe, params = _load_pipeline(args)
@@ -1230,7 +1231,7 @@ def _img_gen(args) -> int:
         base_, ext_ = os.path.splitext(args.output)
         for li, layer in enumerate(vres.frames[0]):
             path = f"{base_}_layer{li}{ext_}"
-            write_png(path, layer)
+            write_image(path, layer)
             print(f"saved {path}")
         _finish_imatrix()
         print(f"generated {len(vres.frames[0])} layer(s) in {time.time() - t0:.2f}s")
@@ -1297,8 +1298,8 @@ def _img_gen(args) -> int:
         meta = build_parameters_text(
             GenerationParams(**{**gp.__dict__, "seed": res.seeds[i]})
         )
-        write_png(path, img,
-                  parameters=None if args.disable_image_metadata else meta)
+        write_image(path, img,
+                    parameters=None if args.disable_image_metadata else meta)
         print(f"saved {path}")
     return 0
 
@@ -1429,7 +1430,7 @@ def _adetailer(args) -> int:
     from sdtpu.detailer import ADetailerParams, adetail_image
     from sdtpu.io.model_loader import read_checkpoint_file
     from sdtpu.models.yolov8 import detect_yolov8_config
-    from sdtpu.utils.image import read_png, write_png
+    from sdtpu.utils.image import read_image, write_image
 
     if not (args.init_img and args.detector):
         raise SystemExit("error: adetailer needs -i <image> and --detector <yolov8>")
@@ -1445,7 +1446,7 @@ def _adetailer(args) -> int:
     raw = read_checkpoint_file(args.detector)
     det_cfg = detect_yolov8_config({k: tuple(v.shape) for k, v in raw.items()})
     det_params = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in raw.items()}
-    image, _ = read_png(args.init_img)
+    image, _ = read_image(args.init_img)
     gp = GenerationParams(
         prompt=args.prompt, negative_prompt=args.negative_prompt,
         sample_steps=args.steps, cfg_scale=args.cfg_scale,
@@ -1475,7 +1476,7 @@ def _adetailer(args) -> int:
         ADetailerParams(**ad_kwargs),
     )
     print(f"adetailer: {len(dets)} detection(s)")
-    write_png(args.output, out)
+    write_image(args.output, out)
     print(f"saved {args.output}")
     return 0
 

@@ -56,6 +56,144 @@ def parse_parameters_text(text: str) -> Dict[str, str]:
     return out
 
 
+def image_format_from_path(path: str) -> str:
+    """Still-image container from the output extension — the reference's
+    encoded_image_format_from_path (examples/common/media_io.h:17):
+    → "png" | "jpeg" | "webp" | "unknown"."""
+    low = path.lower()
+    if low.endswith(".png"):
+        return "png"
+    if low.endswith(".jpg") or low.endswith(".jpeg"):
+        return "jpeg"
+    if low.endswith(".webp"):
+        return "webp"
+    return "unknown"
+
+
+def _xml_escape(text: str) -> str:
+    return (text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _xml_unescape(text: str) -> str:
+    return (text.replace("&quot;", '"').replace("&gt;", ">")
+            .replace("&lt;", "<").replace("&amp;", "&"))
+
+
+def build_xmp_packet(parameters: str) -> str:
+    """XMP packet carrying the webui parameters blob — the WebP metadata
+    vehicle (reference build_webp_xmp_packet, examples/common/media_io.cpp:
+    313-330, <sdcpp:parameters> element; we use an sdtpu namespace with the
+    same packet shape)."""
+    return (
+        '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+        '  <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        '    <rdf:Description xmlns:sdtpu="https://sdtpu/ns/1.0/">\n'
+        "      <sdtpu:parameters>" + _xml_escape(parameters)
+        + "</sdtpu:parameters>\n"
+        "    </rdf:Description>\n"
+        "  </rdf:RDF>\n"
+        "</x:xmpmeta>\n"
+        '<?xpacket end="w"?>'
+    )
+
+
+def parameters_from_xmp(packet: str) -> Optional[str]:
+    """Extract a <ns:parameters> element's text from an XMP packet (accepts
+    both this repo's sdtpu namespace and the reference's sdcpp one)."""
+    import re
+
+    m = re.search(r"<[A-Za-z0-9_]+:parameters>(.*?)</[A-Za-z0-9_]+:parameters>",
+                  packet, re.S)
+    return _xml_unescape(m.group(1)) if m else None
+
+
+def _insert_jpeg_com(jpeg: bytes, parameters: str) -> bytes:
+    """Splice a COM segment holding ``parameters\\0<text>`` into an encoded
+    JPEG, right after SOI (+JFIF APP0 when present) — byte-level parity with
+    the reference's writer (thirdparty/stb_image_write.h:1529-1540: COM
+    marker, payload "parameters\\0" + text, even-length 0xFF pad)."""
+    payload = b"parameters\x00" + parameters.encode("latin-1", "replace")
+    payload = payload[: 65534 - 2]  # segment length field caps at 0xFFFF
+    seg = b"\xff\xfe" + struct.pack(">H", len(payload) + 2) + payload
+    if len(seg) & 1:  # even-length pad, 0xFF fill byte like the reference
+        seg += b"\xff"
+    pos = 2  # after SOI
+    if jpeg[2:4] in (b"\xff\xe0", b"\xff\xe1"):  # keep APP0/APP1 first
+        (n,) = struct.unpack(">H", jpeg[4:6])
+        pos = 4 + n
+    return jpeg[:pos] + seg + jpeg[pos:]
+
+
+def encode_image(image: np.ndarray, fmt: str,
+                 parameters: Optional[str] = None, quality: int = 90) -> bytes:
+    """Encode [H,W,3] uint8 → container bytes with the parameters blob
+    embedded per-format: PNG tEXt, JPEG COM, WebP XMP (reference
+    encode_image_to_vector, examples/common/media_io.cpp:700-752)."""
+    from PIL import Image
+
+    fmt = fmt.lower()
+    quality = max(0, min(100, int(quality)))
+    buf = io.BytesIO()
+    if fmt == "png":
+        from PIL.PngImagePlugin import PngInfo
+
+        info = PngInfo()
+        if parameters:
+            info.add_text("parameters", parameters)
+        Image.fromarray(image).save(buf, format="PNG", pnginfo=info)
+        return buf.getvalue()
+    if fmt in ("jpeg", "jpg"):
+        Image.fromarray(image).save(buf, format="JPEG", quality=quality)
+        data = buf.getvalue()
+        return _insert_jpeg_com(data, parameters) if parameters else data
+    if fmt == "webp":
+        kw = {"xmp": build_xmp_packet(parameters)} if parameters else {}
+        Image.fromarray(image).save(buf, format="WEBP", quality=quality, **kw)
+        return buf.getvalue()
+    raise ValueError(f"unknown still-image format: {fmt!r}")
+
+
+def write_image(path: str, image: np.ndarray,
+                parameters: Optional[str] = None, quality: int = 90) -> None:
+    """Write a still picking the container from the extension (.png default;
+    .jpg/.jpeg/.webp with the parameters blob embedded — reference
+    write_image_to_file, examples/common/media_io.cpp:754-775)."""
+    fmt = image_format_from_path(path)
+    if fmt in ("unknown", "png"):
+        write_png(path, image, parameters=parameters)
+        return
+    with open(path, "wb") as f:
+        f.write(encode_image(image, fmt, parameters=parameters, quality=quality))
+
+
+def read_image(path: str):
+    """→ (image [H,W,3] uint8, parameters text or None) for PNG/JPEG/WebP —
+    the read side of write_image: PNG tEXt, JPEG COM ("parameters\\0"
+    prefix), WebP XMP all round-trip."""
+    from PIL import Image
+
+    img = Image.open(path)
+    params = img.info.get("parameters")
+    if params is None:
+        xmp = img.info.get("xmp")
+        if xmp:
+            if isinstance(xmp, bytes):
+                xmp = xmp.decode("utf-8", "replace")
+            params = parameters_from_xmp(xmp)
+    arr = np.asarray(img.convert("RGB"))
+    if params is None and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            for e in walk_image_metadata(path):
+                if e.get("keyword") == "parameters" and "value" in e:
+                    params = e["value"]
+                    break
+        except Exception:
+            pass
+    return arr, params
+
+
 def write_png(path: str, image: np.ndarray, parameters: Optional[str] = None) -> None:
     """image: [H,W,3] uint8. Embeds `parameters` as a tEXt chunk (webui)."""
     try:
@@ -190,6 +328,8 @@ def walk_image_metadata(path: str, include_structural: bool = False,
         if include_structural:
             entries.append({"chunk": "SOI", "length": 0})
         while pos + 4 <= len(blob) and blob[pos] == 0xFF:
+            while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+                pos += 1  # 0xFF fill bytes before a marker are legal padding
             marker = blob[pos + 1]
             if marker in (0xD8, 0xD9):
                 pos += 2
@@ -197,8 +337,16 @@ def walk_image_metadata(path: str, include_structural: bool = False,
             (n,) = struct.unpack(">H", blob[pos + 2:pos + 4])
             data = blob[pos + 4:pos + 2 + n]
             if marker == 0xFE:  # COM
-                entries.append(_entry("COM", n - 2, "comment",
-                                      data.decode("latin-1", "replace")))
+                if data.startswith(b"parameters\x00"):
+                    # the reference writer's generation-parameters comment
+                    # (thirdparty/stb_image_write.h:1529: "parameters\0" + text)
+                    entries.append(_entry(
+                        "COM", n - 2, "parameters",
+                        data[len(b"parameters\x00"):].rstrip(b"\x00")
+                        .decode("latin-1", "replace")))
+                else:
+                    entries.append(_entry("COM", n - 2, "comment",
+                                          data.decode("latin-1", "replace")))
             elif 0xE0 <= marker <= 0xEF:
                 ident = data.split(b"\x00", 1)[0].decode("latin-1", "replace")
                 entries.append(_entry(f"APP{marker - 0xE0}", n - 2, ident or None,
@@ -209,7 +357,32 @@ def walk_image_metadata(path: str, include_structural: bool = False,
                 break
             pos += 2 + n
         return entries
-    raise ValueError(f"{path}: not a PNG or JPEG file")
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":  # WebP RIFF container
+        structural = {b"VP8 ", b"VP8L", b"VP8X", b"ALPH", b"ANIM", b"ANMF",
+                      b"ICCP"}
+        pos = 12
+        while pos + 8 <= len(blob):
+            tag = blob[pos:pos + 4]
+            (n,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+            data = blob[pos + 8:pos + 8 + n]
+            name = tag.decode("latin-1")
+            if tag == b"XMP ":
+                packet = data.decode("utf-8", "replace")
+                params = parameters_from_xmp(packet)
+                if params is not None:
+                    entries.append(_entry(name, n, "parameters", params))
+                else:
+                    entries.append(_entry(name, n, "xmp", packet))
+            elif tag == b"EXIF":
+                entries.append(_entry(name, n, data=data))
+            elif tag in structural:
+                if include_structural:
+                    entries.append(_entry(name, n, data=data))
+            else:
+                entries.append(_entry(name, n, data=data))
+            pos += 8 + n + (n & 1)  # RIFF chunks pad to even
+        return entries
+    raise ValueError(f"{path}: not a PNG, JPEG, or WebP file")
 
 
 def image_to_base64_png(image: np.ndarray, parameters: Optional[str] = None) -> str:

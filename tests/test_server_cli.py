@@ -360,3 +360,56 @@ def test_reference_cli_compat_flags():
     assert a.high_noise_guidance == 4.0 and a.disable_image_metadata
     opts = _cache_options(a)
     assert opts["scm_mask"] == "1,0,1" and opts["scm_policy_dynamic"] is False
+
+
+def test_jpeg_metadata_roundtrip(tmp_path):
+    """--output foo.jpg embeds webui parameters as a COM segment readable
+    back by the metadata mode (reference stb_image_write.h:1529-1540 +
+    image_metadata.cpp parse_jpeg)."""
+    from sdtpu.utils.image import read_image, walk_image_metadata, write_image
+
+    gp = GenerationParams(prompt="a cat", negative_prompt="dog", seed=7)
+    text = build_parameters_text(gp)
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    write_image(p, img, parameters=text)
+    back, params = read_image(p)
+    assert back.shape == (16, 16, 3)
+    parsed = parse_parameters_text(params)
+    assert parsed["prompt"] == "a cat"
+    assert parsed["negative_prompt"] == "dog"
+    assert parsed["seed"] == "7"
+    # the metadata mode's walker finds the same blob
+    entries = walk_image_metadata(p)
+    got = next(e["value"] for e in entries if e.get("keyword") == "parameters")
+    assert parse_parameters_text(got)["seed"] == "7"
+
+
+def test_webp_metadata_roundtrip(tmp_path):
+    """--output foo.webp embeds parameters in an XMP chunk (reference
+    build_webp_xmp_packet, media_io.cpp:313-330)."""
+    from sdtpu.utils.image import read_image, walk_image_metadata, write_image
+
+    gp = GenerationParams(prompt="x <&> y", seed=3)
+    text = build_parameters_text(gp)
+    img = np.full((16, 16, 3), 64, dtype=np.uint8)
+    p = str(tmp_path / "x.webp")
+    write_image(p, img, parameters=text)
+    back, params = read_image(p)
+    assert back.shape == (16, 16, 3)
+    assert parse_parameters_text(params)["seed"] == "3"
+    assert parse_parameters_text(params)["prompt"] == "x <&> y"  # XML escaping
+    entries = walk_image_metadata(p)
+    got = next(e["value"] for e in entries if e.get("keyword") == "parameters")
+    assert parse_parameters_text(got)["seed"] == "3"
+
+
+def test_write_image_png_dispatch(tmp_path):
+    """Unknown/.png extensions take the PNG writer path."""
+    from sdtpu.utils.image import read_image, write_image
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    write_image(p, img, parameters="hello\nSteps: 2")
+    _, params = read_image(p)
+    assert params.startswith("hello")
