@@ -602,6 +602,30 @@ def discover_gguf_tokenizer(*paths):
     return None
 
 
+def sidecar_free_llm_tokenizer(version):
+    """Bare safetensors LLM TE, no sidecar tokenizer.json, no GGUF vocab
+    metadata: the reference still tokenizes because vocabs are compiled in
+    (src/tokenizers/vocab/vocab.cpp). Offline, Qwen-family ids are
+    synthesizable (byte alphabet at 0..255 + canonical specials);
+    Gemma/Mistral/GPT-OSS layouts aren't — error helpfully there."""
+    from sdtpu.config import SDVersion
+
+    if version in (SDVersion.LTXAV, SDVersion.PID, SDVersion.FLUX2,
+                   SDVersion.ERNIE_IMAGE, SDVersion.LENS):
+        raise SystemExit(
+            f"error: {version.name} needs --llm-tokenizer <tokenizer.json> "
+            "(or load the text encoder from a .gguf with embedded vocab "
+            "metadata): this tokenizer family's vocabulary cannot be "
+            "synthesized without a sidecar")
+    from sdtpu.tokenizers.qwen2 import Qwen2Tokenizer
+
+    print("warning: no tokenizer sidecar for the LLM text encoder — "
+          "using the synthesized Qwen2 byte-fallback vocabulary "
+          "(valid ids, no multi-byte merges; pass --llm-tokenizer "
+          "tokenizer.json for exact encoding)")
+    return Qwen2Tokenizer.byte_fallback()
+
+
 def _load_pipeline(args):
     import jax.numpy as jnp
 
@@ -765,6 +789,8 @@ def _load_pipeline(args):
 
             tok_kwargs["qwen_tokenizer"] = Qwen2Tokenizer.from_tokenizer_json(
                 args.llm_tokenizer)
+    elif bundle.llm and not tok_kwargs.get("qwen_tokenizer"):
+        tok_kwargs["qwen_tokenizer"] = sidecar_free_llm_tokenizer(bundle.version)
     if stream_mode == "host":
         tok_kwargs["stream_weights"] = True
     margs_str = getattr(args, "model_args", "") or ""

@@ -38,6 +38,33 @@ class Qwen2Tokenizer:
             else None
         )
 
+    # canonical Qwen2/Qwen2.5 special-token ids (fixed across the family)
+    _CANONICAL_SPECIAL = {
+        "<|endoftext|>": 151643, "<|im_start|>": 151644, "<|im_end|>": 151645,
+        "<|object_ref_start|>": 151646, "<|object_ref_end|>": 151647,
+        "<|box_start|>": 151648, "<|box_end|>": 151649,
+        "<|quad_start|>": 151650, "<|quad_end|>": 151651,
+        "<|vision_start|>": 151652, "<|vision_end|>": 151653,
+        "<|vision_pad|>": 151654, "<|image_pad|>": 151655,
+        "<|video_pad|>": 151656,
+    }
+
+    @classmethod
+    def byte_fallback(cls) -> "Qwen2Tokenizer":
+        """Sidecar-free degraded tokenizer for bare safetensors Qwen TEs
+        (reference UX: vocabs are compiled in, src/tokenizers/vocab/vocab.cpp;
+        offline we can synthesize only the merge-free subset).
+
+        Byte-level BPE vocabs in the GPT-2 lineage (incl. Qwen2) seed ids
+        0..255 with the 256 byte-alphabet units in bytes_to_unicode order and
+        pin the special tokens at fixed ids, so encoding text as raw byte
+        tokens + exact chat-template specials yields VALID Qwen2 token ids —
+        just without multi-byte merges (every word becomes its bytes).
+        Conditioning quality degrades accordingly; a tokenizer.json sidecar
+        or GGUF vocab metadata restores exact encoding."""
+        byte_vocab = {ch: i for i, ch in enumerate(bytes_to_unicode().values())}
+        return cls(byte_vocab, [], dict(cls._CANONICAL_SPECIAL))
+
     @classmethod
     def from_tokenizer_json(cls, path: str) -> "Qwen2Tokenizer":
         with open(path, encoding="utf-8") as f:

