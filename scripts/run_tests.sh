@@ -13,6 +13,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Hermetic CPU run: the environment's axon TPU plugin monkeypatches
+# jax.get_backend and force-initializes its PJRT client even for CPU-only
+# requests — if the TPU tunnel is down, every jax import then hangs.  An
+# empty pool-IP list skips the plugin registration entirely; tests never
+# touch the TPU (conftest pins the CPU backend anyway).
+export PALLAS_AXON_POOL_IPS=""
+export JAX_PLATFORMS=cpu
+
 TIER="${1:-quick}"
 WORKERS="${SDTPU_TEST_WORKERS:-}"
 

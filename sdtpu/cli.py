@@ -238,6 +238,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "dtype instead of computing on the checkpoint's own "
                     "quant blocks (default keeps blocks, matching the "
                     "reference's end-to-end ggml types)")
+    ap.add_argument("--no-promote-q8", action="store_true",
+                    help="keep q8_0 GGUF blocks on the group-dequant matmul "
+                    "path instead of the default per-row W8A8 re-quantization "
+                    "(exact checkpoint numerics, ~1.6x slower on TPU MXU)")
     # Wan2.2 MoE (reference --high-noise-* family + --moe-boundary)
     ap.add_argument("--high-noise-diffusion-model",
                     help="Wan2.2 MoE high-noise expert checkpoint")
@@ -676,7 +680,14 @@ def _load_pipeline(args):
         at load the same way via --type wtype overrides)."""
         from sdtpu.ops.quant import host_params_to_device
 
-        rowwise = getattr(args, "wtype", None) == "q8_0"
+        # q8_0 blocks promote to per-row W8A8 by DEFAULT (the int8 MXU runs
+        # 2x bf16 peak; the group-dequant kernel is already at bf16-dense
+        # speed, so the promotion is the only rate win — measured 1.57 vs
+        # 2.67 FLUX steps/s on v5e). --no-promote-q8 keeps exact checkpoint
+        # blocks; numerics parity is pinned by test_q8_promotion_parity.
+        rowwise = (getattr(args, "wtype", None) == "q8_0"
+                   or (getattr(args, "wtype", None) is None
+                       and not getattr(args, "no_promote_q8", False)))
         d = host_params_to_device(d, rowwise=rowwise)
         out = {}
         n_quant = n_row = 0
@@ -921,15 +932,21 @@ def _load_pipeline(args):
         # src/core/backend_fit.h:12 + docs/backend.md:142)
         from sdtpu.parallel.autofit import autofit_pipeline
 
+        import jax as _jax
+
+        devs = _jax.devices()
         plan = autofit_pipeline(
             pipe, int(args.auto_fit * (1 << 30)),
             width=args.width, height=args.height,
             allow_quantize=args.wtype is None,
+            devices=devs if len(devs) > 1 else None,
         )
         print(f"auto-fit: weights={plan.weight_mode} "
+              f"tp={getattr(plan, 'tp', 1)} "
               f"vae_tiling={plan.vae_tiling} "
-              f"est={plan.est_bytes / 2**30:.2f} GiB "
-              f"budget={plan.budget_bytes / 2**30:.2f} GiB")
+              f"est={plan.est_bytes / 2**30:.2f} GiB"
+              + ("/device" if len(devs) > 1 else "") +
+              f" budget={plan.budget_bytes / 2**30:.2f} GiB")
     if getattr(args, "max_vram", None) is not None:
         # compute-budget segmentation (reference --max-vram graph-cut,
         # include/stable-diffusion.h:224)

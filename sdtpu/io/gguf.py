@@ -732,17 +732,32 @@ def load_gguf(path: str, filter_fn=None, keep_quant: bool = False) -> Dict[str, 
     device path maps them onto GroupQuantTensor/Q4Tensor without a round
     trip (reference keeps ggml types end-to-end, tensor_storage.h:16)."""
     f = GGUFFile(path)
-    out = {}
-    for name in f.names():
-        if filter_fn is not None and not filter_fn(name):
-            continue
+    names = [n for n in f.names() if filter_fn is None or filter_fn(n)]
+
+    def read_one(name):
         if keep_quant:
             hq = f.tensor_blocks(name)
             if hq is not None and hq.ndim == 2:
-                out[name] = hq
-                continue
-        out[name] = f.tensor(name)
-    return out
+                return name, hq
+        return name, f.tensor(name)
+
+    # multi-threaded tensor reading (reference reads tensors with a thread
+    # pool, src/model_loader.cpp:1440-1537): page-in, dequant, and block
+    # extraction are numpy/mmap work that releases the GIL
+    return dict(_parallel_map(read_one, names))
+
+
+def _parallel_map(fn, items):
+    """Thread-pooled map preserving item order; honors SDTPU_LOAD_THREADS
+    (0/1 → serial)."""
+    n = os.environ.get("SDTPU_LOAD_THREADS")
+    n = int(n) if n else min(16, (os.cpu_count() or 1) * 2)
+    if n <= 1 or len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        return list(pool.map(fn, items))
 
 
 # ----------------------------------------------------------------- quantizers

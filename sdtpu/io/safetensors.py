@@ -119,12 +119,13 @@ def load_safetensors(
             out.update(sub)
         return out
     f = SafetensorsFile(path)
-    out = {}
-    for name in f.names():
-        if filter_fn is not None and not filter_fn(name):
-            continue
-        out[name] = f.tensor(name, as_float32=as_float32)
-    return out
+    names = [n for n in f.names() if filter_fn is None or filter_fn(n)]
+    # multi-threaded tensor reading (reference model_loader.cpp:1440-1537
+    # reads with a thread pool): page-in + dtype widening release the GIL
+    from sdtpu.io.gguf import _parallel_map
+
+    return dict(_parallel_map(
+        lambda n: (n, f.tensor(n, as_float32=as_float32)), names))
 
 
 def save_safetensors(path: str, tensors: Dict[str, np.ndarray], metadata: Optional[dict] = None):

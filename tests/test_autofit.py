@@ -103,3 +103,56 @@ def test_cli_auto_fit_flag_parses():
         ["-m", "x.gguf", "-p", "hi", "--auto-fit", "14.5"])
     assert args.auto_fit == 14.5
     assert not args.no_keep_quant
+
+
+def test_derive_mesh_plan_spreads_before_quantizing():
+    """Mesh ladder preference (reference backend_fit.cpp:145 spreads
+    residency across devices before degrading): dense TP beats int8 on one
+    device; quant rungs engage only when the full mesh can't hold dense."""
+    from sdtpu.parallel.autofit import derive_mesh_plan
+
+    # 10 GB dense weights, 1 GB other+act, tiny decode, 8 GB/device budget
+    p = derive_mesh_plan(10 * GB, GB // 2, GB // 2, GB // 8, 8 * GB, 8)
+    assert p.weight_mode == "dense" and p.tp == 2 and p.fits
+    # 100 GB dense → dense never fits even at tp=8; int8 at tp=8 does
+    p = derive_mesh_plan(100 * GB, GB // 2, GB // 2, GB // 8, 8 * GB, 8)
+    assert p.weight_mode == "int8" and p.tp == 8 and p.fits
+    # single device reduces to the plain ladder choice
+    p = derive_mesh_plan(10 * GB, GB // 2, GB // 2, GB // 8, 8 * GB, 1)
+    assert p.weight_mode == "int8" and p.tp == 1 and p.fits
+    # nothing fits without streaming → full-mesh streaming window
+    p = derive_mesh_plan(100 * GB, GB // 2, GB // 2, GB // 8, 2 * GB, 2,
+                         block_bytes=GB // 4)
+    assert p.weight_mode == "stream" and p.tp == 2
+
+
+def test_autofit_mesh_tp_shards_and_generates():
+    """mesh + budget → plan → TP-sharded weights → one sampled image
+    (VERDICT r4 next #5 'Done' criterion, CPU-mesh side)."""
+    pipe = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    want = pipe.generate(GenerationParams(
+        prompt="x", width=64, height=64, sample_steps=2,
+        sample_method="euler", seed=5, cfg_scale=3.0)).latents
+
+    pipe2 = create_pipeline(SDVersion.SD1, small=True, seed=0)
+    dbytes = sum(int(getattr(v, "nbytes", 0))
+                 for v in pipe2.diffusion_params.values())
+    devs = jax.devices("cpu")[:4]
+    # probe the planner's own dense/tp1 estimate, then budget so dense fits
+    # only when the diffusion weights split over >= 2 devices
+    probe = autofit_pipeline(pipe2, 1 << 60, width=64, height=64,
+                             allow_quantize=False, devices=devs)
+    assert probe.weight_mode == "dense" and probe.tp == 1
+    budget = probe.est_bytes - dbytes // 2
+    plan = autofit_pipeline(pipe2, budget, width=64, height=64,
+                            allow_quantize=False, devices=devs)
+    assert plan.weight_mode == "dense" and plan.tp >= 2
+    assert pipe2.mesh is not None
+    sharded = [k for k, v in pipe2.diffusion_params.items()
+               if hasattr(v, "sharding") and not v.sharding.is_fully_replicated]
+    assert sharded, "auto-fit mesh plan did not TP-shard any weight"
+    got = pipe2.generate(GenerationParams(
+        prompt="x", width=64, height=64, sample_steps=2,
+        sample_method="euler", seed=5, cfg_scale=3.0)).latents
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

@@ -225,3 +225,44 @@ def test_detect_flux_concat_variants():
     assert detect_version(*mk(384)) == SDVersion.FLUX_FILL
     assert detect_version(*mk(128)) == SDVersion.FLUX_CONTROLS
     assert detect_version(*mk(196)) == SDVersion.FLEX_2
+
+
+def test_write_synthetic_gguf_roundtrip(tmp_path):
+    """The loader-bench checkpoint fabricator (bench item: time-to-first-
+    image from disk) writes valid GGUF: q8_0 blocks for large 2-D weights,
+    f32 elsewhere, parse-able by both loader paths — and the threaded
+    load_gguf returns the same dict as SDTPU_LOAD_THREADS=1."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from sdtpu.io.gguf import GGUFFile, load_gguf
+    from sdtpu.utils.device_init import write_synthetic_gguf
+
+    specs = {
+        "blocks.0.attn.qkv.weight": jax.ShapeDtypeStruct((768, 256), np.float32),
+        "blocks.0.norm.weight": jax.ShapeDtypeStruct((256,), np.float32),
+        "blocks.0.attn.proj.bias": jax.ShapeDtypeStruct((256,), np.float32),
+    }
+    p = str(tmp_path / "synth.gguf")
+    nbytes = write_synthetic_gguf(p, specs)
+    assert os.path.getsize(p) == nbytes
+
+    f = GGUFFile(p)
+    assert f.tensor_type("blocks.0.attn.qkv.weight") == "q8_0"
+    d = load_gguf(p, keep_quant=True)
+    assert type(d["blocks.0.attn.qkv.weight"]).__name__ == "HostQuant"
+    assert d["blocks.0.attn.qkv.weight"].shape == (768, 256)
+    assert np.allclose(d["blocks.0.norm.weight"], 1.0)
+    assert np.allclose(d["blocks.0.attn.proj.bias"], 0.0)
+
+    os.environ["SDTPU_LOAD_THREADS"] = "1"
+    try:
+        serial = load_gguf(p, keep_quant=False)
+    finally:
+        del os.environ["SDTPU_LOAD_THREADS"]
+    threaded = load_gguf(p, keep_quant=False)
+    assert sorted(serial) == sorted(threaded)
+    for k in serial:
+        np.testing.assert_array_equal(serial[k], threaded[k])
