@@ -12,13 +12,20 @@ North stars (the combined final line reports the weaker of the two):
 Informational metrics (BASELINE.json configs with no published numbers, plus
 kernel/memory-class diagnostics):
 
-3. FLUX.1 1024² denoise rate with the GGUF keep-quant memory class
+3. FLUX time-to-first-image from a 13.4 GB on-disk q8_0 GGUF (parse /
+   stage+upload / first-image breakdown; cold page cache when permitted).
+4. FLUX cold-prompt e2e (fresh prompt each run: T5-XXL encode counted).
+5. FLUX.1 1024² denoise rate with the GGUF keep-quant memory class
    (GroupQuantTensor, ggml group-32 blocks) at the full 13.4 GB footprint.
-4. SDXL 1024² + TAESD decode, LCM 4-step (LCM-LoRA merges offline, so random
-   weights measure the same compute).
-5. SD3.5-Medium (MMDiT-X) 1024² DPM++2M 28-step.
-6. Wan2.1-T2V-1.3B 480×832×33f: DiT steps/s + causal-VAE decode s/frame.
-7. FLUX kernel micro-bench (shared buffers — r3 metric kept for continuity).
+6. SDXL 1024² + TAESD decode, LCM 4-step (LCM-LoRA merges offline, so random
+   weights measure the same compute) — cached + cold-prompt e2e.
+7. SD3.5-Medium (MMDiT-X) 1024² DPM++2M 28-step — cached + cold-prompt e2e.
+8. Wan2.1-T2V-1.3B 480×832×33f: DiT steps/s + causal-VAE decode s/frame.
+9. FLUX kernel micro-bench (shared buffers — r3 metric kept for continuity).
+
+steps/s entries carry achieved_tflops + mfu_bf16_pct from analytic FLOP
+counts (docs/performance.md "Roofline").  "e2e_p50_cached_prompt" metrics
+serve cached conditioning (steady state); "cold_prompt" ones re-encode.
 
 Weights are synthesized directly in HBM (sdtpu/utils/device_init.py): every
 buffer distinct, nothing bulk crosses the host↔device link.  Prints one JSON
