@@ -352,7 +352,9 @@ def bench_flux_load_to_first_image():
     bundle = load_model_bundle(diffusion_model_path=path, keep_quant=True)
     t_parse = time.time() - t0
 
-    d = host_params_to_device(bundle.diffusion)  # default q8_0 → W8A8 rows
+    # per-row W8A8 promotion (the CLI default for q8_0 GGUFs, cli.py:688) —
+    # also ~1.5 GB lighter than keep-quant blocks (no f32 group scales)
+    d = host_params_to_device(bundle.diffusion, rowwise=True)
     leaves = [x for x in jax.tree.leaves(d) if hasattr(x, "block_until_ready")]
     for x in leaves:
         x.block_until_ready()
@@ -728,11 +730,31 @@ def bench_flux_kernel():
     }]
 
 
+def _reset_device():
+    """Hermetic section boundary: drop every HBM buffer and the in-memory jit
+    executable cache (compiled executables pin their captured device
+    constants).  Without this, a 12 GB section leaves the next one with a
+    poisoned HBM — one OOM then cascades through every later section.  The
+    persistent on-disk compile cache survives, so retraces re-land in
+    seconds."""
+    import jax
+
+    gc.collect()
+    for buf in jax.live_arrays():
+        buf.delete()
+    jax.clear_caches()
+    gc.collect()
+
+
 def main():
     _enable_cache()
     results = []
+    only = os.environ.get("SDTPU_BENCH_ONLY", "")
+    only_set = {s.strip() for s in only.split(",") if s.strip()}
 
     def run(fn, min_budget_s=0.0):
+        if only_set and fn.__name__ not in only_set:
+            return
         if _remaining() < min_budget_s:
             r = [{"metric": fn.__name__, "skipped":
                   f"bench budget exhausted ({_remaining():.0f}s left)"}]
@@ -744,7 +766,7 @@ def main():
         for m in r:
             print(json.dumps(m), flush=True)
         results.extend(r)
-        gc.collect()
+        _reset_device()
 
     # north stars first — always run
     run(bench_sd15)
@@ -762,6 +784,11 @@ def main():
              if r.get("metric") in ("sd15_512_20step_euler_a_e2e",
                                     "flux1_1024_denoise_steps_per_s")
              and "value" in r]
+    if not north:  # SDTPU_BENCH_ONLY filtered the north stars out
+        print(json.dumps({"metric": "partial_bench", "value": len(results),
+                          "unit": "metrics", "vs_baseline": None,
+                          "metrics": results}))
+        return
     worst = min(north, key=lambda r: r["vs_baseline"])
     print(
         json.dumps(
