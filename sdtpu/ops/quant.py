@@ -549,6 +549,47 @@ def _gq_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, group: i
         o_ref[:, :] = acc_ref[:, :].astype(o_ref.dtype)
 
 
+# Weight-stationary group-dequant kernel default: flipped on once verified on
+# real hardware (the M-outer kernel re-runs dequant per M-tile; ws amortizes
+# it but costs a full-M VMEM accumulator, so it must be measured, not assumed).
+_GQ_WS_DEFAULT = "0"
+
+
+def _gq_matmul_ws_kernel(
+    x_ref, w_ref, s_ref, o_ref, acc_ref, wd_ref, *, n_k: int, group: int
+):
+    # Weight-stationary variant: grid (n_n, n_k, n_m) puts M innermost, so
+    # each int8 weight tile is dequantized ONCE into VMEM scratch (wd_ref)
+    # and reused across every M-tile.  The original grid (n_m, n_n, n_k)
+    # re-ran the VPU dequant per M-tile — 4× redundant work at the FLUX
+    # 1024² shapes (M=4608, block_m=1152).  Costs a full-M column
+    # accumulator ([n_m, BM, BN] f32 scratch), which bounds block_n.
+    ki = pl.program_id(1)
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        bk, bn = w_ref.shape
+        ng = s_ref.shape[0]
+        wg = w_ref[:, :].reshape(ng, group, bn).astype(jnp.float32)
+        wd_ref[:, :] = (
+            wg * s_ref[:, :].reshape(ng, 1, bn)
+        ).reshape(bk, bn).astype(wd_ref.dtype)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[i] = jnp.zeros_like(acc_ref[i])
+
+    acc_ref[i] += jax.lax.dot_general(
+        x_ref[:, :], wd_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:, :] = acc_ref[i].astype(o_ref.dtype)
+
+
 def _gq_zero_matmul_kernel(
     x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int, group: int
 ):
@@ -591,16 +632,21 @@ def group_quant_matmul(
     block_m: int = 1152,
     block_n: int = 1024,
     block_k: int = 512,
+    ws_block_n: int = 256,
 ) -> jnp.ndarray:
     """x: [..., K] × group-quant int8 weight (logical [N, K]) → [..., N].
 
     HBM weight traffic is int8 + f32/group scales; dequant runs tile-wise in
     VMEM on the GGUF checkpoint's own block grid (group=32 for q*_0/q*_1 and
-    q4_k/q5_k sub-blocks, 16 for q2/q3/q6_k).  block_m=1152 amortizes the
-    per-weight-tile VPU dequant across more MXU output rows (and divides the
-    FLUX-1024² row count 4608 exactly): measured on v5e at 4608×3072×3072,
-    ~1.8 ms vs 2.14 ms at the old block_m=256 default (bf16 dot on the same
-    shape: 1.32 ms)."""
+    q4_k/q5_k sub-blocks, 16 for q2/q3/q6_k).
+
+    Symmetric weights (zero=None) with more than one M-tile can take the
+    weight-stationary kernel (_gq_matmul_ws_kernel): M innermost in the grid,
+    each weight tile dequantized once into VMEM scratch and reused across
+    M-tiles, full-M column accumulator ([n_m, block_m, ws_block_n] f32 —
+    ws_block_n=256 keeps it ≤4.7 MB at M=4608).  SDTPU_GQ_WS=0/1 overrides
+    the default (_GQ_WS_DEFAULT); the M-outer kernel re-runs the VPU dequant
+    per M-tile (4× redundant at FLUX-1024² shapes)."""
     orig_shape = x.shape
     k = orig_shape[-1]
     kq, n = qt.q.shape  # stored transposed [Kp, N]
@@ -623,13 +669,49 @@ def group_quant_matmul(
         return y.reshape(orig_shape[:-1] + (n,))
 
     bm = min(block_m, _round_up(m, 128))
-    bn = min(block_n, _round_up(n, 128))
+    n_m = _round_up(m, bm) // bm
+    use_ws = (qt.zero is None and n_m > 1 and ws_block_n > 0
+              and os.environ.get("SDTPU_GQ_WS", _GQ_WS_DEFAULT) != "0")
+    if use_ws:
+        bn = min(ws_block_n, _round_up(n, 128))
+    else:
+        bn = min(block_n, _round_up(n, 128))
     mp, np_, kp = _round_up(m, bm), _round_up(n, bn), kq
     xp = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
     qp = jnp.pad(qt.q, ((0, 0), (0, np_ - n)))
     sp = jnp.pad(qt.scale, ((0, 0), (0, np_ - n)))
     n_k = kp // bk
     ng = bk // group
+
+    if use_ws:
+        out = pl.pallas_call(
+            functools.partial(_gq_matmul_ws_kernel, n_k=n_k, group=group),
+            grid=(np_ // bn, n_k, n_m),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda j, ki, i: (i, ki),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda j, ki, i: (ki, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ng, bn), lambda j, ki, i: (ki, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, ki, i: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n_m, bm, bn), jnp.float32),
+                pltpu.VMEM((bk, bn), x.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * np_ * kp,
+                bytes_accessed=mp * kp * 2 + np_ * kp + mp * np_ * 2,
+                transcendentals=0,
+            ),
+        )(xp, qp, sp)
+        return out[:m, :n].reshape(orig_shape[:-1] + (n,))
 
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
