@@ -66,6 +66,24 @@ def _run_ws(x, qt, bm, wbn):
         del os.environ["SDTPU_GQ_WS"]
 
 
+@pytest.mark.parametrize("m,n,k", [
+    (640, 384, 256),    # ragged M/N (pad both)
+    (1280, 256, 2048),  # n_k=2: int32 accumulation across K revisits
+])
+def test_w8a8_kernel_matches_xla(tpu_branch_interpret, monkeypatch, m, n, k):
+    """Fused-epilogue W8A8 Pallas kernel vs the XLA dot — identical math
+    (same int8 dot, f32 scale epilogue), so outputs must be bit-equal."""
+    monkeypatch.setenv("SDTPU_W8A8_KERNEL", "1")
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((n, k)).astype(np.float32) * 0.02
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    qt = q.quantize_per_channel(w)
+    y_kernel = np.asarray(q.quant_matmul_w8a8(x, qt))
+    monkeypatch.setenv("SDTPU_W8A8_KERNEL", "0")
+    y_xla = np.asarray(q.quant_matmul_w8a8(x, qt))
+    np.testing.assert_array_equal(y_kernel, y_xla)
+
+
 def test_ws_and_mouter_bitwise_equal(tpu_branch_interpret):
     """Both kernels run the same dequant math — outputs must be identical."""
     rng = np.random.default_rng(1)
