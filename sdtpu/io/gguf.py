@@ -261,10 +261,30 @@ def dequant_q6_k(raw: np.ndarray, n_blocks: int) -> np.ndarray:
 # zero f32 [nb, n_sub] | None, group) in ggml element order.
 
 
+def _native_split(raw, nb, type_id, payload, qdtype):
+    """Threaded C payload/scale split for the simple [f16 d | payload]
+    block types — numpy's strided block-period copy runs ~200 MB/s on the
+    1-core host (~60 s for a 13 GB FLUX q8_0); the native memcpy loop runs
+    at memory bandwidth (native/dequant.c extract_split)."""
+    from sdtpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "extract_split"):
+        return None
+    q = np.empty(nb * payload, dtype=qdtype)
+    s = np.empty(nb, dtype=np.float32)
+    nat.extract_split(type_id, raw, q, s, nb * 32,
+                      min(os.cpu_count() or 8, 16))
+    return q.reshape(nb, payload), s.reshape(nb, 1)
+
+
 def _extract_q4_0(raw, nb):
     # stays nibble-packed on the host (qbits=4): byte i of a block holds
     # elems i (lo) and i+16 (hi) as val+8 — host RSS ≈ file size for the
     # 6.4 GB FLUX q4_0 case (docs/flux.md:36-38)
+    ns = _native_split(raw, nb, GGML_Q4_0, 16, np.uint8)
+    if ns is not None:
+        return ns[0], ns[1], None, 32, 4
     b = raw.reshape(nb, 18)
     d = _f16(b[:, :2].copy().view(np.uint8)).reshape(nb, 1)
     return b[:, 2:].copy(), d, None, 32, 4
@@ -307,6 +327,9 @@ def _extract_q5_1(raw, nb):
 
 
 def _extract_q8_0(raw, nb):
+    ns = _native_split(raw, nb, GGML_Q8_0, 32, np.int8)
+    if ns is not None:
+        return ns[0], ns[1], None, 32
     b = raw.reshape(nb, 34)
     d = _f16(b[:, :2]).reshape(nb, 1)
     return b[:, 2:].copy().view(np.int8), d, None, 32

@@ -253,3 +253,37 @@ def test_load_bundle_keep_quant(tmp_path):
     assert isinstance(w, HostQuant) and w.shape == (320, 320)
     conv = bundle.diffusion["input_blocks.0.0.weight"]
     assert isinstance(conv, np.ndarray) and conv.shape == (320, 4, 3, 3)
+
+
+@pytest.mark.parametrize("ggml_type", [GGML_Q8_0, GGML_Q4_0])
+def test_native_extract_split_matches_numpy(ggml_type, monkeypatch):
+    """The threaded C extract_split (native/dequant.c) must produce the same
+    payload bytes and f32 scales as the numpy strided extract."""
+    import sdtpu.native as native_mod
+
+    nb = 1024
+    n_elems = nb * 32
+    raw = _random_blocks(ggml_type, nb, seed=99)
+
+    def run():
+        native_mod._mod = None
+        native_mod._tried = False
+        fn = gguf.EXTRACT_FNS[ggml_type]
+        return fn(raw, nb)
+
+    got_native = run()
+    if native_mod.get_native() is None:
+        pytest.skip("native toolchain unavailable")
+    monkeypatch.setenv("SDTPU_DISABLE_NATIVE", "1")
+    got_numpy = run()
+    monkeypatch.delenv("SDTPU_DISABLE_NATIVE")
+    native_mod._mod = None
+    native_mod._tried = False
+
+    q_n, d_n = got_native[0], got_native[1]
+    q_p, d_p = got_numpy[0], got_numpy[1]
+    np.testing.assert_array_equal(
+        np.asarray(q_n).reshape(-1).view(np.uint8),
+        np.asarray(q_p).reshape(-1).view(np.uint8))
+    np.testing.assert_array_equal(np.asarray(d_n).reshape(-1),
+                                  np.asarray(d_p).reshape(-1))
